@@ -1,0 +1,158 @@
+"""Deterministic 5x7 glyph font: render text to page rasters and decode back.
+
+This is the hermetic substitute for the render->OCR round trip.  The reference
+pipeline shape is  PDF -> page images at dpi -> (preprocess) -> OCR per page ->
+"\n\n".join(pages)  (reference: backend/src/infrastructure/adapters/
+ocr_adapters.py:49-76).  Tesseract/poppler are unavailable in this sandbox, so
+the DeterministicEngine (stages/ocr.py) renders and recognizes a synthetic but
+fully deterministic glyph font; byte-identity of extracted text is enforced
+against frozen golden fixtures exactly like the reference's own MD5 golden-tree
+check (tests/validation_test.py:11-17).
+
+Glyph bitmaps are derived from MD5 bits of the character — distinct, dense and
+reproducible; human readability is irrelevant to the contract.  Pure numpy,
+no per-pixel Python loops in render/decode hot paths.
+"""
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+GLYPH_W, GLYPH_H = 5, 7          # ink box
+CELL_W, CELL_H = 6, 8            # glyph + 1px padding right/bottom
+MARGIN = 8                       # page margin in px
+CHARSET = "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 .,:;!?'\"()-/%&+=#"
+_SPACE_IDX = CHARSET.index(" ")
+
+
+def _glyph_bitmap(ch: str) -> np.ndarray:
+    """35-bit bitmap from md5(ch); space is blank; ink count forced >= 12 so
+    glyphs are robustly distinguishable after thresholding."""
+    if ch == " ":
+        return np.zeros((GLYPH_H, GLYPH_W), dtype=np.uint8)
+    digest = hashlib.md5(ch.encode("utf-8")).digest()
+    bits = np.unpackbits(np.frombuffer(digest, dtype=np.uint8))[: GLYPH_H * GLYPH_W]
+    bmp = bits.reshape(GLYPH_H, GLYPH_W).astype(np.uint8)
+    if bmp.sum() < 12:  # re-hash until dense enough (deterministic chain)
+        extra = hashlib.md5(digest).digest()
+        more = np.unpackbits(np.frombuffer(extra, dtype=np.uint8))[: GLYPH_H * GLYPH_W]
+        bmp = (bmp | more.reshape(GLYPH_H, GLYPH_W)).astype(np.uint8)
+    bmp[0, 0] = 1  # anchor pixel: every non-space glyph marks the cell origin
+    return bmp
+
+
+FONT = np.stack([_glyph_bitmap(c) for c in CHARSET])          # (n, 7, 5) in {0,1}
+_FONT_FLAT = FONT.reshape(len(CHARSET), -1).astype(np.int16)  # for matching
+
+# sanity: all glyphs pairwise distinct (space is the unique blank)
+_keys = {bmp.tobytes() for bmp in FONT}
+assert len(_keys) == len(CHARSET), "glyph collision in deterministic font"
+
+
+def normalize_for_scan(text: str) -> str:
+    """Project arbitrary text onto the engine charset: uppercase, unsupported
+    chars -> '?', strip each line, drop leading/trailing blank lines.  This is
+    the engine's documented recognition limitation (analogous to a Tesseract
+    lang pack); goldens are generated after normalization."""
+    lines = []
+    for ln in text.upper().splitlines():
+        ln = "".join(c if c in CHARSET else "?" for c in ln).strip()
+        lines.append(ln)
+    while lines and not lines[0]:
+        lines.pop(0)
+    while lines and not lines[-1]:
+        lines.pop()
+    return "\n".join(lines)
+
+
+def render_page(text: str, pad_to_multiple: int = 1) -> np.ndarray:
+    """Render normalized text to a uint8 grayscale page: 255 background,
+    0 ink.  Layout: fixed grid, cell (CELL_H, CELL_W), MARGIN on all sides."""
+    lines = text.split("\n") if text else [""]
+    ncols = max((len(ln) for ln in lines), default=0)
+    ncols = max(ncols, 1)
+    h = 2 * MARGIN + len(lines) * CELL_H
+    w = 2 * MARGIN + ncols * CELL_W
+    if pad_to_multiple > 1:
+        h += (-h) % pad_to_multiple
+        w += (-w) % pad_to_multiple
+    img = np.full((h, w), 255, dtype=np.uint8)
+    idx = np.frombuffer(CHARSET.encode("latin-1"), dtype=np.uint8)
+    lut = np.zeros(256, dtype=np.int16) - 1
+    lut[idx] = np.arange(len(CHARSET))
+    for i, ln in enumerate(lines):
+        if not ln:
+            continue
+        codes = lut[np.frombuffer(ln.encode("latin-1"), dtype=np.uint8)]
+        y0 = MARGIN + i * CELL_H
+        for j, g in enumerate(codes):
+            if g < 0 or g == _SPACE_IDX:
+                continue
+            x0 = MARGIN + j * CELL_W
+            cell = img[y0 : y0 + GLYPH_H, x0 : x0 + GLYPH_W]
+            cell[FONT[g] == 1] = 0
+    return img
+
+
+def decode_page(img: np.ndarray, ink_threshold: int = 128) -> str:
+    """Recover text from a (possibly preprocessed) page raster.
+
+    Grid-anchored at the ink bounding box; per cell, nearest-glyph match by
+    bitmap agreement with a +-1 px shift search (tolerates resampling from the
+    preprocessing chain).  Deterministic: ties break by CHARSET order.
+    """
+    ink = (img < ink_threshold)
+    # anchor the grid on "structural" ink only: pixels with >= 2 ink
+    # neighbours in their 3x3 window.  Isolated specks from the adaptive
+    # threshold step must not shift the bounding box.
+    nb = np.zeros(ink.shape, dtype=np.int8)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            shifted = np.zeros_like(ink)
+            ys0, ys1 = max(dy, 0), ink.shape[0] + min(dy, 0)
+            xs0, xs1 = max(dx, 0), ink.shape[1] + min(dx, 0)
+            shifted[ys0:ys1, xs0:xs1] = ink[ys0 - dy : ys1 - dy, xs0 - dx : xs1 - dx]
+            nb += shifted
+    solid = ink & (nb >= 2)
+    ys, xs = np.nonzero(solid)
+    if ys.size == 0:
+        return ""
+    y0, x0 = int(ys.min()), int(xs.min())
+    y1 = int(ys.max())
+    nrows = (y1 - y0) // CELL_H + 1
+    lines = []
+    h, w = img.shape
+    for i in range(nrows):
+        ry = y0 + i * CELL_H
+        band = solid[ry : ry + GLYPH_H, :]
+        bxs = np.nonzero(band)[1]
+        if bxs.size == 0:
+            lines.append("")
+            continue
+        ncols = (int(bxs.max()) - x0) // CELL_W + 1
+        chars = []
+        for j in range(ncols):
+            cx = x0 + j * CELL_W
+            best_score, best_g = -1, _SPACE_IDX
+            cell0 = solid[ry : ry + GLYPH_H, cx : cx + GLYPH_W]
+            if not cell0.any():
+                chars.append(" ")
+                continue
+            for dy in (0, -1, 1):
+                for dx in (0, -1, 1):
+                    yy, xx = ry + dy, cx + dx
+                    if yy < 0 or xx < 0 or yy + GLYPH_H > h or xx + GLYPH_W > w:
+                        continue
+                    cell = ink[yy : yy + GLYPH_H, xx : xx + GLYPH_W].astype(np.int16).ravel()
+                    # agreement = matching pixels with each glyph
+                    scores = (GLYPH_H * GLYPH_W) - np.abs(_FONT_FLAT - cell[None, :]).sum(axis=1)
+                    g = int(scores.argmax())
+                    s = int(scores[g])
+                    if s > best_score:
+                        best_score, best_g = s, g
+            chars.append(CHARSET[best_g])
+        lines.append("".join(chars).rstrip())
+    return "\n".join(lines)

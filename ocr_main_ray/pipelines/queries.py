@@ -1,0 +1,340 @@
+"""Oracle-checked query pack: one entry per operator family of SURVEY.md §2.
+
+Every Ray implementation here is deliberately scale-shaped:
+
+- reads prune columns at the source (``read_parquet(columns=...)``) and push
+  row filters into the scan;
+- aggregations pre-combine inside ``map_batches`` (one partial row per key
+  per batch) before the small shuffled ``groupby`` — the partial/combiner
+  pattern;
+- small-side joins broadcast the dimension table instead of shuffling;
+- floating-point outputs are constructed hash-stably (integer cents, or a
+  single division of exact integer sums), so the DuckDB oracle matches
+  bit-for-bit.
+
+Column names match the oracle SQL exactly (the driver hash-compares by
+sorted column name).
+"""
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pds
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Min, Sum
+
+
+def _docs(sf_dir: str, columns=None):
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# G1/G2/G3 — global aggregates
+# ---------------------------------------------------------------------------
+
+def q_doc_count(sf_dir: str):
+    n = _docs(sf_dir, ["doc_id"]).count()
+    return pa.table({"n": pa.array([n], pa.int64())})
+
+
+def q_doc_chars_sum(sf_dir: str):
+    s = _docs(sf_dir, ["n_chars"]).sum("n_chars")
+    return pa.table({"total_chars": pa.array([s], pa.int64())})
+
+
+def q_doc_chars_avg(sf_dir: str):
+    ds = _docs(sf_dir, ["n_chars"])
+    # exact ints -> single double division (bit-identical to the oracle)
+    s, n = ds.sum("n_chars"), ds.count()
+    return pa.table({"avg_chars": pa.array([s / n], pa.float64())})
+
+
+# ---------------------------------------------------------------------------
+# B11 — summary aggregate by group (count / sum / mean)
+# ---------------------------------------------------------------------------
+
+def q_summary_by_lang(sf_dir: str):
+    out = (
+        _docs(sf_dir, ["lang", "n_chars"])
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars"))
+        .to_pandas()
+    )
+    out["avg_chars"] = out["total_chars"].astype(float) / out["n_docs"].astype(float)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# G5 / B7 — sort desc + limit (top-k)
+# ---------------------------------------------------------------------------
+
+def q_docs_topk_chars(sf_dir: str):
+    ds = _docs(sf_dir, ["doc_id", "n_chars"])
+    out = ds.sort(key=["n_chars", "doc_id"], descending=[True, False]).limit(20)
+    return out.to_pandas()
+
+
+def q_events_topk_value(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+    return ds.sort(key=["value", "event_id"], descending=[True, False]).limit(50).to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# D1-D5 — filters (pushed into the parquet scan)
+# ---------------------------------------------------------------------------
+
+def q_docs_filter(sf_dir: str):
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "n_chars"],
+        filter=(pds.field("n_chars") >= 300) & (pds.field("lang") == "en"),
+    )
+    return ds.to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# G6 — exact dedup by content hash (hash shuffle + keep-first)
+# ---------------------------------------------------------------------------
+
+def _md5_batch(batch: pa.Table) -> pa.Table:
+    hashes = [hashlib.md5(t.encode("utf-8")).hexdigest()
+              for t in batch.column("text").to_pylist()]
+    return batch.append_column("text_hash", pa.array(hashes, pa.string())).drop(["text"])
+
+
+def q_dedup_exact(sf_dir: str):
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _md5_batch, batch_format="pyarrow", batch_size=8192
+    )
+    return (
+        ds.groupby("text_hash")
+        .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies"))
+        .to_pandas()
+    )
+
+
+# ---------------------------------------------------------------------------
+# G8 — word count (vectorized pandas split)
+# ---------------------------------------------------------------------------
+
+def _wc_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    batch["n_words"] = batch["text"].str.split().str.len().astype("int64")
+    return batch[["doc_id", "n_words"]]
+
+
+def q_word_count(sf_dir: str):
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(_wc_batch, batch_format="pandas", batch_size=8192)
+        .to_pandas()
+    )
+
+
+# ---------------------------------------------------------------------------
+# events aggregate by type — partial-combine inside map_batches, then a
+# small groupby over partials (the pre-aggregation scale pattern)
+# ---------------------------------------------------------------------------
+
+def _events_partial(batch: pa.Table) -> pa.Table:
+    cents = pc.cast(pc.round(pc.multiply(batch.column("value"), 100.0)), pa.int64())
+    t = batch.set_column(batch.schema.get_field_index("value"), "value_cents", cents)
+    g = t.group_by("event_type").aggregate([("value_cents", "sum"), ("event_type", "count")])
+    return g.rename_columns(["event_type", "partial_cents", "partial_n"])
+
+
+def q_events_by_type(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    partials = ds.map_batches(_events_partial, batch_format="pyarrow", batch_size=65536)
+    out = (
+        partials.groupby("event_type")
+        .aggregate(Sum("partial_cents", alias_name="total_value_cents"),
+                   Sum("partial_n", alias_name="n_events"))
+        .to_pandas()
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1-shaped pricing summary — filter + partial agg + groupby
+# ---------------------------------------------------------------------------
+
+def _q1_partial(batch: pa.Table) -> pa.Table:
+    mask = pc.less_equal(batch.column("l_shipdate"), pa.scalar(np.datetime64("1998-09-02", "us")))
+    t = batch.filter(mask)
+    cents = pc.cast(pc.round(pc.multiply(t.column("l_extendedprice"), 100.0)), pa.int64())
+    t = t.append_column("price_cents", cents)
+    g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+        [("l_quantity", "sum"), ("price_cents", "sum"), ("l_quantity", "count")]
+    )
+    return g.rename_columns(
+        ["l_returnflag", "l_linestatus", "p_qty", "p_cents", "p_n"]
+    )
+
+
+def q_pricing_summary(sf_dir: str):
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_shipdate"],
+    )
+    partials = ds.map_batches(_q1_partial, batch_format="pyarrow", batch_size=131072)
+    out = (
+        partials.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("p_qty", alias_name="sum_qty"),
+                   Sum("p_cents", alias_name="sum_price_cents"),
+                   Sum("p_n", alias_name="n"))
+        .to_pandas()
+    )
+    out["avg_qty"] = out["sum_qty"].astype(float) / out["n"].astype(float)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# broadcast hash join (small dimension side via ray.put) + grouped rollup
+# ---------------------------------------------------------------------------
+
+class _SegmentJoin:
+    """Actor-pool stage holding the broadcast customer->segment map."""
+
+    def __init__(self, cust_ref):
+        cust = ray.get(cust_ref)  # fetched once per actor, zero-copy arrow
+        self.seg = dict(zip(cust.column("c_custkey").to_pylist(),
+                            cust.column("c_mktsegment").to_pylist()))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch.column("o_custkey").to_pylist()
+        segs = [self.seg.get(k) for k in keys]
+        cents = pc.cast(pc.round(pc.multiply(batch.column("o_totalprice"), 100.0)), pa.int64())
+        t = pa.table({"c_mktsegment": pa.array(segs, pa.string()), "cents": cents})
+        g = t.group_by("c_mktsegment").aggregate([("cents", "sum"), ("cents", "count")])
+        return g.rename_columns(["c_mktsegment", "p_cents", "p_n"])
+
+
+def q_revenue_by_segment(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    cust_ref = ray.put(cust)
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_totalprice"])
+    partials = ds.map_batches(
+        _SegmentJoin, fn_constructor_kwargs={"cust_ref": cust_ref},
+        batch_format="pyarrow", batch_size=65536, concurrency=(1, 4),
+    )
+    return (
+        partials.groupby("c_mktsegment")
+        .aggregate(Sum("p_cents", alias_name="total_revenue_cents"),
+                   Sum("p_n", alias_name="n_orders"))
+        .to_pandas()
+    )
+
+
+# ---------------------------------------------------------------------------
+# flagship extraction ops over the synthesized pages table (rows-only checks:
+# the pages table is not a DuckDB view, and extraction is not SQL)
+# ---------------------------------------------------------------------------
+
+def q_extract_flagship(sf_dir: str):
+    """Full pipeline: sniff -> dedup -> html/pdf/OCR extract.  Bounded input
+    (deterministic first 400 documents) to keep the correctness-gate runtime
+    sane; bench.py runs the unbounded version."""
+    from ..pipelines.extract import extract_pages_table
+    from ..sources.synth import pages_from_documents
+
+    pages = pages_from_documents(sf_dir, limit=400)
+    out = extract_pages_table(pages)
+    return out.drop_columns(["processing_ms"])  # timing is nondeterministic
+
+
+def q_pages_sniff_counts(sf_dir: str):
+    """Sniff stage only: content_type histogram of the synthetic pages."""
+    from ..sources.synth import pages_from_documents
+    from ..stages.sniff import sniff_batch
+
+    pages = pages_from_documents(sf_dir, limit=2000)
+    ds = rd.from_arrow(pages).map_batches(
+        sniff_batch, batch_format="pyarrow", batch_size=4096, zero_copy_batch=True
+    )
+    return (
+        ds.groupby("content_type").aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+
+
+QUERIES = {
+    "doc_count": q_doc_count,
+    "doc_chars_sum": q_doc_chars_sum,
+    "doc_chars_avg": q_doc_chars_avg,
+    "summary_by_lang": q_summary_by_lang,
+    "docs_topk_chars": q_docs_topk_chars,
+    "events_topk_value": q_events_topk_value,
+    "docs_filter": q_docs_filter,
+    "dedup_exact": q_dedup_exact,
+    "word_count": q_word_count,
+    "events_by_type": q_events_by_type,
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_segment": q_revenue_by_segment,
+    "extract_flagship": q_extract_flagship,
+    "pages_sniff_counts": q_pages_sniff_counts,
+}
+
+ORACLE_SQL = {
+    "doc_count": "SELECT count(*) AS n FROM documents",
+    "doc_chars_sum": "SELECT sum(n_chars) AS total_chars FROM documents",
+    "doc_chars_avg": (
+        "SELECT CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars FROM documents"
+    ),
+    "summary_by_lang": (
+        "SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars, "
+        "CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars "
+        "FROM documents GROUP BY lang"
+    ),
+    "docs_topk_chars": (
+        "SELECT doc_id, n_chars FROM documents "
+        "ORDER BY n_chars DESC, doc_id LIMIT 20"
+    ),
+    "events_topk_value": (
+        "SELECT event_id, event_type, value FROM events "
+        "ORDER BY value DESC, event_id LIMIT 50"
+    ),
+    "docs_filter": (
+        "SELECT doc_id, lang, n_chars FROM documents "
+        "WHERE n_chars >= 300 AND lang = 'en'"
+    ),
+    "dedup_exact": (
+        "SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, "
+        "count(*) AS n_copies FROM documents GROUP BY md5(text)"
+    ),
+    "word_count": (
+        "SELECT doc_id, CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' "
+        "THEN 0 ELSE len(string_split_regex("
+        "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END AS n_words "
+        "FROM documents"
+    ),
+    "events_by_type": (
+        "SELECT event_type, sum(CAST(round(value * 100) AS BIGINT)) AS total_value_cents, "
+        "count(*) AS n_events FROM events GROUP BY event_type"
+    ),
+    "pricing_summary": (
+        "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, "
+        "sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents, "
+        "count(*) AS n, sum(l_quantity) / count(*) AS avg_qty "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+        "GROUP BY l_returnflag, l_linestatus"
+    ),
+    "revenue_by_segment": (
+        "SELECT c_mktsegment, sum(CAST(round(o_totalprice * 100) AS BIGINT)) "
+        "AS total_revenue_cents, count(*) AS n_orders "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+        "GROUP BY c_mktsegment"
+    ),
+    # extract_flagship / pages_sniff_counts: not SQL-expressible (synthetic
+    # binary payload parsing + OCR) -> rows-only checks.
+}

@@ -1,0 +1,103 @@
+"""Formatting / serialization scalar functions (reference section B).
+
+Quirks preserved bug-for-bug because they affect output bytes
+(SURVEY.md section 7.3 risk 1):
+
+- B9 heading rule (markdown_generator.py:78-100): a paragraph shorter than
+  100 chars that isupper() and does not start with a space becomes
+  ``### {p}``; empty paragraphs dropped; re-join with "\n\n" plus a trailing
+  "\n\n".
+- B10 table markdown (markdown_generator.py:102-136): row 0 is the header,
+  pipe table, optional ``*Confianza: {c:.2%}*`` suffix.
+- B8 document markdown: header template with filename/pages/confidence
+  (``{:.2%}``)/time + footer with the tesseract flags (markdown_generator.py:
+  13-28,138-158) — template fields reproduced, static wording ours.
+- E1 projection (entities/document.py:57-75): text_length = len(text), etc.
+
+All pure str -> str; applied per row inside map_batches.
+"""
+from __future__ import annotations
+
+import json
+
+
+def format_text_structure(text: str) -> str:
+    """B9 — the quirky heading formatter."""
+    paragraphs = text.split("\n\n")
+    out = []
+    for p in paragraphs:
+        p = p.strip()
+        if not p:
+            continue
+        if len(p) < 100 and p.isupper() and not p.startswith(" "):
+            out.append(f"### {p}")
+        else:
+            out.append(p)
+    return "\n\n".join(out) + "\n\n" if out else ""
+
+
+def table_to_markdown(table: dict) -> str:
+    """B10 — pipe-table rendering of {data: [[...]], confidence}."""
+    data = table.get("data") or []
+    if not data:
+        return ""
+    header = [str(c) for c in data[0]]
+    lines = ["| " + " | ".join(header) + " |",
+             "| " + " | ".join("---" for _ in header) + " |"]
+    for row in data[1:]:
+        lines.append("| " + " | ".join(str(c) for c in row) + " |")
+    conf = table.get("confidence")
+    if conf is not None:
+        lines.append("")
+        lines.append(f"*Confianza: {conf:.2%}*")
+    return "\n".join(lines)
+
+
+def render_markdown(url: str, extracted_text: str, tables_json: str,
+                    confidence: float, n_pages: int, processing_ms: float,
+                    engine: str, dpi: int, lang: str) -> str:
+    """B8 — per-document markdown (header + formatted body + tables +
+    footer).  Timestamps are intentionally absent: a dataplane function must
+    be deterministic (the reference stamps datetime.now(), which its own
+    golden-MD5 test then has to work around)."""
+    parts = [
+        f"# Documento: {url}",
+        "",
+        f"- **Páginas Procesadas**: {n_pages}",
+        f"- **Confianza OCR**: {confidence:.2%}",
+        f"- **Motor OCR**: {engine}",
+        f"- **Tiempo de Proceso (ms)**: {processing_ms:.1f}",
+        "",
+        "---",
+        "",
+        format_text_structure(extracted_text).rstrip("\n"),
+    ]
+    tables = json.loads(tables_json) if tables_json else []
+    if tables:
+        parts += ["", "## Tablas", ""]
+        for t in tables:
+            parts.append(table_to_markdown(t))
+    parts += [
+        "",
+        "---",
+        f"*Generado con ocr_main_ray (--oem 3 --psm 6, dpi={dpi}, lang={lang})*",
+    ]
+    return "\n".join(parts)
+
+
+def document_projection(url: str, extracted_text: str, tables_json: str,
+                        confidence: float, processing_ms: float) -> dict:
+    """E1 — Document -> dict projection."""
+    tables = json.loads(tables_json) if tables_json else []
+    return {
+        "url": url,
+        "text_length": len(extracted_text),
+        "tables_count": len(tables),
+        "confidence": confidence,
+        "processing_time": processing_ms / 1000.0,
+    }
+
+
+def word_count(text: str) -> int:
+    """G8 (use_cases.py:195): len(text.split())."""
+    return len(text.split())

@@ -1,0 +1,250 @@
+"""Numpy reimplementation of the reference's OpenCV page-preprocessing chain.
+
+Chain order is the semantic contract (reference:
+backend/src/infrastructure/adapters/ocr_adapters.py:170-209):
+
+    grayscale -> bilateral(9, 75, 75) if denoise -> CLAHE(2.0, 8x8) if
+    contrast -> deskew if enabled -> adaptiveThreshold(255, GAUSSIAN,
+    BINARY, 11, 2) -> morphology CLOSE then OPEN with np.ones((1,1))
+
+The (1,1) morphology kernel makes both morphology steps identity ops — a
+reference quirk we preserve deliberately (erode/dilate with a 1x1 structuring
+element changes nothing).  Deskew (ocr_adapters.py:211-258): edges -> Hough
+lines -> first min(10, n) lines -> angle = theta*180/pi - 90, keep |a| < 45 ->
+median -> rotate only if |median| > 0.5, silent fallback to the original image
+on any exception.
+
+All kernels are vectorized numpy; no OpenCV dependency.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+DESKEW_MAX_ABS_ANGLE = 45.0
+DESKEW_MIN_ROTATE = 0.5
+HOUGH_THRESHOLD = 100
+HOUGH_MAX_LINES = 10
+
+
+def to_grayscale(img: np.ndarray) -> np.ndarray:
+    if img.ndim == 3:  # reference: cv2.cvtColor BGR2GRAY; ITU-R 601 weights
+        w = np.array([0.114, 0.587, 0.299])  # BGR order like OpenCV
+        return np.clip(img.astype(np.float64) @ w, 0, 255).astype(np.uint8)
+    return img
+
+
+def _shifted(img: np.ndarray, dy: int, dx: int) -> np.ndarray:
+    """Shift with edge replication (BORDER_REPLICATE)."""
+    h, w = img.shape
+    ys = np.clip(np.arange(h) + dy, 0, h - 1)
+    xs = np.clip(np.arange(w) + dx, 0, w - 1)
+    return img[ys[:, None], xs[None, :]]
+
+
+def bilateral_filter(img: np.ndarray, d: int = 9, sigma_color: float = 75.0,
+                     sigma_space: float = 75.0) -> np.ndarray:
+    """Edge-preserving smoothing, vectorized as d*d shifted stacks."""
+    r = d // 2
+    f = img.astype(np.float64)
+    num = np.zeros_like(f)
+    den = np.zeros_like(f)
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            sw = np.exp(-(dx * dx + dy * dy) / (2.0 * sigma_space ** 2))
+            nb = _shifted(f, dy, dx)
+            cw = np.exp(-((nb - f) ** 2) / (2.0 * sigma_color ** 2))
+            w = sw * cw
+            num += w * nb
+            den += w
+    return np.clip(num / den, 0, 255).astype(np.uint8)
+
+
+def clahe(img: np.ndarray, clip_limit: float = 2.0, tiles: tuple[int, int] = (8, 8)) -> np.ndarray:
+    """Contrast-limited adaptive histogram equalization with bilinear
+    interpolation between tile mapping functions."""
+    h, w = img.shape
+    ty, tx = tiles
+    th, tw = max(1, h // ty), max(1, w // tx)
+    ty, tx = (h + th - 1) // th, (w + tw - 1) // tw
+    luts = np.zeros((ty, tx, 256), dtype=np.float64)
+    for i in range(ty):
+        for j in range(tx):
+            tile = img[i * th : min((i + 1) * th, h), j * tw : min((j + 1) * tw, w)]
+            npix = tile.size
+            hist = np.bincount(tile.ravel(), minlength=256).astype(np.float64)
+            climit = max(1.0, clip_limit * npix / 256.0)
+            excess = np.maximum(hist - climit, 0).sum()
+            hist = np.minimum(hist, climit) + excess / 256.0
+            cdf = np.cumsum(hist)
+            luts[i, j] = np.clip(cdf * 255.0 / max(cdf[-1], 1e-9), 0, 255)
+    # bilinear interpolation of tile LUT outputs at each pixel
+    yy = (np.arange(h) + 0.5) / th - 0.5
+    xx = (np.arange(w) + 0.5) / tw - 0.5
+    y0 = np.clip(np.floor(yy).astype(int), 0, ty - 1)
+    x0 = np.clip(np.floor(xx).astype(int), 0, tx - 1)
+    y1 = np.clip(y0 + 1, 0, ty - 1)
+    x1 = np.clip(x0 + 1, 0, tx - 1)
+    fy = np.clip(yy - y0, 0, 1)[:, None]
+    fx = np.clip(xx - x0, 0, 1)[None, :]
+    v = img.astype(int)
+    p00 = luts[y0[:, None], x0[None, :], v]
+    p01 = luts[y0[:, None], x1[None, :], v]
+    p10 = luts[y1[:, None], x0[None, :], v]
+    p11 = luts[y1[:, None], x1[None, :], v]
+    out = (p00 * (1 - fy) * (1 - fx) + p01 * (1 - fy) * fx
+           + p10 * fy * (1 - fx) + p11 * fy * fx)
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def _gaussian_kernel1d(ksize: int) -> np.ndarray:
+    """OpenCV-compatible: sigma = 0.3*((ksize-1)*0.5 - 1) + 0.8."""
+    sigma = 0.3 * ((ksize - 1) * 0.5 - 1) + 0.8
+    xs = np.arange(ksize) - (ksize - 1) / 2.0
+    k = np.exp(-(xs ** 2) / (2 * sigma * sigma))
+    return k / k.sum()
+
+
+def _sep_filter(img: np.ndarray, k: np.ndarray) -> np.ndarray:
+    """Separable filter with replicate borders."""
+    r = len(k) // 2
+    f = img.astype(np.float64)
+    pad = np.pad(f, ((0, 0), (r, r)), mode="edge")
+    tmp = np.zeros_like(f)
+    for i, kv in enumerate(k):
+        tmp += kv * pad[:, i : i + f.shape[1]]
+    pad = np.pad(tmp, ((r, r), (0, 0)), mode="edge")
+    out = np.zeros_like(f)
+    for i, kv in enumerate(k):
+        out += kv * pad[i : i + f.shape[0], :]
+    return out
+
+
+def adaptive_threshold_gaussian(img: np.ndarray, block_size: int = 11, c: float = 2.0) -> np.ndarray:
+    """cv2.adaptiveThreshold(..., ADAPTIVE_THRESH_GAUSSIAN_C, THRESH_BINARY,
+    block_size, C): pixel > local_gaussian_mean - C -> 255 else 0."""
+    mean = _sep_filter(img, _gaussian_kernel1d(block_size))
+    return np.where(img.astype(np.float64) > mean - c, 255, 0).astype(np.uint8)
+
+
+def sobel_edges(img: np.ndarray, low: float = 50.0, high: float = 150.0) -> np.ndarray:
+    """Canny(50,150)-shaped edge map: Sobel gradients, non-maximum
+    suppression along the gradient direction (4 quantized directions), then
+    hysteresis-lite (strong edges, plus weak edges adjacent to strong)."""
+    f = img.astype(np.float64)
+    kx = np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], dtype=np.float64)
+    gx = _conv3(f, kx)
+    gy = _conv3(f, kx.T)
+    mag = np.hypot(gx, gy)
+    # quantize gradient direction into 4 bins: 0=E/W, 1=NE/SW, 2=N/S, 3=NW/SE
+    ang = np.mod(np.degrees(np.arctan2(gy, gx)), 180.0)
+    dbin = ((ang + 22.5) // 45).astype(int) % 4
+    offsets = {0: (0, 1), 1: (-1, 1), 2: (-1, 0), 3: (-1, -1)}
+    nms = np.zeros_like(mag, dtype=bool)
+    for b, (dy, dx) in offsets.items():
+        sel = dbin == b
+        n1 = _shifted(mag, dy, dx)
+        n2 = _shifted(mag, -dy, -dx)
+        nms |= sel & (mag >= n1) & (mag >= n2)
+    strong = nms & (mag >= high)
+    weak = nms & (mag >= low)
+    grow = strong.copy()
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            grow |= _shifted(strong.astype(np.uint8), dy, dx).astype(bool)
+    return (weak & grow)
+
+
+def _conv3(f: np.ndarray, k: np.ndarray) -> np.ndarray:
+    pad = np.pad(f, 1, mode="edge")
+    out = np.zeros_like(f)
+    for dy in range(3):
+        for dx in range(3):
+            out += k[dy, dx] * pad[dy : dy + f.shape[0], dx : dx + f.shape[1]]
+    return out
+
+
+def hough_line_angles(edges: np.ndarray, threshold: int = HOUGH_THRESHOLD,
+                      max_lines: int = HOUGH_MAX_LINES) -> np.ndarray:
+    """Top Hough lines' thetas (radians), votes-descending, first
+    min(max_lines, n) — mirrors the reference taking lines[:10]."""
+    ys, xs = np.nonzero(edges)
+    if ys.size == 0:
+        return np.empty(0)
+    thetas = np.deg2rad(np.arange(180))
+    cos_t, sin_t = np.cos(thetas), np.sin(thetas)
+    diag = int(np.ceil(np.hypot(*edges.shape)))
+    # accumulate per theta: rho histogram
+    votes = np.zeros((180, 2 * diag + 1), dtype=np.int32)
+    for ti in range(180):
+        rho = np.round(xs * cos_t[ti] + ys * sin_t[ti]).astype(int) + diag
+        votes[ti] = np.bincount(rho, minlength=2 * diag + 1)
+    flat = votes.ravel()
+    idx = np.nonzero(flat >= threshold)[0]
+    if idx.size == 0:
+        return np.empty(0)
+    order = idx[np.argsort(-flat[idx], kind="stable")][:max_lines]
+    return thetas[order // (2 * diag + 1)]
+
+
+def rotate_replicate(img: np.ndarray, angle_deg: float) -> np.ndarray:
+    """Rotate about the center (like getRotationMatrix2D + warpAffine with
+    BORDER_REPLICATE), bilinear sampling."""
+    h, w = img.shape
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    a = np.deg2rad(angle_deg)
+    cos_a, sin_a = np.cos(a), np.sin(a)
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    # inverse map (rotate output coords by -angle)
+    xs = cos_a * (xx - cx) - sin_a * (yy - cy) + cx
+    ys = sin_a * (xx - cx) + cos_a * (yy - cy) + cy
+    x0 = np.clip(np.floor(xs).astype(int), 0, w - 1)
+    y0 = np.clip(np.floor(ys).astype(int), 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    fx = np.clip(xs - x0, 0, 1)
+    fy = np.clip(ys - y0, 0, 1)
+    f = img.astype(np.float64)
+    out = (f[y0, x0] * (1 - fy) * (1 - fx) + f[y0, x1] * (1 - fy) * fx
+           + f[y1, x0] * fy * (1 - fx) + f[y1, x1] * fy * fx)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def estimate_skew_angle(img: np.ndarray) -> float:
+    """Median of Hough-line angles, a = theta*180/pi - 90, |a| < 45 kept."""
+    edges = sobel_edges(img)
+    thetas = hough_line_angles(edges)
+    if thetas.size == 0:
+        return 0.0
+    angles = thetas * 180.0 / np.pi - 90.0
+    angles = angles[np.abs(angles) < DESKEW_MAX_ABS_ANGLE]
+    if angles.size == 0:
+        return 0.0
+    return float(np.median(angles))
+
+
+def correct_skew(img: np.ndarray) -> np.ndarray:
+    """A5 contract: rotate only when |median angle| > 0.5 deg; any exception
+    silently returns the original image (ocr_adapters.py:254-258)."""
+    try:
+        angle = estimate_skew_angle(img)
+        if abs(angle) > DESKEW_MIN_ROTATE:
+            return rotate_replicate(img, angle)
+        return img
+    except Exception:
+        return img
+
+
+def preprocess_chain(img: np.ndarray, denoise: bool = True, contrast: bool = True,
+                     deskew: bool = True) -> np.ndarray:
+    """The full A3 chain in reference order."""
+    out = to_grayscale(img)
+    if denoise:
+        out = bilateral_filter(out, 9, 75.0, 75.0)
+    if contrast:
+        out = clahe(out, 2.0, (8, 8))
+    if deskew:
+        out = correct_skew(out)
+    out = adaptive_threshold_gaussian(out, 11, 2.0)
+    # morphology CLOSE then OPEN with np.ones((1,1)) — identity by
+    # construction; preserved as the reference's (inert) final steps.
+    return out

