@@ -50,11 +50,17 @@ class PipelineConfig:
     enhance_contrast: bool = True
     deskew: bool = True
     min_quality_threshold: float = MIN_QUALITY_THRESHOLD
-    # Ray-side knobs (no reference equivalent — the reference is sequential)
-    sniff_batch_size: int = 4096
-    extract_batch_size: int = 64
+    # Ray-side knobs (no reference equivalent — the reference is sequential).
+    # sniff: batch_size=None -> one batch per input block, never coalesce
+    # (coalescing to a fixed batch size collapses small-block inputs into a
+    # single task and serializes the whole plan).
+    sniff_batch_size: int | None = None
+    extract_batch_size: int = 8
     ocr_batch_size: int = 4
-    ocr_concurrency: tuple = (2, 8)
+    # None -> derive (4, cluster_cpus - 2) at plan time: autoscaling pool
+    # that can never reserve every CPU (idle actors hold their slot; a pool
+    # spanning the whole node starves the shuffle feeding it).
+    ocr_concurrency: tuple | int | None = None
 
     @classmethod
     def from_quality_profile(cls, profile: str) -> "PipelineConfig":

@@ -123,36 +123,60 @@ def decode_page(img: np.ndarray, ink_threshold: int = 128) -> str:
     y0, x0 = int(ys.min()), int(xs.min())
     y1 = int(ys.max())
     nrows = (y1 - y0) // CELL_H + 1
-    lines = []
     h, w = img.shape
+
+    # max columns across the grid (per-line extents trimmed later)
+    sxs = np.nonzero(solid[y0 : y0 + nrows * CELL_H, :].any(axis=0))[0]
+    ncols_max = (int(sxs.max()) - x0) // CELL_W + 1 if sxs.size else 0
+    if ncols_max <= 0:
+        return ""
+
+    # gather all (nrows * ncols_max) cells for each of the 9 shifts at once;
+    # agreement(cell, glyph) = P - cellsum - glyphsum + 2 * cell @ glyph
+    P = GLYPH_H * GLYPH_W
+    font_f = _FONT_FLAT.astype(np.float32)                     # (G, 35)
+    font_sum = font_f.sum(axis=1)                              # (G,)
+    pad = 1
+    ink_pad = np.zeros((h + 2 * pad, w + 2 * pad), dtype=np.float32)
+    ink_pad[pad : pad + h, pad : pad + w] = ink
+    iy = (y0 + pad) + CELL_H * np.arange(nrows)[:, None, None, None] \
+        + np.arange(GLYPH_H)[None, None, :, None]              # (R,1,7,1)
+    jx = (x0 + pad) + CELL_W * np.arange(ncols_max)[None, :, None, None] \
+        + np.arange(GLYPH_W)[None, None, None, :]              # (1,C,1,5)
+
+    best_score = np.full((nrows, ncols_max), -1.0, dtype=np.float32)
+    best_g = np.full((nrows, ncols_max), _SPACE_IDX, dtype=np.int64)
+    for dy in (0, -1, 1):
+        row_ok = ((y0 + CELL_H * np.arange(nrows) + dy) >= 0) & \
+                 ((y0 + CELL_H * np.arange(nrows) + dy + GLYPH_H) <= h)
+        for dx in (0, -1, 1):
+            col_ok = ((x0 + CELL_W * np.arange(ncols_max) + dx) >= 0) & \
+                     ((x0 + CELL_W * np.arange(ncols_max) + dx + GLYPH_W) <= w)
+            cells = ink_pad[iy + dy, jx + dx].reshape(nrows * ncols_max, P)
+            scores = (P - cells.sum(axis=1)[:, None] - font_sum[None, :]
+                      + 2.0 * cells @ font_f.T)                # (RC, G)
+            g = scores.argmax(axis=1)
+            s = scores[np.arange(len(g)), g].reshape(nrows, ncols_max)
+            g = g.reshape(nrows, ncols_max)
+            valid = row_ok[:, None] & col_ok[None, :]
+            better = valid & (s > best_score)
+            best_score[better] = s[better]
+            best_g[better] = g[better]
+
+    # blank-cell detection on the cleaned ink at shift 0 (space wins there)
+    solid_pad = np.zeros((h + 2 * pad, w + 2 * pad), dtype=bool)
+    solid_pad[pad : pad + h, pad : pad + w] = solid
+    cell_solid = solid_pad[iy, jx].reshape(nrows, ncols_max, P).any(axis=2)
+    best_g[~cell_solid] = _SPACE_IDX
+
+    charset_arr = np.frombuffer(CHARSET.encode("latin-1"), dtype=np.uint8)
+    lines = []
     for i in range(nrows):
-        ry = y0 + i * CELL_H
-        band = solid[ry : ry + GLYPH_H, :]
+        band = solid[y0 + i * CELL_H : y0 + i * CELL_H + GLYPH_H, :]
         bxs = np.nonzero(band)[1]
         if bxs.size == 0:
             lines.append("")
             continue
         ncols = (int(bxs.max()) - x0) // CELL_W + 1
-        chars = []
-        for j in range(ncols):
-            cx = x0 + j * CELL_W
-            best_score, best_g = -1, _SPACE_IDX
-            cell0 = solid[ry : ry + GLYPH_H, cx : cx + GLYPH_W]
-            if not cell0.any():
-                chars.append(" ")
-                continue
-            for dy in (0, -1, 1):
-                for dx in (0, -1, 1):
-                    yy, xx = ry + dy, cx + dx
-                    if yy < 0 or xx < 0 or yy + GLYPH_H > h or xx + GLYPH_W > w:
-                        continue
-                    cell = ink[yy : yy + GLYPH_H, xx : xx + GLYPH_W].astype(np.int16).ravel()
-                    # agreement = matching pixels with each glyph
-                    scores = (GLYPH_H * GLYPH_W) - np.abs(_FONT_FLAT - cell[None, :]).sum(axis=1)
-                    g = int(scores.argmax())
-                    s = int(scores[g])
-                    if s > best_score:
-                        best_score, best_g = s, g
-            chars.append(CHARSET[best_g])
-        lines.append("".join(chars).rstrip())
+        lines.append(charset_arr[best_g[i, :ncols]].tobytes().decode("latin-1").rstrip())
     return "\n".join(lines)

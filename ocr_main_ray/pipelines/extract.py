@@ -135,18 +135,26 @@ def extract_dataset(ds: "ray.data.Dataset", config: PipelineConfig | None = None
     )
     if dedup:
         ds = dedup_by_url(ds)
+    concurrency = config.ocr_concurrency
+    if concurrency is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        concurrency = (min(4, max(2, cpus - 2)), max(4, cpus - 2))
     return ds.map_batches(
         ExtractDispatch,
         fn_constructor_kwargs={"config": config},
         batch_format="pyarrow",
         batch_size=config.extract_batch_size,
-        concurrency=config.ocr_concurrency,
+        concurrency=concurrency,
         num_cpus=1,
     )
 
 
 def extract_pages_table(tbl: pa.Table, config: PipelineConfig | None = None,
                         dedup: bool = True) -> "ray.data.Dataset":
-    """Convenience: in-memory pages table -> extracted Dataset."""
+    """Convenience: in-memory pages table -> extracted Dataset.
+
+    from_arrow yields ONE block; split it so the plan parallelizes (a
+    single-block input serializes every downstream stage)."""
     ds = ray.data.from_arrow(tbl)
-    return extract_dataset(ds, config=config, dedup=dedup)
+    nblocks = max(2, min(64, tbl.num_rows // 8))
+    return extract_dataset(ds.repartition(nblocks), config=config, dedup=dedup)

@@ -59,31 +59,51 @@ def q_doc_chars_avg(sf_dir: str):
 # B11 — summary aggregate by group (count / sum / mean)
 # ---------------------------------------------------------------------------
 
+def _lang_partial(batch: pa.Table) -> pa.Table:
+    g = batch.group_by("lang").aggregate([("n_chars", "sum"), ("n_chars", "count")])
+    return g.rename_columns(["lang", "p_chars", "p_n"])
+
+
 def q_summary_by_lang(sf_dir: str):
+    # partial combine per batch, then a tiny shuffled groupby over partials
+    partials = _docs(sf_dir, ["lang", "n_chars"]).map_batches(
+        _lang_partial, batch_format="pyarrow"
+    )
     out = (
-        _docs(sf_dir, ["lang", "n_chars"])
-        .groupby("lang")
-        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars"))
+        partials.groupby("lang")
+        .aggregate(Sum("p_chars", alias_name="total_chars"),
+                   Sum("p_n", alias_name="n_docs"))
         .to_pandas()
     )
     out["avg_chars"] = out["total_chars"].astype(float) / out["n_docs"].astype(float)
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return pa.Table.from_pandas(out[["lang", "n_docs", "total_chars", "avg_chars"]],
+                                preserve_index=False)
 
 
 # ---------------------------------------------------------------------------
 # G5 / B7 — sort desc + limit (top-k)
 # ---------------------------------------------------------------------------
 
+def _topk(ds, by: str, tiebreak: str, k: int) -> pd.DataFrame:
+    """Distributed top-k without a global sort: per-block local top-k, then a
+    driver-side merge of <= k * n_blocks candidate rows."""
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values([by, tiebreak], ascending=[False, True]).head(k)
+
+    candidates = ds.map_batches(local_topk, batch_format="pandas").to_pandas()
+    return (candidates.sort_values([by, tiebreak], ascending=[False, True])
+            .head(k).reset_index(drop=True))
+
+
 def q_docs_topk_chars(sf_dir: str):
     ds = _docs(sf_dir, ["doc_id", "n_chars"])
-    out = ds.sort(key=["n_chars", "doc_id"], descending=[True, False]).limit(20)
-    return out.to_pandas()
+    return _topk(ds, "n_chars", "doc_id", 20)[["doc_id", "n_chars"]]
 
 
 def q_events_topk_value(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_id", "event_type", "value"])
-    return ds.sort(key=["value", "event_id"], descending=[True, False]).limit(50).to_pandas()
+    return _topk(ds, "value", "event_id", 50)[["event_id", "event_type", "value"]]
 
 
 # ---------------------------------------------------------------------------

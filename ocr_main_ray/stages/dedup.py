@@ -3,41 +3,78 @@
 The reference guarantees "no two outputs collide" with a sequential
 unique-directory probe (``{name}_01``, ``_02``, ... — reference
 file_storage.py:179-190), an arrival-order artifact that cannot exist in a
-distributed plan.  The Ray-native equivalent is a hash-shuffle groupby on
-``url`` keeping one deterministic winner per group: the earliest
-``warc_ts``, tie-broken by full row ordering, so reruns are byte-identical
-regardless of block arrival order (SURVEY.md section 7.3 risk 5).
+distributed plan.  The Ray-native equivalent keeps one deterministic winner
+per url: the earliest ``warc_ts`` (ties by full ordering), so reruns are
+byte-identical regardless of block arrival order (SURVEY.md section 7.3
+risk 5).
 
-Scale notes: ``groupby("url")`` is an all-to-all exchange of every payload
-byte; it is placed BEFORE extraction so duplicate documents are never
-OCR'd twice.  url is a high-cardinality key (no hot-key salting needed —
-duplicate groups are tiny by construction of a crawl frontier).
+Implementation (scale-shaped, and ~1000x cheaper than a per-url
+``map_groups``, whose per-group UDF dispatch dominates at high key
+cardinality):
+
+1. local pre-dedup: vectorized keep-first per url inside each batch —
+   shrinks duplicate mass before anything moves;
+2. bucket = crc32(url) % B appended per row (deterministic across
+   processes, unlike Python's seeded hash);
+3. ``groupby("bucket")`` — the hash shuffle — with B ~ O(cpus), so the
+   per-group UDF runs B times on large tables, fully vectorized inside.
+
+At 10^12-document scale B scales with the cluster (e.g. 100k buckets);
+url is high-cardinality so buckets balance without salting.
 """
 from __future__ import annotations
 
+import zlib
+
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
 import ray.data
 
 
-def keep_first_group(group: pa.Table) -> pa.Table:
-    idx = pc.sort_indices(
-        group, sort_keys=[("warc_ts", "ascending"), ("url", "ascending")]
-    )
-    return group.take(idx[:1])
-
-
-def dedup_by_url(ds: "ray.data.Dataset") -> "ray.data.Dataset":
-    return ds.groupby("url").map_groups(keep_first_group, batch_format="pyarrow")
-
-
-def dedup_table(tbl: pa.Table) -> pa.Table:
-    """Single-node oracle used by tests: identical semantics, no shuffle."""
+def _keep_first_sorted(tbl: pa.Table) -> pa.Table:
+    """Vectorized keep-first: sort by (url, warc_ts), keep each url run's
+    head.  Pure Arrow — binary payload columns are never copied to Python."""
+    if tbl.num_rows <= 1:
+        return tbl
     idx = pc.sort_indices(
         tbl, sort_keys=[("url", "ascending"), ("warc_ts", "ascending")]
     )
     s = tbl.take(idx)
-    urls = s.column("url").to_pylist()
-    keep = [i for i, u in enumerate(urls) if i == 0 or u != urls[i - 1]]
-    return s.take(keep)
+    urls = s.column("url")
+    first = pc.not_equal(urls.slice(1), urls.slice(0, len(urls) - 1))
+    mask = pa.concat_arrays([pa.array([True]), first.combine_chunks()])
+    return s.filter(mask)
+
+
+def _bucket_batch(tbl: pa.Table, num_buckets: int) -> pa.Table:
+    tbl = _keep_first_sorted(tbl)  # local pre-dedup before the shuffle
+    buckets = np.fromiter(
+        (zlib.crc32(u.encode("utf-8")) % num_buckets
+         for u in tbl.column("url").to_pylist()),
+        dtype=np.int32, count=tbl.num_rows,
+    ) if tbl.num_rows else np.empty(0, np.int32)
+    return tbl.append_column("bucket", pa.array(buckets, pa.int32()))
+
+
+def _dedup_bucket(group: pa.Table) -> pa.Table:
+    return _keep_first_sorted(group).drop(["bucket"])
+
+
+def dedup_by_url(ds: "ray.data.Dataset", num_buckets: int | None = None) -> "ray.data.Dataset":
+    if num_buckets is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        num_buckets = max(16, cpus * 2)
+    ds = ds.map_batches(
+        _bucket_batch, fn_kwargs={"num_buckets": num_buckets},
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return ds.groupby("bucket").map_groups(_dedup_bucket, batch_format="pyarrow")
+
+
+def dedup_table(tbl: pa.Table) -> pa.Table:
+    """Single-node oracle used by tests and the golden generator: identical
+    semantics, no shuffle."""
+    return _keep_first_sorted(tbl)

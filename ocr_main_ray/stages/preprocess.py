@@ -41,21 +41,33 @@ def _shifted(img: np.ndarray, dy: int, dx: int) -> np.ndarray:
     return img[ys[:, None], xs[None, :]]
 
 
+_BILATERAL_LUT: dict[float, np.ndarray] = {}
+
+
 def bilateral_filter(img: np.ndarray, d: int = 9, sigma_color: float = 75.0,
                      sigma_space: float = 75.0) -> np.ndarray:
-    """Edge-preserving smoothing, vectorized as d*d shifted stacks."""
+    """Edge-preserving smoothing, vectorized as d*d shifted stacks.
+
+    The color weight exp(-(diff^2)/(2*sigma^2)) is a 256-entry lookup table
+    over |intensity difference| (uint8 input), float32 throughout — same
+    kernel, ~10x cheaper than per-pixel exp."""
+    if sigma_color not in _BILATERAL_LUT:
+        diffs = np.arange(256, dtype=np.float32)
+        _BILATERAL_LUT[sigma_color] = np.exp(
+            -(diffs ** 2) / (2.0 * np.float32(sigma_color) ** 2)
+        ).astype(np.float32)
+    lut = _BILATERAL_LUT[sigma_color]
     r = d // 2
-    f = img.astype(np.float64)
-    num = np.zeros_like(f)
-    den = np.zeros_like(f)
-    for dy in range(-r, r + 1):
-        for dx in range(-r, r + 1):
-            sw = np.exp(-(dx * dx + dy * dy) / (2.0 * sigma_space ** 2))
-            nb = _shifted(f, dy, dx)
-            cw = np.exp(-((nb - f) ** 2) / (2.0 * sigma_color ** 2))
-            w = sw * cw
-            num += w * nb
-            den += w
+    u8 = img.astype(np.uint8, copy=False)
+    h, w_ = u8.shape
+    dy, dx = np.meshgrid(np.arange(-r, r + 1), np.arange(-r, r + 1), indexing="ij")
+    sw = np.exp(-(dx * dx + dy * dy) / (2.0 * sigma_space ** 2)).astype(np.float32).ravel()
+    padded = np.pad(u8, r, mode="edge")
+    nb = np.lib.stride_tricks.sliding_window_view(padded, (d, d)).reshape(h, w_, d * d)
+    diff = np.abs(nb.astype(np.int16) - u8[:, :, None].astype(np.int16))
+    wgt = lut[diff] * sw[None, None, :]
+    num = np.einsum("hwk,hwk->hw", wgt, nb.astype(np.float32))
+    den = wgt.sum(axis=2)
     return np.clip(num / den, 0, 255).astype(np.uint8)
 
 
