@@ -27,7 +27,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-REPEAT = int(os.environ.get("OCR_BENCH_REPEAT", "2"))
+REPEAT = int(os.environ.get("OCR_BENCH_REPEAT", "6"))
 CACHE_ROOT = pathlib.Path("/tmp/ocr_main_ray_bench")
 N_INPUT_FILES = 32
 
@@ -73,7 +73,7 @@ def run_bench() -> dict:
 
     import ray.data as rd
     from ocr_main_ray.config import PipelineConfig
-    from ocr_main_ray.pipelines.extract import extract_dataset
+    from ocr_main_ray.pipelines.extract import extract_run
 
     pages_dir = ensure_pages_input()
     out_dir = CACHE_ROOT / f"out_{NUM_CPUS}"
@@ -86,7 +86,7 @@ def run_bench() -> dict:
     config = PipelineConfig()
     t0 = time.perf_counter()
     ds = rd.read_parquet(str(pages_dir))
-    extract_dataset(ds, config=config).write_parquet(str(out_dir))
+    extract_run(ds, config=config).write_parquet(str(out_dir))
     headline = time.perf_counter() - t0
 
     # output stats (cheap re-read of the small result)

@@ -257,6 +257,164 @@ def q_revenue_by_segment(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# time-bucketed aggregate (the events table's "window" shape) — partial
+# combine per batch, tiny groupby over partials
+# ---------------------------------------------------------------------------
+
+def _hourly_partial(batch: pa.Table) -> pa.Table:
+    hour = pc.floor_temporal(batch.column("ts"), unit="hour")
+    cents = pc.cast(pc.round(pc.multiply(batch.column("value"), 100.0)), pa.int64())
+    t = pa.table({"hour": hour, "cents": cents})
+    g = t.group_by("hour").aggregate([("cents", "sum"), ("cents", "count")])
+    return g.rename_columns(["hour", "p_cents", "p_n"])
+
+
+def q_events_hourly(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    partials = ds.map_batches(_hourly_partial, batch_format="pyarrow")
+    return (
+        partials.groupby("hour")
+        .aggregate(Sum("p_cents", alias_name="total_value_cents"),
+                   Sum("p_n", alias_name="n_events"))
+        .to_pandas()
+    )
+
+
+# ---------------------------------------------------------------------------
+# text-analysis operators (functions/text.py) over documents
+# ---------------------------------------------------------------------------
+
+def q_quality_scores(sf_dir: str):
+    from ..functions.text import quality_features
+
+    def featurize(batch: pd.DataFrame) -> pd.DataFrame:
+        feats = [quality_features(t) for t in batch["text"]]
+        out = pd.DataFrame(feats)
+        out.insert(0, "doc_id", batch["doc_id"].values)
+        return out
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(featurize, batch_format="pandas")
+        .to_pandas()
+    )
+
+
+def q_token_counts(sf_dir: str):
+    from ..functions.text import bpe_token_count
+
+    def count(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["n_ws_tokens"] = batch["text"].str.split().str.len().astype("int64")
+        batch["n_bpe_tokens"] = batch["text"].map(bpe_token_count).astype("int64")
+        return batch[["doc_id", "n_ws_tokens", "n_bpe_tokens"]]
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(count, batch_format="pandas")
+        .to_pandas()
+    )
+
+
+def q_lang_id(sf_dir: str):
+    """Language-ID actor pool (profiles built once per actor) + rollup."""
+    from ..functions.text import LangId
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        LangId, batch_format="pyarrow", concurrency=(1, 4), num_cpus=1
+    )
+    return (
+        ds.groupby("lang_id").aggregate(Count(alias_name="n_docs")).to_pandas()
+    )
+
+
+def q_fingerprints(sf_dir: str):
+    from ..functions.text import fingerprint
+
+    def fp(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["fp"] = batch["text"].map(fingerprint).astype("int64")
+        return batch[["doc_id", "fp"]]
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(fp, batch_format="pandas")
+        .to_pandas()
+    )
+
+
+# ---------------------------------------------------------------------------
+# near-duplicate family (functions/dedup.py)
+# ---------------------------------------------------------------------------
+
+def q_minhash_near_dups(sf_dir: str):
+    """MinHash-LSH candidates -> exact-Jaccard verified pairs (j >= 0.5).
+    128 perms, 32 bands x 4 rows: P(candidate | j=0.5) ~ 0.87."""
+    import pyarrow.parquet as pq
+
+    from ..functions.dedup import minhash_candidate_pairs, verify_jaccard_pairs
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    cand = minhash_candidate_pairs(ds, num_perm=128, bands=32).to_pandas()
+    texts = dict(zip(*[
+        pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"]).column(c).to_pylist()
+        for c in ("doc_id", "text")
+    ]))
+    verified = verify_jaccard_pairs(
+        cand[["a", "b"]].itertuples(index=False), texts, threshold=0.5
+    )
+    return pa.table({
+        "a": pa.array([v[0] for v in verified], pa.int64()),
+        "b": pa.array([v[1] for v in verified], pa.int64()),
+    })
+
+
+def q_simhash_signatures(sf_dir: str):
+    from ..functions.dedup import simhash
+
+    def sig(batch: pd.DataFrame) -> pd.DataFrame:
+        # two's-complement fold into int64 for the Arrow column
+        batch["simhash"] = batch["text"].map(
+            lambda t: (lambda s: s - (1 << 64) if s >= (1 << 63) else s)(simhash(t))
+        ).astype("int64")
+        return batch[["doc_id", "simhash"]]
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(sig, batch_format="pandas")
+        .to_pandas()
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search (functions/similarity.py) over embeddings
+# ---------------------------------------------------------------------------
+
+def q_embedding_knn(sf_dir: str):
+    """Exact cosine top-10 for the query vector vec_id=0 (broadcast matmul
+    per batch, local top-k, driver merge).  Returns ids only: membership is
+    float-stable, raw similarities are not bit-identical across engines."""
+    import pyarrow.parquet as pq
+
+    from ..functions.similarity import knn_topk
+
+    q0 = np.asarray(
+        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .filter(pc.equal(pc.field("vec_id"), 0)).column("embedding").to_pylist()[0]
+    )
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = knn_topk(ds, q0[None, :], k=10)
+    return out[["vec_id"]].astype("int64")
+
+
+def q_embedding_near_dups(sf_dir: str):
+    """All pairs with cosine >= 0.45 (ids only, see q_embedding_knn)."""
+    from ..functions.similarity import embedding_near_dup_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return embedding_near_dup_pairs(ds, threshold=0.45).select(["a", "b"])
+
+
+# ---------------------------------------------------------------------------
 # flagship extraction ops over the synthesized pages table (rows-only checks:
 # the pages table is not a DuckDB view, and extraction is not SQL)
 # ---------------------------------------------------------------------------
@@ -271,6 +429,52 @@ def q_extract_flagship(sf_dir: str):
     pages = pages_from_documents(sf_dir, limit=400)
     out = extract_pages_table(pages)
     return out.drop_columns(["processing_ms"])  # timing is nondeterministic
+
+
+def q_extract_markdown(sf_dir: str):
+    """B8/B9/B10 markdown rendering over extracted documents (rows-only:
+    string templating is deterministic but payload-derived)."""
+    from ..stages.assemble import render_markdown
+
+    def to_md(batch: pd.DataFrame) -> pd.DataFrame:
+        md = [
+            render_markdown(u, t, tj, c, int(n), p, e, 300, lang)
+            for u, t, tj, c, n, p, e, lang in zip(
+                batch["url"], batch["extracted_text"], batch["tables_json"],
+                batch["confidence"], batch["n_pages"], batch["processing_ms"],
+                batch["engine"], batch["lang"])
+        ]
+        return pd.DataFrame({"url": batch["url"], "markdown": md,
+                             "md_len": [len(m) for m in md]})
+
+    from ..pipelines.extract import extract_pages_table
+    from ..sources.synth import pages_from_documents
+
+    pages = pages_from_documents(sf_dir, limit=100)
+    out = extract_pages_table(pages)
+    return out.map_batches(to_md, batch_format="pandas").to_pandas()
+
+
+def q_pdf_classify(sf_dir: str):
+    """C1 PDFType classifier histogram over the synthetic pdf payloads
+    (rows-only; the 5-class taxonomy + thresholds of pdf_analyzer.py)."""
+    from ..sources.synth import pages_from_documents
+    from ..stages.sniff import classify_pdf_type
+
+    def classify(batch: pa.Table) -> pa.Table:
+        kinds = []
+        for payload in batch.column("html").to_pylist():
+            if payload[:5] == b"%PDF-" and len(payload) >= 1024:
+                try:
+                    kinds.append(classify_pdf_type(payload))
+                except Exception:
+                    kinds.append("error")
+        return pa.table({"pdf_type": pa.array(kinds, pa.string())})
+
+    pages = pages_from_documents(sf_dir, limit=500)
+    ds = rd.from_arrow(pages).repartition(8).map_batches(
+        classify, batch_format="pyarrow")
+    return ds.groupby("pdf_type").aggregate(Count(alias_name="n")).to_pandas()
 
 
 def q_pages_sniff_counts(sf_dir: str):
@@ -303,6 +507,17 @@ QUERIES = {
     "revenue_by_segment": q_revenue_by_segment,
     "extract_flagship": q_extract_flagship,
     "pages_sniff_counts": q_pages_sniff_counts,
+    "extract_markdown": q_extract_markdown,
+    "pdf_classify": q_pdf_classify,
+    "events_hourly": q_events_hourly,
+    "quality_scores": q_quality_scores,
+    "token_counts": q_token_counts,
+    "lang_id": q_lang_id,
+    "fingerprints": q_fingerprints,
+    "minhash_near_dups": q_minhash_near_dups,
+    "simhash_signatures": q_simhash_signatures,
+    "embedding_knn": q_embedding_knn,
+    "embedding_near_dups": q_embedding_near_dups,
 }
 
 ORACLE_SQL = {
@@ -355,6 +570,48 @@ ORACLE_SQL = {
         "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
         "GROUP BY c_mktsegment"
     ),
-    # extract_flagship / pages_sniff_counts: not SQL-expressible (synthetic
-    # binary payload parsing + OCR) -> rows-only checks.
+    "events_hourly": (
+        "SELECT date_trunc('hour', ts) AS hour, "
+        "sum(CAST(round(value * 100) AS BIGINT)) AS total_value_cents, "
+        "count(*) AS n_events FROM events GROUP BY 1"
+    ),
+    "quality_scores": (
+        "SELECT doc_id, length(text) AS n_chars_text, "
+        "CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0 "
+        "ELSE len(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END AS n_words, "
+        "CASE WHEN length(text) = 0 THEN 0.0 ELSE "
+        "CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE) / length(text) END AS alpha_ratio, "
+        "CASE WHEN length(text) = 0 THEN 0.0 ELSE "
+        "CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text) END AS digit_ratio, "
+        "CASE WHEN length(text) = 0 THEN 0.0 ELSE "
+        "CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / length(text) END AS punct_ratio, "
+        "CASE WHEN n_words = 0 THEN 0.0 ELSE "
+        "CAST(len(list_filter(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'), "
+        "x -> lower(x) IN ('the','a','and','of','to','in','is','on','for','with'))) AS DOUBLE) / n_words END AS stopword_ratio, "
+        "CASE WHEN n_words = 0 THEN 0.0 ELSE "
+        "CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / n_words END AS mean_word_len "
+        "FROM documents"
+    ),
+    "token_counts": (
+        "SELECT doc_id, "
+        "CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0 "
+        "ELSE len(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END AS n_ws_tokens, "
+        "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens "
+        "FROM documents"
+    ),
+    "embedding_knn": (
+        "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) "
+        "SELECT e.vec_id FROM embeddings e, q "
+        "ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id LIMIT 10"
+    ),
+    "embedding_near_dups": (
+        "SELECT a.vec_id AS a, b.vec_id AS b "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45"
+    ),
+    # not SQL-expressible -> rows-only checks recorded by the driver:
+    #   extract_flagship, pages_sniff_counts (synthetic binary payloads +
+    #   OCR), lang_id (n-gram profile scoring), fingerprints (winnowing
+    #   rolling hash), minhash_near_dups / simhash_signatures (signature
+    #   algorithms).
 }

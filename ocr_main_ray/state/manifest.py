@@ -1,0 +1,187 @@
+"""Checkpointed, resumable extraction runs (SURVEY.md section 4.3.4).
+
+Two-phase layout — the 100 TB shape of the flagship pipeline:
+
+  {out}/staged/content_type=X/size_bucket=N/*.parquet   (phase A)
+  {out}/extracted/part=X-N/*.parquet                    (phase B)
+  {out}/manifests/stage.json, part-X-N.json             (lineage records)
+
+Phase A runs sniff + dedup ONCE and writes the deduped pages as
+hive-partitioned Parquet keyed by (content_type, size_bucket).  This is the
+"explicit repartitioning by content-type and document byte-size" skew
+defense: it is a physical layout change done by the regular block writer —
+no extra all-to-all beyond the dedup shuffle itself.
+
+Phase B runs one extraction job per partition, each with a batch size tuned
+to its cost class (scanned PDFs: small batches on the OCR actor pool; HTML /
+native: large batches), writing each partition's output atomically
+(temp dir + rename) and then its manifest.  A rerun skips every partition
+whose manifest matches the current stage version — idempotent resume with
+per-partition lineage (input files, row counts, stage versions, wall ms,
+error counts).
+
+The reference has no resume story (re-runs create ``_01`` suffix dirs,
+file_storage.py:179-190); this replaces it with deterministic
+partition -> output mapping.
+"""
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import pathlib
+import shutil
+import time
+from dataclasses import asdict
+
+import ray.data as rd
+
+from ..config import CT_PDF_SCANNED, PipelineConfig
+from ..pipelines.extract import ExtractDispatch, extract_dataset
+from .. import __version__
+
+STAGE_VERSION_SALT = "ocr-main-ray-extract-v1"
+
+
+def stage_version(config: PipelineConfig) -> str:
+    payload = json.dumps({"v": __version__, "salt": STAGE_VERSION_SALT,
+                          "config": asdict(config)}, sort_keys=True, default=str)
+    return hashlib.md5(payload.encode()).hexdigest()[:16]
+
+
+def _atomic_write_json(path: pathlib.Path, obj: dict) -> None:
+    tmp = path.with_suffix(".tmp")
+    tmp.write_text(json.dumps(obj, indent=2, sort_keys=True))
+    os.replace(tmp, path)
+
+
+def _list_partitions(staged: pathlib.Path) -> list[tuple[str, str, pathlib.Path]]:
+    parts = []
+    for ct_dir in sorted(staged.glob("content_type=*")):
+        ct = ct_dir.name.split("=", 1)[1]
+        for sb_dir in sorted(ct_dir.glob("size_bucket=*")):
+            parts.append((ct, sb_dir.name.split("=", 1)[1], sb_dir))
+    return parts
+
+
+def run_staged(pages_dir: str, out_dir: str,
+               config: PipelineConfig | None = None) -> dict:
+    """Phase A: read -> sniff -> dedup -> hive-partitioned staged parquet.
+
+    Skipped entirely on resume when the stage manifest matches."""
+    config = config or PipelineConfig()
+    out = pathlib.Path(out_dir)
+    manifests = out / "manifests"
+    manifests.mkdir(parents=True, exist_ok=True)
+    stage_manifest = manifests / "stage.json"
+    version = stage_version(config)
+    if stage_manifest.exists():
+        m = json.loads(stage_manifest.read_text())
+        if m.get("stage_version") == version and (out / "staged").exists():
+            return m
+
+    staged_tmp = out / "staged.tmp"
+    staged = out / "staged"
+    shutil.rmtree(staged_tmp, ignore_errors=True)
+    shutil.rmtree(staged, ignore_errors=True)
+
+    t0 = time.perf_counter()
+    ds = rd.read_parquet(pages_dir)
+    ds = extract_dataset(ds, config=config, dedup=True, stop_after="dedup")
+    ds.write_parquet(str(staged_tmp), partition_cols=["content_type", "size_bucket"])
+    os.replace(staged_tmp, staged)
+
+    manifest = {
+        "phase": "staged",
+        "stage_version": version,
+        "input": pages_dir,
+        "input_files": sorted(str(p) for p in pathlib.Path(pages_dir).glob("*.parquet")),
+        "wall_ms": round((time.perf_counter() - t0) * 1000, 1),
+    }
+    _atomic_write_json(stage_manifest, manifest)
+    return manifest
+
+
+def run_checkpointed(pages_dir: str, out_dir: str,
+                     config: PipelineConfig | None = None) -> dict:
+    """Phase A + phase B with per-partition resume.  Returns a summary dict
+    {partitions_total, partitions_skipped, partitions_processed}."""
+    config = config or PipelineConfig()
+    out = pathlib.Path(out_dir)
+    run_staged(pages_dir, out_dir, config)
+    version = stage_version(config)
+    manifests = out / "manifests"
+    extracted = out / "extracted"
+    extracted.mkdir(parents=True, exist_ok=True)
+
+    skipped = processed = 0
+    for ct, sb, part_dir in _list_partitions(out / "staged"):
+        part_id = f"{ct}-{sb}"
+        part_manifest = manifests / f"part-{part_id}.json"
+        part_out = extracted / f"part={part_id}"
+        if part_manifest.exists():
+            m = json.loads(part_manifest.read_text())
+            if m.get("stage_version") == version and part_out.exists():
+                skipped += 1
+                continue
+        t0 = time.perf_counter()
+        ds = rd.read_parquet(str(part_dir))
+        # hive partition columns are consumed by the path; re-attach them
+        ds = ds.map_batches(
+            _reattach_partition_cols, fn_kwargs={"ct": ct, "sb": int(sb)},
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        batch_size = (config.ocr_batch_size if ct == CT_PDF_SCANNED
+                      else max(64, config.extract_batch_size))
+        ds = ds.map_batches(
+            ExtractDispatch, fn_constructor_kwargs={"config": config},
+            batch_format="pyarrow", batch_size=batch_size,
+            concurrency=_pool_size(), num_cpus=1,
+        )
+        tmp = extracted / f".tmp-part={part_id}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(part_out, ignore_errors=True)
+        ds.write_parquet(str(tmp))
+        os.replace(tmp, part_out)
+
+        stats = rd.read_parquet(str(part_out), columns=["error"])
+        n_rows = stats.count()
+        n_errors = stats.map_batches(
+            lambda t: t.filter(t.column("error").is_valid()),
+            batch_format="pyarrow",
+        ).count()
+        _atomic_write_json(part_manifest, {
+            "phase": "extracted",
+            "partition": {"content_type": ct, "size_bucket": int(sb)},
+            "stage_version": version,
+            "input_files": sorted(str(p) for p in part_dir.glob("**/*.parquet")),
+            "row_count": n_rows,
+            "error_rows": n_errors,
+            "wall_ms": round((time.perf_counter() - t0) * 1000, 1),
+        })
+        processed += 1
+
+    total = skipped + processed
+    return {"partitions_total": total, "partitions_skipped": skipped,
+            "partitions_processed": processed, "out_dir": str(extracted)}
+
+
+def _reattach_partition_cols(batch, ct: str, sb: int):
+    """Hive partition values come back as strings (or may be dropped);
+    normalize to the sniff stage's schema."""
+    import pyarrow as pa
+
+    n = batch.num_rows
+    for name in ("content_type", "size_bucket"):
+        if name in batch.column_names:
+            batch = batch.drop([name])
+    batch = batch.append_column("content_type", pa.array([ct] * n, pa.string()))
+    batch = batch.append_column("size_bucket", pa.array([sb] * n, pa.int32()))
+    return batch
+
+
+def _pool_size():
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return (min(4, max(2, cpus - 2)), max(4, cpus - 2))

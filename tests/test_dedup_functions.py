@@ -1,0 +1,110 @@
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from ocr_main_ray.functions.dedup import (MinHasher, hamming64, jaccard,
+                                          minhash_candidate_pairs, shingles,
+                                          simhash, simhash_chunks,
+                                          verify_jaccard_pairs)
+from ocr_main_ray.functions.similarity import (HyperplaneLSH,
+                                               embedding_near_dup_pairs,
+                                               knn_topk, lsh_bucket_column,
+                                               normalize_rows)
+
+BASE = ("the quick brown fox jumps over the lazy dog and runs far into "
+        "the deep green forest looking for food and water every day").split()
+
+
+def _doc(i, mutate=0):
+    words = list(BASE) * 3
+    for m in range(mutate):
+        words[(7 * m + i) % len(words)] = f"tok{i}_{m}"
+    return " ".join(words)
+
+
+def test_jaccard_and_shingles():
+    a, b = shingles(_doc(1)), shingles(_doc(1))
+    assert jaccard(a, b) == 1.0
+    c = shingles("совершенно другой текст other words entirely here now")
+    assert jaccard(a, c) < 0.1
+    assert jaccard(set(), set()) == 1.0
+    assert jaccard(a, set()) == 0.0
+
+
+def test_minhash_estimates_jaccard():
+    h = MinHasher(256)
+    a, b = shingles(_doc(1, mutate=0)), shingles(_doc(1, mutate=6))
+    true_j = jaccard(a, b)
+    est = (h.signature(a) == h.signature(b)).mean()
+    assert abs(est - true_j) < 0.15
+    assert np.array_equal(h.signature(a), MinHasher(256).signature(a))  # deterministic
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_lsh_finds_near_dups():
+    texts = {i: _doc(i, mutate=30) for i in range(20)}   # distinct docs
+    texts[100] = _doc(1, mutate=30)                       # same as doc 1
+    texts[101] = texts[1][: len(texts[1]) * 9 // 10]      # 90% prefix of doc 1
+    tbl = pa.table({"doc_id": pa.array(list(texts), pa.int64()),
+                    "text": pa.array(list(texts.values()), pa.string())})
+    ds = rd.from_arrow(tbl)
+    cand = minhash_candidate_pairs(ds, num_perm=128, bands=32).to_pandas()
+    pairs = verify_jaccard_pairs(
+        cand[["a", "b"]].itertuples(index=False), texts, threshold=0.5)
+    found = {(a, b) for a, b, _ in pairs}
+    assert (1, 100) in found
+    assert any(p in found for p in [(1, 101), (100, 101)])
+
+
+def test_simhash_hamming():
+    s1 = simhash(_doc(1))
+    s2 = simhash(_doc(1, mutate=2))   # 2 token change
+    s3 = simhash("completely unrelated words about spaceships and ducks")
+    assert hamming64(s1, s1) == 0
+    assert hamming64(s1, s2) < hamming64(s1, s3)
+    # pigeonhole: identical sigs share all 4 chunks
+    assert set(simhash_chunks(s1)) == set(simhash_chunks(s1))
+    assert len(simhash_chunks(s1)) == 4
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_knn_topk_exact():
+    rng = np.random.RandomState(0)
+    m = rng.normal(size=(200, 16)).astype(np.float32)
+    tbl = pa.table({"vec_id": pa.array(range(200), pa.int64()),
+                    "embedding": pa.array([list(map(float, r)) for r in m],
+                                          pa.list_(pa.float32()))})
+    ds = rd.from_arrow(tbl).repartition(8)
+    q = m[7]
+    out = knn_topk(ds, q[None, :], k=5)
+    # brute force oracle
+    sims = normalize_rows(m) @ (q / np.linalg.norm(q))
+    expect = set(np.argsort(-sims)[:5].tolist())
+    assert set(out["vec_id"]) == expect
+    assert out.iloc[0]["vec_id"] == 7  # self is nearest
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_near_dups_and_lsh():
+    rng = np.random.RandomState(1)
+    m = rng.normal(size=(50, 16))
+    m[41] = m[3] + 0.01 * rng.normal(size=16)  # planted near-dup
+    tbl = pa.table({"vec_id": pa.array(range(50), pa.int64()),
+                    "embedding": pa.array([list(map(float, r)) for r in m],
+                                          pa.list_(pa.float32()))})
+    ds = rd.from_arrow(tbl)
+    pairs = embedding_near_dup_pairs(ds, threshold=0.95)
+    got = set(zip(pairs.column("a").to_pylist(), pairs.column("b").to_pylist()))
+    assert (3, 41) in got
+    # lsh bucket column: planted pair shares a bucket with high probability
+    bucketed = lsh_bucket_column(rd.from_arrow(tbl), dim=16, n_planes=4).to_pandas()
+    b = dict(zip(bucketed["vec_id"], bucketed["lsh_bucket"]))
+    assert b[3] == b[41]
+
+
+def test_hyperplane_lsh_deterministic():
+    lsh1, lsh2 = HyperplaneLSH(8, 6), HyperplaneLSH(8, 6)
+    m = np.arange(24, dtype=float).reshape(3, 8)
+    assert np.array_equal(lsh1.signatures(m), lsh2.signatures(m))

@@ -1,0 +1,74 @@
+"""Resume semantics: a rerun skips completed partitions; output matches the
+single-pass pipeline byte-for-byte."""
+import json
+import pathlib
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+from ocr_main_ray.config import PipelineConfig
+from ocr_main_ray.sources.synth import synth_pages
+from ocr_main_ray.state.manifest import run_checkpointed, stage_version
+
+N_DOCS = 40
+
+
+@pytest.fixture(scope="module")
+def pages_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("pages")
+    tbl = synth_pages(N_DOCS)
+    pq.write_table(tbl.slice(0, tbl.num_rows // 2), d / "a.parquet")
+    pq.write_table(tbl.slice(tbl.num_rows // 2), d / "b.parquet")
+    return d
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_checkpointed_run_and_resume(pages_dir, tmp_path_factory):
+    out = tmp_path_factory.mktemp("ckpt")
+    cfg = PipelineConfig(ocr_concurrency=2)
+
+    summary1 = run_checkpointed(str(pages_dir), str(out), cfg)
+    assert summary1["partitions_processed"] > 0
+    assert summary1["partitions_skipped"] == 0
+
+    def read_all():
+        tbl = pq.read_table(summary1["out_dir"])
+        df = tbl.select(["url", "extracted_text", "n_pages", "error"]).to_pandas()
+        return df.sort_values("url").reset_index(drop=True)
+
+    first = read_all()
+    assert len(first) == N_DOCS  # no duplicate urls in this corpus
+
+    # full resume: nothing reprocessed
+    summary2 = run_checkpointed(str(pages_dir), str(out), cfg)
+    assert summary2["partitions_processed"] == 0
+    assert summary2["partitions_skipped"] == summary1["partitions_total"]
+
+    # kill one partition (simulate crash after partial work) -> only it reruns
+    manifests = sorted((out / "manifests").glob("part-*.json"))
+    victim = json.loads(manifests[0].read_text())
+    part_id = (f"{victim['partition']['content_type']}-"
+               f"{victim['partition']['size_bucket']}")
+    manifests[0].unlink()
+    shutil.rmtree(out / "extracted" / f"part={part_id}")
+    summary3 = run_checkpointed(str(pages_dir), str(out), cfg)
+    assert summary3["partitions_processed"] == 1
+    assert summary3["partitions_skipped"] == summary1["partitions_total"] - 1
+
+    assert read_all().equals(first)  # byte-identical after resume
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_manifest_lineage_fields(pages_dir, tmp_path_factory):
+    out = tmp_path_factory.mktemp("ckpt2")
+    cfg = PipelineConfig(ocr_concurrency=2)
+    run_checkpointed(str(pages_dir), str(out), cfg)
+    m = json.loads(next((out / "manifests").glob("part-*.json")).read_text())
+    assert m["stage_version"] == stage_version(cfg)
+    assert m["input_files"] and m["row_count"] > 0
+    assert "wall_ms" in m and "error_rows" in m
+
+
+def test_stage_version_changes_with_config():
+    assert stage_version(PipelineConfig()) != stage_version(PipelineConfig(dpi=600))
