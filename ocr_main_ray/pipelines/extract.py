@@ -164,24 +164,51 @@ def extract_dataset(ds: "ray.data.Dataset", config: PipelineConfig | None = None
 
 
 def extract_run(ds: "ray.data.Dataset", config: PipelineConfig | None = None,
-                dedup: bool = True) -> "ray.data.Dataset":
+                dedup: bool = True,
+                dispatch_mode: str = "actors") -> "ray.data.Dataset":
     """Throughput-tuned two-phase execution for bounded corpora (bench /
     entry): phase 1 (read+sniff+dedup) materializes with every CPU on
     stateless tasks; phase 2 runs the dispatch on a FIXED-size actor pool.
 
-    Rationale (measured): the autoscaling pool ramps 4->30 actors over most
-    of the run (2x wall on the dispatch stage), and a fixed pool started
-    under a live shuffle starves it of CPU slots.  Separating the phases
-    lets each use the whole node.  The unbounded-corpus path is
-    state/manifest.run_checkpointed, which gets the same separation by
-    staging to partitioned parquet (spillable, resumable) instead of the
-    object store."""
+    Design (each point measured, see BENCH):
+
+    - single streaming plan, dedup-first: duplicates never cost OCR, and
+      the OCR pool consumes dedup shuffle partitions as their reduces
+      complete.  (Dedup AFTER extraction was tried — it frees the heavy
+      stage from the shuffle barrier, but the trailing shuffle then moves
+      fat extracted rows and duplicates get extracted: net slower.)
+    - the pool is FIXED size (the autoscaling ramp costs 2x wall on the
+      heavy stage) but leaves ~1/5 of the CPUs free: fixed-pool actors hold
+      their CPU slot while idle, and a pool spanning the node starves the
+      read/sniff/shuffle stages feeding it (pool=30/32 -> 51 s, 26/32 ->
+      32 s on the same corpus).
+    - no repartition between dedup and dispatch: the dedup groupby already
+      emits ~2 blocks per CPU and a repartition is an extra all-to-all
+      barrier (removing it: 45 -> 43 s at 32 CPUs, 143 -> 136 s at 8).
+
+    dispatch_mode:
+    - "actors": fixed-size actor pool — the right shape when engine state is
+      expensive to build (Tesseract + language packs).  The pool leaves
+      ~1/5 of the CPUs free for the stages feeding it.
+    - "tasks": stateless tasks, one engine per task — measured strictly
+      faster at BOTH parallelism levels for the DeterministicEngine, whose
+      state costs microseconds to rebuild: tasks are fully elastic (no idle
+      CPU reservation across the shuffle barrier, no pool ramp), 30->83 s
+      vs 45->135 s on the r10 corpus.  The bench uses this mode; a
+      deployment with a heavyweight engine should use "actors".
+
+    The unbounded-corpus path is state/manifest.run_checkpointed (stages
+    to partitioned parquet, spillable and resumable)."""
     config = config or PipelineConfig()
-    staged = extract_dataset(ds, config=config, dedup=dedup,
-                             stop_after="dedup").materialize()
+    staged = extract_dataset(ds, config=config, dedup=dedup, stop_after="dedup")
+    if dispatch_mode == "tasks":
+        def dispatch(batch: pa.Table) -> pa.Table:
+            return ExtractDispatch(config)(batch)
+
+        return staged.map_batches(dispatch, batch_format="pyarrow", batch_size=16)
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    pool = max(2, cpus - 2)
-    return staged.repartition(cpus * 8).map_batches(
+    pool = max(2, cpus - max(2, cpus // 5))
+    return staged.map_batches(
         ExtractDispatch,
         fn_constructor_kwargs={"config": config},
         batch_format="pyarrow",

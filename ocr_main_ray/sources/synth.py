@@ -153,21 +153,33 @@ def build_edge(key: int) -> bytes:
     return bytes([0xFF, 0xFE, 0x00, 0x01]) * 64
 
 
-def build_payload(key: int, text: str) -> tuple[bytes, str]:
+MIXES = {
+    # mode thresholds over key % 10: (last html, last native, last scanned)
+    "default": (3, 6, 8),      # 40% html / 30% native / 20% scanned / 10% edge
+    "ocr-heavy": (2, 4, 8),    # 30% html / 20% native / 40% scanned / 10% edge
+}
+
+
+def build_payload(key: int, text: str, mix: str = "default") -> tuple[bytes, str]:
     """-> (payload bytes, expected coarse route) — route is for test
-    convenience only; the pipeline must re-derive it by sniffing."""
+    convenience only; the pipeline must re-derive it by sniffing.
+
+    ``mix`` picks the content-type distribution; "ocr-heavy" weights the
+    corpus toward scanned documents (the reference system's core workload)
+    and is what the bench uses."""
+    h, nv, sc = MIXES[mix]
     mode = key % 10
-    if mode <= 3:
+    if mode <= h:
         return build_html(key, text), "html"
-    if mode <= 6:
+    if mode <= nv:
         return build_native_pdf(key, text), "pdf_native"
-    if mode <= 8:
+    if mode <= sc:
         return build_scanned_pdf(key, text), "pdf_scanned"
     return build_edge(key), "edge"
 
 
-def _rows_for(key: int, text: str, lang: str):
-    payload, _route = build_payload(key, text)
+def _rows_for(key: int, text: str, lang: str, mix: str = "default"):
+    payload, _route = build_payload(key, text, mix)
     url = f"https://site-{key % 97}.example.com/doc/{key}"
     ts0 = _EPOCH + _dt.timedelta(seconds=key)
     crawler_text = text[:200] if key % 3 else ""
@@ -193,7 +205,7 @@ _LANG_MAP = {"es": "spa", "en": "eng", "de": "deu", "fr": "fra", "zh": "zho"}
 
 
 def pages_from_documents(sf_dir: str, limit: int | None = None,
-                         repeat: int = 1) -> pa.Table:
+                         repeat: int = 1, mix: str = "default") -> pa.Table:
     """Deterministic pages table from ``{sf_dir}/documents.parquet``.
 
     ``repeat`` replays the document corpus k times with shifted keys —
@@ -211,7 +223,8 @@ def pages_from_documents(sf_dir: str, limit: int | None = None,
         shift = r * 1_000_003
         for doc_id, text, lang in zip(ids, texts, langs):
             key = int(doc_id) + shift
-            for (u, ts, pl, ct, lg) in _rows_for(key, text or "", _LANG_MAP.get(lang, "eng")):
+            for (u, ts, pl, ct, lg) in _rows_for(key, text or "",
+                                                 _LANG_MAP.get(lang, "eng"), mix):
                 urls.append(u); tss.append(ts); payloads.append(pl)
                 ctexts.append(ct); plangs.append(lg)
     return pa.table(

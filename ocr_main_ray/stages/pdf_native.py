@@ -225,9 +225,51 @@ def extract_page_texts(data: bytes) -> list[str]:
     return texts
 
 
+def _find_object(data: bytes, num: int) -> tuple[bytes, bytes | None] | None:
+    """Locate one numbered object without splitting the whole file."""
+    m = re.search(rb"(?<![0-9])%d\s+0\s+obj\b" % num, data)
+    if not m:
+        return None
+    end = data.find(b"endobj", m.end())
+    if end < 0:
+        return None
+    body = data[m.end() : end]
+    sm = _STREAM_RE.search(body)
+    if sm:
+        se = body.rfind(b"endstream")
+        stream = body[sm.end() : se] if se >= 0 else None
+        if stream is not None and stream.endswith(b"\n"):
+            stream = stream[:-1]
+        return body[: sm.start()], stream
+    return body, None
+
+
 def first_page_text(data: bytes) -> str:
     """Text layer of page 1 only — the C4 sniffer probe
-    (reference routers/files.py:85-96: > 50 stripped chars -> native)."""
+    (reference routers/files.py:85-96: > 50 stripped chars -> native).
+
+    Fast path: jump straight to the first /Kids ref -> its /Contents ->
+    that one stream; never materializes the other objects (the sniffer
+    runs on EVERY pdf payload, so this is hot).  Falls back to the full
+    parse on any structural surprise."""
+    if not data.startswith(b"%PDF-"):
+        raise PdfParseError("missing %PDF- header")
+    try:
+        km = re.search(rb"/Kids\s*\[\s*(\d+)\s+0\s+R", data)
+        if km:
+            page = _find_object(data, int(km.group(1)))
+            if page is not None:
+                chunks = []
+                for cid in _content_refs(page[0]):
+                    cobj = _find_object(data, cid)
+                    if cobj is None or cobj[1] is None:
+                        continue
+                    chunks.append(_parse_content_text(_decode_stream(*cobj)))
+                return "\n".join(c for c in chunks if c)
+    except PdfParseError:
+        raise
+    except Exception:
+        pass
     objs, page_ids = parse_pdf(data)
     head, _ = objs.get(page_ids[0], (b"", None))
     chunks = []
