@@ -100,6 +100,26 @@ def q_docs_topk_chars(sf_dir: str):
     return _topk(ds, "n_chars", "doc_id", 20)[["doc_id", "n_chars"]]
 
 
+def q_docs_page2(sf_dir: str):
+    """B7 pagination: page 2 of the n_chars-descending listing (offset 20,
+    limit 20) — local top-(offset+limit) per block, slice on the driver."""
+    ds = _docs(sf_dir, ["doc_id", "n_chars"])
+    top40 = _topk(ds, "n_chars", "doc_id", 40)
+    return top40.iloc[20:40][["doc_id", "n_chars"]].reset_index(drop=True)
+
+
+def q_docs_sample_mod(sf_dir: str):
+    """Deterministic systematic sample (doc_id % 10 == 0): reproducible in
+    SQL, unlike an RNG sample (G7 sampling analogue)."""
+    def mod10_is_zero(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id")
+        rem = pc.subtract(ids, pc.multiply(pc.divide(ids, 10), 10))
+        return t.filter(pc.equal(rem, 0))
+
+    ds = _docs(sf_dir, ["doc_id", "n_chars"])
+    return ds.map_batches(mod10_is_zero, batch_format="pyarrow").to_pandas()
+
+
 def q_events_topk_value(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_id", "event_type", "value"])
@@ -431,6 +451,35 @@ def q_extract_flagship(sf_dir: str):
     return out.drop_columns(["processing_ms"])  # timing is nondeterministic
 
 
+def q_engine_info(sf_dir: str):
+    """A8 — engine metadata + supported languages (driver-side manifest
+    record in production; exposed as a deterministic table)."""
+    from ..stages.ocr import DeterministicEngine
+
+    eng = DeterministicEngine()
+    info = eng.get_engine_info()
+    langs = eng.get_supported_languages()
+    return pa.table({
+        "key": pa.array(list(info.keys()) + ["supported_languages"], pa.string()),
+        "value": pa.array([str(v) for v in info.values()] + [",".join(langs)],
+                          pa.string()),
+    })
+
+
+def q_media_features(sf_dir: str):
+    """Multimodal stage plumbing: synthetic media corpus -> decode/feature
+    actor pool -> feature table (codec calls stubbed deterministically;
+    rows-only check)."""
+    from ..functions.multimodal import media_feature_pipeline, synth_media_table
+
+    tbl = synth_media_table(120)
+    ds = rd.from_arrow(tbl).repartition(8)
+    out = media_feature_pipeline(ds, concurrency=(1, 4), batch_size=8)
+    # collect as Arrow: ragged list columns don't round-trip through pandas
+    res = pa.concat_tables(out.iter_batches(batch_size=256, batch_format="pyarrow"))
+    return res.take(pc.sort_indices(res, sort_keys=[("media_id", "ascending")]))
+
+
 def q_extract_markdown(sf_dir: str):
     """B8/B9/B10 markdown rendering over extracted documents (rows-only:
     string templating is deterministic but payload-derived)."""
@@ -498,6 +547,10 @@ QUERIES = {
     "doc_chars_avg": q_doc_chars_avg,
     "summary_by_lang": q_summary_by_lang,
     "docs_topk_chars": q_docs_topk_chars,
+    "docs_page2": q_docs_page2,
+    "docs_sample_mod": q_docs_sample_mod,
+    "engine_info": q_engine_info,
+    "media_features": q_media_features,
     "events_topk_value": q_events_topk_value,
     "docs_filter": q_docs_filter,
     "dedup_exact": q_dedup_exact,
@@ -538,6 +591,13 @@ ORACLE_SQL = {
     "events_topk_value": (
         "SELECT event_id, event_type, value FROM events "
         "ORDER BY value DESC, event_id LIMIT 50"
+    ),
+    "docs_page2": (
+        "SELECT doc_id, n_chars FROM documents "
+        "ORDER BY n_chars DESC, doc_id LIMIT 20 OFFSET 20"
+    ),
+    "docs_sample_mod": (
+        "SELECT doc_id, n_chars FROM documents WHERE doc_id % 10 = 0"
     ),
     "docs_filter": (
         "SELECT doc_id, lang, n_chars FROM documents "

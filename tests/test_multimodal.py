@@ -1,0 +1,58 @@
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from ocr_main_ray.functions.multimodal import (AudioFeatures,
+                                               ImageDecodeFeatures,
+                                               MEDIA_SCHEMA, VideoFrameSample,
+                                               media_feature_pipeline,
+                                               synth_media_table)
+
+
+def test_media_schema_and_determinism():
+    a, b = synth_media_table(30), synth_media_table(30)
+    assert a.schema.equals(MEDIA_SCHEMA)
+    assert a.equals(b)
+    kinds = set(a.column("kind").to_pylist())
+    assert kinds == {"image", "audio", "video"}
+
+
+def test_real_codecs_are_marked_unimplemented():
+    for cls in (ImageDecodeFeatures, AudioFeatures, VideoFrameSample):
+        with pytest.raises(NotImplementedError):
+            cls(fake="real")
+
+
+def test_image_stage_direct():
+    tbl = synth_media_table(9)
+    out = ImageDecodeFeatures()(tbl)
+    assert "payload" not in out.column_names
+    for kind, mean, thumb in zip(out.column("kind").to_pylist(),
+                                 out.column("px_mean").to_pylist(),
+                                 out.column("thumbnail").to_pylist()):
+        if kind == "image":
+            assert mean is not None and len(thumb) == 64
+        else:
+            assert mean is None and thumb is None
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_media_pipeline_on_ray():
+    tbl = synth_media_table(60)
+    ds = rd.from_arrow(tbl).repartition(6)
+    out = media_feature_pipeline(ds, concurrency=2, batch_size=8)
+    rows = out.take_all()
+    assert len(rows) == 60
+    by_kind = {}
+    for r in rows:
+        by_kind.setdefault(r["kind"], []).append(r)
+    assert all(r["px_mean"] is not None for r in by_kind["image"])
+    assert all(r["rms"] is not None for r in by_kind["audio"])
+    assert all(len(r["frame_means"]) == 3 for r in by_kind["video"])
+    # deterministic across runs
+    rows2 = media_feature_pipeline(rd.from_arrow(tbl).repartition(3),
+                                   concurrency=2, batch_size=8).take_all()
+    key = lambda rs: sorted((r["media_id"], r["px_mean"], r["rms"]) for r in rs)
+    assert key(rows) == key(rows2)
