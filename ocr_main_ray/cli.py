@@ -1,0 +1,155 @@
+"""Command-line interface — the rebuild of the reference's batch CLI
+(reference backend/src/interfaces/cli/menu.py:27-144: argparse over pdf_path
+/ --engine / --output-dir / --mode, exit codes 0/1/2).
+
+Subcommands:
+  run     one-shot extraction: pages parquet (or a directory of raw files)
+          -> extracted parquet
+  resume  checkpointed two-phase run with per-partition manifests; rerun
+          skips completed partitions
+  sniff   content-type histogram only (no extraction)
+  info    engine metadata (A8)
+
+The CLI owns the Ray session (guarded init; never in library code).
+Exit codes: 0 success, 1 processing error, 2 usage error — reference parity.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+
+
+def _init_ray(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(address="local", include_dashboard=False,
+                      ignore_reinit_error=True, logging_level="ERROR")
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.preserve_order = False
+    return ray
+
+
+def _load_pages(input_path: str):
+    from .sources.readers import pages_from_binary_dir, pages_from_parquet
+
+    p = pathlib.Path(input_path)
+    if p.is_dir() and not list(p.glob("*.parquet")):
+        return pages_from_binary_dir(str(p))
+    return pages_from_parquet(str(p))
+
+
+def _config(args) -> "object":
+    from .config import PipelineConfig
+
+    if args.profile:
+        return PipelineConfig.from_quality_profile(args.profile)
+    return PipelineConfig()
+
+
+def cmd_run(args) -> int:
+    ray = _init_ray(args.num_cpus)
+    from .pipelines.extract import extract_run
+
+    ds = _load_pages(args.input)
+    out = extract_run(ds, config=_config(args), dedup=not args.no_dedup,
+                      dispatch_mode=args.dispatch)
+    out.write_parquet(args.output)
+    import ray.data as rd
+
+    n = rd.read_parquet(args.output, columns=["url"]).count()
+    print(json.dumps({"status": "ok", "rows": n, "output": args.output}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_resume(args) -> int:
+    ray = _init_ray(args.num_cpus)
+    from .state.manifest import run_checkpointed
+
+    summary = run_checkpointed(args.input, args.output, _config(args))
+    print(json.dumps({"status": "ok", **summary}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_sniff(args) -> int:
+    ray = _init_ray(args.num_cpus)
+    from ray.data.aggregate import Count
+
+    from .stages.sniff import sniff_batch
+
+    ds = _load_pages(args.input).map_batches(
+        sniff_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    hist = ds.groupby("content_type").aggregate(Count(alias_name="n")).take_all()
+    print(json.dumps({"status": "ok",
+                      "histogram": {r["content_type"]: r["n"] for r in hist}}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_info(args) -> int:
+    from .stages.ocr import DeterministicEngine, ENGINE_REGISTRY
+
+    eng = DeterministicEngine()
+    print(json.dumps({
+        "engines": sorted(ENGINE_REGISTRY),
+        "info": eng.get_engine_info(),
+        "supported_languages": eng.get_supported_languages(),
+    }))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="ocr_main_ray",
+                                description="Ray-Data-native extraction engine")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    runp = sub.add_parser("run", help="extract pages -> parquet")
+    runp.add_argument("input", help="pages parquet file/dir, or dir of raw files")
+    runp.add_argument("output", help="output parquet dir")
+    runp.add_argument("--profile", choices=["fast", "balanced", "high"])
+    runp.add_argument("--no-dedup", action="store_true")
+    runp.add_argument("--dispatch", choices=["actors", "tasks"], default="actors")
+    runp.set_defaults(fn=cmd_run)
+
+    res = sub.add_parser("resume", help="checkpointed run with manifests")
+    res.add_argument("input", help="pages parquet dir")
+    res.add_argument("output", help="checkpoint root dir")
+    res.add_argument("--profile", choices=["fast", "balanced", "high"])
+    res.set_defaults(fn=cmd_resume)
+
+    sn = sub.add_parser("sniff", help="content-type histogram")
+    sn.add_argument("input")
+    sn.set_defaults(fn=cmd_sniff)
+
+    inf = sub.add_parser("info", help="engine metadata")
+    inf.set_defaults(fn=cmd_info)
+    return p
+
+
+def main(argv=None) -> int:
+    try:
+        args = build_parser().parse_args(argv)
+    except SystemExit as e:  # argparse uses 2 for usage errors already
+        return int(e.code or 0)
+    try:
+        return args.fn(args)
+    except Exception as e:
+        print(json.dumps({"status": "error", "error": f"{type(e).__name__}: {e}"}),
+              file=sys.stderr)
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -95,16 +95,24 @@ def _page_object_ids(objs: dict[int, tuple[bytes, bytes | None]]) -> list[int]:
 
 
 def _parse_content_text(stream: bytes) -> str:
-    """Walk a content stream; collect text shown by Tj / ' / TJ, emitting a
-    newline at each line-move operator (T*, Td, TD, ').  PDF string escapes
-    and balanced parens are honoured."""
-    out: list[str] = []
+    """Walk a content stream; collect text shown by Tj / ' / TJ, starting a
+    new line at each line-move operator (T*, Td, TD, ').  PDF string escapes
+    and balanced parens are honoured.
+
+    Line semantics: shows accumulate into the current line; a move pushes
+    it.  A content stream that ENDS with a move (the writer emits ``T*``
+    after every line) leaves one artifact empty line, which is dropped —
+    interior and intentional trailing empty lines survive exactly."""
+    lines: list[str] = []
+    current: list[str] = []
     i, n = 0, len(stream)
     pending: list[str] = []  # strings on the operand stack since last operator
+    saw_text = False
+    ended_with_move = False
 
-    def flush_line():
-        if out and out[-1] != "\n":
-            out.append("\n")
+    def push_line():
+        lines.append("".join(current))
+        current.clear()
 
     while i < n:
         c = stream[i : i + 1]
@@ -121,21 +129,28 @@ def _parse_content_text(stream: bytes) -> str:
             while j < n and not stream[j : j + 1].isspace() and stream[j : j + 1] not in b"()[]<>/%":
                 j += 1
             op = stream[i:j]
-            if op == b"Tj":
-                out.extend(pending)
-            elif op == b"TJ":
-                out.extend(pending)
+            if op in (b"Tj", b"TJ"):
+                current.extend(pending)
+                saw_text = True
+                ended_with_move = False
             elif op in (b"'", b'"'):
-                flush_line()
-                out.extend(pending)
+                push_line()
+                current.extend(pending)
+                saw_text = True
+                ended_with_move = False
             elif op in (b"T*", b"Td", b"TD"):
-                flush_line()
+                if saw_text:
+                    push_line()
+                ended_with_move = True
             pending = []
             i = j
             continue
         i += 1
-    text = "".join(out)
-    return text.strip("\n")
+    if not saw_text:
+        return ""
+    if not ended_with_move:
+        push_line()
+    return "\n".join(lines)
 
 
 def _read_pdf_string(data: bytes, i: int) -> tuple[str, int]:

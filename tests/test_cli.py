@@ -1,0 +1,43 @@
+import json
+
+import pyarrow.parquet as pq
+import pytest
+
+from ocr_main_ray.cli import main
+from ocr_main_ray.sources.synth import synth_pages
+
+
+@pytest.fixture(scope="module")
+def pages_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("clipages")
+    pq.write_table(synth_pages(30), d / "pages.parquet")
+    return d
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cli_run(pages_dir, tmp_path, capsys):
+    rc = main(["run", str(pages_dir), str(tmp_path / "out"), "--dispatch", "tasks"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["status"] == "ok" and out["rows"] == 30
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cli_sniff(pages_dir, capsys):
+    rc = main(["sniff", str(pages_dir)])
+    assert rc == 0
+    hist = json.loads(capsys.readouterr().out.strip())["histogram"]
+    assert hist["html"] > 0 and hist["pdf_scanned"] > 0
+
+
+def test_cli_info(capsys):
+    assert main(["info"]) == 0
+    info = json.loads(capsys.readouterr().out.strip())
+    assert "deterministic" in info["engines"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cli_error_paths(tmp_path, capsys):
+    assert main(["run", "/nonexistent/path", str(tmp_path / "o")]) == 1
+    assert main(["nope"]) == 2
+    assert main(["run", "x", "y", "--profile", "bogus"]) == 2
