@@ -301,6 +301,112 @@ def q_events_hourly(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# session windows (streaming-shaped op over the ordered events log):
+# bucket users by hash -> vectorized sessionization within each bucket.
+# Gap threshold 30 min; per session: start, end, count, value cents.
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def _bucket_users(batch: pa.Table, num_buckets: int = 32) -> pa.Table:
+    bucket = pc.cast(
+        pc.subtract(batch.column("user_id"),
+                    pc.multiply(pc.divide(batch.column("user_id"), num_buckets),
+                                num_buckets)),
+        pa.int32(),
+    )
+    return batch.append_column("ubucket", bucket)
+
+
+def _sessionize_bucket(group: pd.DataFrame) -> pd.DataFrame:
+    g = group.sort_values(["user_id", "ts"]).reset_index(drop=True)
+    ts_us = g["ts"].astype("int64")
+    new_user = g["user_id"].ne(g["user_id"].shift())
+    gap = ts_us.diff().gt(SESSION_GAP_US)
+    session_id = (new_user | gap).cumsum()
+    g["cents"] = (g["value"] * 100).round().astype("int64")
+    out = g.groupby(session_id).agg(
+        user_id=("user_id", "first"),
+        session_start=("ts", "min"),
+        session_end=("ts", "max"),
+        n_events=("event_id", "count"),
+        value_cents=("cents", "sum"),
+    )
+    return out.reset_index(drop=True)
+
+
+def q_user_sessions(sf_dir: str):
+    """Session-window aggregate: ordered per-user event log, gap > 30 min
+    starts a new session.  Partition by user-hash bucket (co-locates each
+    user's events), sessionize vectorized inside the bucket — the engine's
+    windowed-aggregate shape for stream-like tables."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+    ds = ds.map_batches(_bucket_users, batch_format="pyarrow")
+    out = ds.groupby("ubucket").map_groups(_sessionize_bucket, batch_format="pandas")
+    return out.to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# as-of (point-in-time) join: for each event, aggregate the user's orders
+# up to the event timestamp.  Broadcast small side + searchsorted per batch
+# (no shuffle) — the engine's as-of join shape.
+# ---------------------------------------------------------------------------
+
+class _AsofOrders:
+    def __init__(self, orders_ref):
+        import ray as _ray
+
+        tbl = _ray.get(orders_ref)
+        df = tbl.to_pandas().sort_values(["o_custkey", "o_orderdate"])
+        self.by_cust = {
+            k: g["o_orderdate"].astype("int64").to_numpy()
+            for k, g in df.groupby("o_custkey")
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        users = batch.column("user_id").to_numpy()
+        ts_us = batch.column("ts").cast(pa.int64()).to_numpy()
+        n_prior = np.zeros(len(users), dtype=np.int64)
+        last_date = np.full(len(users), np.iinfo(np.int64).min, dtype=np.int64)
+        valid = np.zeros(len(users), dtype=bool)
+        for i, (u, t) in enumerate(zip(users, ts_us)):
+            dates = self.by_cust.get(int(u))
+            if dates is None:
+                continue
+            k = int(np.searchsorted(dates, t, side="right"))
+            n_prior[i] = k
+            if k:
+                last_date[i] = dates[k - 1]
+                valid[i] = True
+        dates_series = pd.Series(np.where(valid, last_date, 0).astype("datetime64[us]"))
+        dates_series[~valid] = pd.NaT
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "last_order_date": pa.Array.from_pandas(dates_series,
+                                                    type=pa.timestamp("us")),
+            "n_prior_orders": pa.array(n_prior, pa.int64()),
+        })
+
+
+def q_events_asof_orders(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    orders = pq.read_table(f"{sf_dir}/orders.parquet",
+                           columns=["o_custkey", "o_orderdate"])
+    ref = ray.put(orders)
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+    out = ds.map_batches(
+        _AsofOrders, fn_constructor_kwargs={"orders_ref": ref},
+        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1,
+    )
+    return out.to_pandas()
+
+
+# ---------------------------------------------------------------------------
 # text-analysis operators (functions/text.py) over documents
 # ---------------------------------------------------------------------------
 
@@ -563,6 +669,8 @@ QUERIES = {
     "extract_markdown": q_extract_markdown,
     "pdf_classify": q_pdf_classify,
     "events_hourly": q_events_hourly,
+    "user_sessions": q_user_sessions,
+    "events_asof_orders": q_events_asof_orders,
     "quality_scores": q_quality_scores,
     "token_counts": q_token_counts,
     "lang_id": q_lang_id,
@@ -629,6 +737,24 @@ ORACLE_SQL = {
         "AS total_revenue_cents, count(*) AS n_orders "
         "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
         "GROUP BY c_mktsegment"
+    ),
+    "user_sessions": (
+        "WITH x AS (SELECT user_id, event_id, ts, "
+        "CAST(round(value * 100) AS BIGINT) AS cents, "
+        "CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) "
+        "> INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM events), "
+        "y AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts "
+        "ROWS UNBOUNDED PRECEDING) AS sid FROM x) "
+        "SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, "
+        "count(*) AS n_events, sum(cents) AS value_cents "
+        "FROM y GROUP BY user_id, sid"
+    ),
+    "events_asof_orders": (
+        "SELECT e.event_id, e.user_id, max(o.o_orderdate) AS last_order_date, "
+        "count(o.o_orderdate) AS n_prior_orders "
+        "FROM events e LEFT JOIN orders o "
+        "ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts "
+        "GROUP BY e.event_id, e.user_id"
     ),
     "events_hourly": (
         "SELECT date_trunc('hour', ts) AS hour, "
