@@ -149,6 +149,40 @@ def _score_keep(blk: _Block) -> bool:
     return link_density <= MAX_LINK_DENSITY
 
 
+def _sequence_fusion(blocks: list[_Block], keep: list[bool]) -> list[bool]:
+    """Boilerpipe-style smoothing over the block sequence:
+
+    - gap fill: a rejected non-boiler block with some text and moderate
+      link density, sandwiched between kept blocks, is content (short
+      connective paragraphs, data-table cells inside an article);
+    - dangling headings: a kept heading with no kept content among the next
+      3 blocks is chrome (section labels in footers/sidebars survive the
+      per-block test otherwise)."""
+    n = len(blocks)
+    out = list(keep)
+    # gap fill (one pass left->right against the original decisions)
+    for i in range(1, n - 1):
+        if out[i] or blocks[i].boiler:
+            continue
+        b = blocks[i]
+        if not b.text():
+            continue
+        link_density = b.link_chars / max(1, b.chars)
+        if link_density > 0.5:
+            continue
+        prev_kept = keep[i - 1]
+        next_kept = any(keep[j] for j in range(i + 1, min(n, i + 3)))
+        if prev_kept and next_kept:
+            out[i] = True
+    # dangling headings
+    for i in range(n):
+        if out[i] and blocks[i].tag in HEADING_TAGS:
+            if not any(out[j] and blocks[j].tag not in HEADING_TAGS
+                       for j in range(i + 1, min(n, i + 4))):
+                out[i] = False
+    return out
+
+
 def extract_main_text(html_bytes: bytes) -> str:
     """Main content of an HTML payload, blocks joined with "\n\n".
 
@@ -167,9 +201,12 @@ def extract_main_text(html_bytes: bytes) -> str:
         parser.close()
     except Exception:
         pass  # extract from whatever was parsed before the error
+    blocks = parser.blocks
+    keep = [_score_keep(b) for b in blocks]
+    keep = _sequence_fusion(blocks, keep)
     kept = []
-    for blk in parser.blocks:
-        if _score_keep(blk):
+    for blk, k in zip(blocks, keep):
+        if k:
             t = blk.text()
             if t:
                 kept.append(t)

@@ -64,3 +64,62 @@ def test_synth_page_boilerplate_stripped():
 
 def test_deterministic():
     assert extract_main_text(FULL_PAGE) == extract_main_text(FULL_PAGE)
+
+
+def test_gap_fill_short_connective():
+    html = (b"<html><body><article>"
+            b"<p>First long paragraph with plenty of words to keep here.</p>"
+            b"<p>So.</p>"  # 1 word: rejected per-block, rescued by fusion
+            b"<p>Second long paragraph also with plenty of words to keep.</p>"
+            b"</article></body></html>")
+    text = extract_main_text(html)
+    assert "So." in text
+    blocks = text.split("\n\n")
+    assert blocks.index("So.") == 1
+
+
+def test_isolated_short_not_rescued():
+    html = (b"<html><body>"
+            b"<div class='sidebar'><p>junk</p></div>"
+            b"<p>Hm.</p>"  # short, no kept neighbors -> stays dropped
+            b"<div class='footer'><p>legal</p></div>"
+            b"</body></html>")
+    assert "Hm." not in extract_main_text(html)
+
+
+def test_dangling_heading_dropped():
+    html = (b"<html><body>"
+            b"<h2>SECTIONS</h2>"  # heading with no content after it
+            b"</body></html>")
+    assert extract_main_text(html) == ""
+
+
+def test_heading_before_content_kept():
+    html = (b"<html><body><h2>Results</h2>"
+            b"<p>The experiment produced many interesting findings today.</p>"
+            b"</body></html>")
+    text = extract_main_text(html)
+    assert text.startswith("Results\n\n")
+
+
+def test_nested_divs_no_duplication():
+    html = (b"<html><body><div><div><p>Inner paragraph with enough words "
+            b"to be kept once only.</p></div></div></body></html>")
+    text = extract_main_text(html)
+    assert text.count("Inner paragraph") == 1
+
+
+def test_unicode_content():
+    html = ("<html><body><p>Texto en español con acentuación y señales "
+            "claras de contenido útil aquí.</p></body></html>").encode("utf-8")
+    assert "acentuación" in extract_main_text(html)
+
+
+def test_data_table_inside_article():
+    html = (b"<html><body><article>"
+            b"<p>Intro paragraph describing the data table shown below here.</p>"
+            b"<table><tr><td>alpha 12</td><td>beta 34</td></tr></table>"
+            b"<p>Closing paragraph interpreting the numbers presented above.</p>"
+            b"</article></body></html>")
+    text = extract_main_text(html)
+    assert "alpha 12" in text
