@@ -546,13 +546,12 @@ def q_embedding_near_dups(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 def q_extract_flagship(sf_dir: str):
-    """Full pipeline: sniff -> dedup -> html/pdf/OCR extract.  Bounded input
-    (deterministic first 400 documents) to keep the correctness-gate runtime
-    sane; bench.py runs the unbounded version."""
+    """Full pipeline: sniff -> dedup -> html/pdf/OCR extract over the whole
+    pages corpus synthesized from this sf's documents table."""
     from ..pipelines.extract import extract_pages_table
     from ..sources.synth import pages_from_documents
 
-    pages = pages_from_documents(sf_dir, limit=400)
+    pages = pages_from_documents(sf_dir)
     out = extract_pages_table(pages)
     return out.drop_columns(["processing_ms"])  # timing is nondeterministic
 
