@@ -34,8 +34,10 @@ N_INPUT_FILES = 32
 
 
 def _pages_cache_dir() -> pathlib.Path:
+    from ocr_main_ray.sources.synth import SYNTH_VERSION
+
     tag = SF_DIR.strip("/").replace("/", "_")
-    return CACHE_ROOT / f"pages_{tag}_r{REPEAT}_{MIX}"
+    return CACHE_ROOT / f"pages_{tag}_r{REPEAT}_{MIX}_v{SYNTH_VERSION}"
 
 
 def ensure_pages_input() -> pathlib.Path:

@@ -32,6 +32,9 @@ from .pdfgen import native_pdf, scanned_pdf
 
 _EPOCH = _dt.datetime(2025, 1, 1)
 
+# bump when payload construction changes — cache keys include it
+SYNTH_VERSION = 2
+
 _BOILER_LINKS = [
     ("Home", "/"), ("Products", "/products"), ("Pricing", "/pricing"),
     ("About us", "/about"), ("Careers", "/careers"), ("Contact", "/contact"),
@@ -68,7 +71,11 @@ def build_html(key: int, text: str) -> bytes:
     distribution (bucket skew)."""
     paras = _paragraphs(text, key)
     repeat = 1 + (key % 7) ** 2 + (37 if key % 53 == 0 else 0)
-    body_paras = (paras * repeat)[: max(2, min(len(paras) * repeat, 400))]
+    cap = 400
+    if key % 101 == 0:  # ~1% heavy tail: ~0.5-1 MB pages (size_bucket skew)
+        repeat += 500
+        cap = 3000
+    body_paras = (paras * repeat)[: max(2, min(len(paras) * repeat, cap))]
     nav = "".join(
         f'<li><a href="{href}">{label}</a></li>' for label, href in _BOILER_LINKS
     )
@@ -118,6 +125,8 @@ def build_scanned_pdf(key: int, text: str) -> bytes:
     ruled header/footer + >= 4 body lines (see stages/preprocess deskew)."""
     words = normalize_for_scan(text).split() or ["EMPTY", "SCAN", str(key)]
     n_pages = 1 + key % 3
+    if key % 97 == 0:  # ~1-2% deep documents: OCR-cost skew tail
+        n_pages = 8 + key % 5
     per_line = 6 + key % 4
     body_lines = [
         " ".join(words[i : i + per_line]) for i in range(0, len(words), per_line)
