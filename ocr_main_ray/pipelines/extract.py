@@ -31,7 +31,8 @@ import pyarrow as pa
 import ray.data
 
 from ..config import (CT_HTML, CT_PDF_NATIVE, CT_PDF_SCANNED, ENGINE_BASIC,
-                      ENGINE_OPENCV, PAGE_JOIN, PipelineConfig)
+                      ENGINE_OPENCV, HIGH_QUALITY_THRESHOLD,
+                      MIN_QUALITY_THRESHOLD, PAGE_JOIN, PipelineConfig)
 from ..schema import EXTRACTED_SCHEMA, SPAN_TYPE
 from ..stages import pdf_native
 from ..stages.assemble import word_count
@@ -119,6 +120,16 @@ class ExtractDispatch:
                 "engine": pa.array(out["engine"], pa.string()),
                 "size_bytes": pa.array(sizes, pa.int64()),
                 "size_bucket": pa.array(buckets, pa.int32()),
+                # B2 enhanced metrics (use_cases.py:131,189-198): MB size,
+                # meets_threshold = conf >= 60, high_quality = conf >= 80 —
+                # both always False because confidence is constantly 0.0
+                # (the A7 bug the goldens encode)
+                "file_size_mb": pa.array(
+                    [round(s / (1024 * 1024), 2) for s in sizes], pa.float64()),
+                "meets_threshold": pa.array(
+                    [0.0 >= MIN_QUALITY_THRESHOLD] * len(texts), pa.bool_()),
+                "high_quality": pa.array(
+                    [0.0 >= HIGH_QUALITY_THRESHOLD] * len(texts), pa.bool_()),
                 "error": pa.array(out["error"], pa.string()),
             },
             schema=EXTRACTED_SCHEMA,

@@ -34,6 +34,9 @@ EXTRACTED_SCHEMA = pa.schema(
         ("engine", pa.string()),
         ("size_bytes", pa.int64()),
         ("size_bucket", pa.int32()),
+        ("file_size_mb", pa.float64()),
+        ("meets_threshold", pa.bool_()),
+        ("high_quality", pa.bool_()),
         ("error", pa.string()),
     ]
 )

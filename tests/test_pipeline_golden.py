@@ -49,7 +49,8 @@ def test_corpus_md5_pinned(pipeline_out):
 
 def test_all_structured_columns_match(golden, pipeline_out):
     for col in ("content_type", "span_offsets", "confidence", "tables_json",
-                "n_pages", "word_count", "text_length", "engine", "error"):
+                "n_pages", "word_count", "text_length", "engine",
+                "file_size_mb", "meets_threshold", "high_quality", "error"):
         assert pipeline_out.column(col).to_pylist() == golden.column(col).to_pylist(), col
 
 

@@ -27,7 +27,8 @@ from ocr_main_ray.stages.sniff import sniff_batch  # noqa: E402
 GOLDEN_N_DOCS = 80
 GOLDEN_COLS = ["url", "content_type", "extracted_text", "span_offsets",
                "confidence", "tables_json", "n_pages", "word_count",
-               "text_length", "engine", "error"]
+               "text_length", "engine", "file_size_mb", "meets_threshold",
+               "high_quality", "error"]
 
 
 def build_golden() -> pa.Table:
