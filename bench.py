@@ -41,25 +41,36 @@ def _pages_cache_dir() -> pathlib.Path:
 
 
 def ensure_pages_input() -> pathlib.Path:
-    """Synthesize the pages corpus once (untimed) and shard it into
-    N_INPUT_FILES parquet files so the read parallelizes."""
+    """Synthesize the pages corpus once (untimed, distributed over Ray
+    tasks — payloads are a pure function of (key, text), so parallel
+    generation yields the same row set as the single-process synthesizer)
+    and shard it so the read parallelizes."""
     out = _pages_cache_dir()
     done = out / "_DONE"
     if done.exists():
         return out
+    import ray
+
+    owns_ray = not ray.is_initialized()
+    if owns_ray:
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
     import pyarrow.parquet as pq
-    from ocr_main_ray.sources.synth import pages_from_documents
+    from ocr_main_ray.sources.synth import pages_dataset_from_documents
 
     shutil.rmtree(out, ignore_errors=True)
-    out.mkdir(parents=True, exist_ok=True)
-    tbl = pages_from_documents(SF_DIR, repeat=REPEAT, mix=MIX)
-    n = tbl.num_rows
-    per = (n + N_INPUT_FILES - 1) // N_INPUT_FILES
-    for i in range(N_INPUT_FILES):
-        part = tbl.slice(i * per, per)
-        if part.num_rows:
-            pq.write_table(part, out / f"pages_{i:03d}.parquet")
-    done.write_text(f"{n}\n")
+    tmp = out.parent / (out.name + ".tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    ds = pages_dataset_from_documents(SF_DIR, repeat=REPEAT, mix=MIX)
+    ds.repartition(N_INPUT_FILES).write_parquet(str(tmp))
+    n = sum(pq.read_metadata(f).num_rows for f in tmp.glob("*.parquet"))
+    os.replace(tmp, out)
+    (out / "_DONE").write_text(f"{n}\n")
+    if owns_ray:
+        ray.shutdown()
     return out
 
 

@@ -248,6 +248,49 @@ def pages_from_documents(sf_dir: str, limit: int | None = None,
     )
 
 
+def pages_dataset_from_documents(sf_dir: str, repeat: int = 1,
+                                 mix: str = "default"):
+    """Distributed synthesis: same rows as pages_from_documents (payloads
+    are a pure function of (doc_id + shift, text, lang)), built by Ray
+    tasks instead of a driver loop — corpus generation parallelizes with
+    the cluster.  Row order is nondeterministic; row SET is identical."""
+    import ray.data as rd
+
+    def build(batch: pa.Table, shift: int) -> pa.Table:
+        urls, tss, payloads, ctexts, plangs = [], [], [], [], []
+        for doc_id, text, lang in zip(batch.column("doc_id").to_pylist(),
+                                      batch.column("text").to_pylist(),
+                                      batch.column("lang").to_pylist()):
+            key = int(doc_id) + shift
+            for (u, ts, pl, ct, lg) in _rows_for(key, text or "",
+                                                 _LANG_MAP.get(lang, "eng"), mix):
+                urls.append(u); tss.append(ts); payloads.append(pl)
+                ctexts.append(ct); plangs.append(lg)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(tss, pa.timestamp("us")),
+                "html": pa.array(payloads, pa.large_binary()),
+                "text": pa.array(ctexts, pa.string()),
+                "lang": pa.array(plangs, pa.string()),
+            },
+            schema=PAGES_SCHEMA,
+        )
+
+    parts = []
+    for r in range(repeat):
+        shift = r * 1_000_003
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text", "lang"])
+        ds = ds.repartition(16).map_batches(
+            build, fn_kwargs={"shift": shift}, batch_format="pyarrow")
+        parts.append(ds)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
 def synth_pages(n_docs: int, offset: int = 0) -> pa.Table:
     """Pages table from a bare integer range (unit tests / property tests)."""
     base_words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
