@@ -301,6 +301,42 @@ def q_events_hourly(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# large-large hash join: native Dataset.join (hash-partitioned exchange of
+# BOTH sides) — complements the broadcast join (revenue_by_segment) for the
+# case where neither side fits in memory.  Pre-project to the join+agg
+# columns before the shuffle (prune what moves).
+# ---------------------------------------------------------------------------
+
+def q_revenue_by_priority(sf_dir: str):
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice"])
+    li = li.map_batches(
+        lambda t: pa.table({
+            "l_orderkey": t.column("l_orderkey"),
+            "cents": pc.cast(pc.round(pc.multiply(t.column("l_extendedprice"), 100.0)),
+                             pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    od = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_orderpriority"])
+    joined = li.join(od, join_type="inner", num_partitions=16,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+    partials = joined.map_batches(
+        lambda t: t.group_by("o_orderpriority")
+        .aggregate([("cents", "sum"), ("cents", "count")])
+        .rename_columns(["o_orderpriority", "p_cents", "p_n"]),
+        batch_format="pyarrow",
+    )
+    return (
+        partials.groupby("o_orderpriority")
+        .aggregate(Sum("p_cents", alias_name="revenue_cents"),
+                   Sum("p_n", alias_name="n_items"))
+        .to_pandas()
+    )
+
+
+# ---------------------------------------------------------------------------
 # session windows (streaming-shaped op over the ordered events log):
 # bucket users by hash -> vectorized sessionization within each bucket.
 # Gap threshold 30 min; per session: start, end, count, value cents.
@@ -552,8 +588,11 @@ def q_extract_flagship(sf_dir: str):
     from ..sources.synth import pages_from_documents
 
     pages = pages_from_documents(sf_dir)
-    out = extract_pages_table(pages)
-    return out.drop_columns(["processing_ms"])  # timing is nondeterministic
+    out = extract_pages_table(pages).drop_columns(["processing_ms"])  # timing varies
+    # return Arrow (not a Dataset): span_offsets is a nested list column
+    # that naive pandas conversion chokes on
+    tbl = pa.concat_tables(out.iter_batches(batch_size=4096, batch_format="pyarrow"))
+    return tbl.take(pc.sort_indices(tbl, sort_keys=[("url", "ascending")]))
 
 
 def q_engine_info(sf_dir: str):
@@ -668,6 +707,7 @@ QUERIES = {
     "extract_markdown": q_extract_markdown,
     "pdf_classify": q_pdf_classify,
     "events_hourly": q_events_hourly,
+    "revenue_by_priority": q_revenue_by_priority,
     "user_sessions": q_user_sessions,
     "events_asof_orders": q_events_asof_orders,
     "quality_scores": q_quality_scores,
@@ -736,6 +776,13 @@ ORACLE_SQL = {
         "AS total_revenue_cents, count(*) AS n_orders "
         "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
         "GROUP BY c_mktsegment"
+    ),
+    "revenue_by_priority": (
+        "SELECT o_orderpriority, "
+        "sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS revenue_cents, "
+        "count(*) AS n_items "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "GROUP BY o_orderpriority"
     ),
     "user_sessions": (
         "WITH x AS (SELECT user_id, event_id, ts, "
