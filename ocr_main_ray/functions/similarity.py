@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def normalize_rows(m: np.ndarray) -> np.ndarray:
@@ -101,6 +102,69 @@ def lsh_bucket_column(ds, dim: int, n_planes: int = 12, col: str = "embedding"):
         return batch.append_column("lsh_bucket", pa.array(sigs, pa.int64()))
 
     return ds.map_batches(add_bucket, batch_format="pyarrow")
+
+
+class IVFIndex:
+    """IVF-flat: k-means coarse quantizer over a training sample; vectors
+    bucket to their nearest centroid; queries probe the nprobe nearest
+    centroid buckets.  The centroid matrix is tiny and broadcast; the
+    bucket id is the partition key at scale (same shape as the LSH
+    variant, but data-adaptive).  Deterministic: fixed seed, fixed
+    iteration count."""
+
+    def __init__(self, train: np.ndarray, n_lists: int = 16, iters: int = 10,
+                 seed: int = 42):
+        m = normalize_rows(np.asarray(train))
+        rng = np.random.RandomState(seed)
+        n_lists = min(n_lists, len(m))
+        centroids = m[rng.choice(len(m), n_lists, replace=False)].copy()
+        for _ in range(iters):
+            assign = (m @ centroids.T).argmax(axis=1)
+            for c in range(n_lists):
+                sel = m[assign == c]
+                if len(sel):
+                    centroids[c] = sel.mean(axis=0)
+            centroids = normalize_rows(centroids)
+        self.centroids = centroids
+
+    def assign(self, m: np.ndarray) -> np.ndarray:
+        return (normalize_rows(m) @ self.centroids.T).argmax(axis=1)
+
+    def probe_lists(self, q: np.ndarray, nprobe: int = 4) -> np.ndarray:
+        sims = normalize_rows(np.atleast_2d(q)) @ self.centroids.T
+        return np.argsort(-sims, axis=1)[:, :nprobe]
+
+
+def ivf_bucket_column(ds, index: IVFIndex, col: str = "embedding"):
+    """Append an ivf_list column — the IVF partition key."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("ivf_list", pa.array([], pa.int32()))
+        m = batch_embeddings(batch, col)
+        return batch.append_column(
+            "ivf_list", pa.array(index.assign(m).astype(np.int32), pa.int32()))
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow")
+
+
+def ivf_knn(ds, index: IVFIndex, query: np.ndarray, k: int = 10,
+            nprobe: int = 4):
+    """Approximate top-k: scan only the nprobe probed IVF lists.
+
+    Returns (pandas result, scanned_fraction) so callers can report the
+    scan saving; recall vs brute force rises with nprobe."""
+    lists = set(int(x) for x in index.probe_lists(query, nprobe)[0])
+    bucketed = ivf_bucket_column(ds, index)
+    cand = bucketed.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("ivf_list"),
+                                    value_set=pa.array(sorted(lists), pa.int32()))),
+        batch_format="pyarrow",
+    )
+    total = ds.count()
+    scanned = cand.count()
+    out = knn_topk(cand, np.atleast_2d(query), k=k)
+    return out, scanned / max(1, total)
 
 
 def embedding_near_dup_pairs(ds, threshold: float = 0.9, block: int = 4096):

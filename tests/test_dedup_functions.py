@@ -104,6 +104,29 @@ def test_embedding_near_dups_and_lsh():
     assert b[3] == b[41]
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_ivf_knn_recall():
+    from ocr_main_ray.functions.similarity import IVFIndex, ivf_knn
+
+    rng = np.random.RandomState(5)
+    m = rng.normal(size=(400, 16)).astype(np.float32)
+    tbl = pa.table({"vec_id": pa.array(range(400), pa.int64()),
+                    "embedding": pa.array([list(map(float, r)) for r in m],
+                                          pa.list_(pa.float32()))})
+    ds = rd.from_arrow(tbl).repartition(8)
+    idx = IVFIndex(m, n_lists=16)
+    q = m[11]
+    exact = set(knn_topk(ds, q[None, :], k=10)["vec_id"])
+    approx, frac = ivf_knn(ds, idx, q, k=10, nprobe=8)
+    got = set(approx["vec_id"])
+    assert 11 in got                      # self always found (its own list probed first)
+    assert len(got & exact) >= 5          # decent recall at nprobe=8/16
+    assert frac < 0.85                    # and it actually scanned less
+    # determinism
+    idx2 = IVFIndex(m, n_lists=16)
+    assert np.allclose(idx.centroids, idx2.centroids)
+
+
 def test_hyperplane_lsh_deterministic():
     lsh1, lsh2 = HyperplaneLSH(8, 6), HyperplaneLSH(8, 6)
     m = np.arange(24, dtype=float).reshape(3, 8)
