@@ -39,6 +39,26 @@ def _glyph_bitmap(ch: str) -> np.ndarray:
         more = np.unpackbits(np.frombuffer(extra, dtype=np.uint8))[: GLYPH_H * GLYPH_W]
         bmp = (bmp | more.reshape(GLYPH_H, GLYPH_W)).astype(np.uint8)
     bmp[0, 0] = 1  # anchor pixel: every non-space glyph marks the cell origin
+    # connect isolated pixels (deterministically: right, down, left, up):
+    # the decoder's speck filter drops ink with zero neighbours, so glyphs
+    # must not contain any or sparse glyphs lose their grid anchor
+    changed = True
+    while changed:
+        changed = False
+        for y in range(GLYPH_H):
+            for x in range(GLYPH_W):
+                if not bmp[y, x]:
+                    continue
+                y0, y1 = max(0, y - 1), min(GLYPH_H, y + 2)
+                x0, x1 = max(0, x - 1), min(GLYPH_W, x + 2)
+                if bmp[y0:y1, x0:x1].sum() > 1:
+                    continue
+                for dy, dx in ((0, 1), (1, 0), (0, -1), (-1, 0)):
+                    yy, xx = y + dy, x + dx
+                    if 0 <= yy < GLYPH_H and 0 <= xx < GLYPH_W:
+                        bmp[yy, xx] = 1
+                        changed = True
+                        break
     return bmp
 
 
@@ -103,9 +123,10 @@ def decode_page(img: np.ndarray, ink_threshold: int = 128) -> str:
     preprocessing chain).  Deterministic: ties break by CHARSET order.
     """
     ink = (img < ink_threshold)
-    # anchor the grid on "structural" ink only: pixels with >= 2 ink
-    # neighbours in their 3x3 window.  Isolated specks from the adaptive
-    # threshold step must not shift the bounding box.
+    # anchor the grid on "structural" ink only: pixels with >= 1 ink
+    # neighbour in their 3x3 window (the font contains no isolated pixels
+    # by construction).  Isolated specks from the adaptive threshold step
+    # must not shift the bounding box.
     nb = np.zeros(ink.shape, dtype=np.int8)
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
@@ -116,7 +137,7 @@ def decode_page(img: np.ndarray, ink_threshold: int = 128) -> str:
             xs0, xs1 = max(dx, 0), ink.shape[1] + min(dx, 0)
             shifted[ys0:ys1, xs0:xs1] = ink[ys0 - dy : ys1 - dy, xs0 - dx : xs1 - dx]
             nb += shifted
-    solid = ink & (nb >= 2)
+    solid = ink & (nb >= 1)
     ys, xs = np.nonzero(solid)
     if ys.size == 0:
         return ""

@@ -37,7 +37,7 @@ from ..schema import EXTRACTED_SCHEMA, SPAN_TYPE
 from ..stages import pdf_native
 from ..stages.assemble import word_count
 from ..stages.dedup import dedup_by_url
-from ..stages.html_extract import extract_main_text
+from ..stages.html_extract import extract_main_blocks
 from ..stages.ocr import DeterministicEngine
 from ..stages.sniff import sniff_batch
 
@@ -77,8 +77,14 @@ class ExtractDispatch:
             text, spans, n_pages, engine, row_err = "", [], 0, ENGINE_BASIC, err
             try:
                 if ct == CT_HTML:
-                    text = extract_main_text(payload)
-                    spans = [{"page": 0, "start": 0, "end": len(text)}]
+                    blocks = extract_main_blocks(payload)
+                    text = PAGE_JOIN.join(blocks)
+                    # span per content block (all on "page" 0): the html
+                    # analogue of per-page spans — slices rejoin to text
+                    spans, pos = [], 0
+                    for b in blocks:
+                        spans.append({"page": 0, "start": pos, "end": pos + len(b)})
+                        pos += len(b) + len(PAGE_JOIN)
                     n_pages = 1
                 elif ct == CT_PDF_NATIVE:
                     pages = pdf_native.extract_page_texts(payload)

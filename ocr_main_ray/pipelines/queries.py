@@ -568,6 +568,27 @@ def q_embedding_knn(sf_dir: str):
     return out[["vec_id"]].astype("int64")
 
 
+def q_embedding_ivf_knn(sf_dir: str):
+    """Approximate top-10 via the IVF index (the ANN scale path): probes 8
+    of 16 k-means lists instead of scanning everything.  Rows-only —
+    approximate membership is engine-specific by design."""
+    import pyarrow.parquet as pq
+
+    from ..functions.similarity import IVFIndex, ivf_knn
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    m = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in tbl.column("embedding").to_pylist()])
+    idx = IVFIndex(m, n_lists=16)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    out, frac = ivf_knn(ds, idx, m[0], k=10, nprobe=8)
+    res = out[["vec_id"]].astype("int64")
+    res["scanned_fraction"] = round(float(frac), 4)
+    return res
+
+
 def q_embedding_near_dups(sf_dir: str):
     """All pairs with cosine >= 0.45 (ids only, see q_embedding_knn)."""
     from ..functions.similarity import embedding_near_dup_pairs
@@ -717,6 +738,7 @@ QUERIES = {
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_signatures": q_simhash_signatures,
     "embedding_knn": q_embedding_knn,
+    "embedding_ivf_knn": q_embedding_ivf_knn,
     "embedding_near_dups": q_embedding_near_dups,
 }
 

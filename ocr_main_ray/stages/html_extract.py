@@ -183,8 +183,8 @@ def _sequence_fusion(blocks: list[_Block], keep: list[bool]) -> list[bool]:
     return out
 
 
-def extract_main_text(html_bytes: bytes) -> str:
-    """Main content of an HTML payload, blocks joined with "\n\n".
+def extract_main_blocks(html_bytes: bytes) -> list[str]:
+    """Kept content blocks, in document order.
 
     Leaf-preference: when a block element contains child block elements, the
     parent's own direct text is scored separately from the children's (each
@@ -194,7 +194,7 @@ def extract_main_text(html_bytes: bytes) -> str:
     try:
         text = html_bytes.decode("utf-8", errors="replace")
     except Exception:
-        return ""
+        return []
     parser = _Extractor()
     try:
         parser.feed(text)
@@ -210,4 +210,9 @@ def extract_main_text(html_bytes: bytes) -> str:
             t = blk.text()
             if t:
                 kept.append(t)
-    return "\n\n".join(kept)
+    return kept
+
+
+def extract_main_text(html_bytes: bytes) -> str:
+    """Main content of an HTML payload, blocks joined with "\n\n"."""
+    return "\n\n".join(extract_main_blocks(html_bytes))
