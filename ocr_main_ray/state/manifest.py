@@ -166,6 +166,28 @@ def run_checkpointed(pages_dir: str, out_dir: str,
             "partitions_processed": processed, "out_dir": str(extracted)}
 
 
+def summarize_run(out_dir: str) -> dict:
+    """Roll the per-partition manifests up into the run-level summary the
+    reference records per document tree (B11 aggregates + engine metadata,
+    the A8 'recorded in run manifest' item)."""
+    from ..stages.ocr import DeterministicEngine
+
+    out = pathlib.Path(out_dir)
+    parts = []
+    for m in sorted((out / "manifests").glob("part-*.json")):
+        parts.append(json.loads(m.read_text()))
+    eng = DeterministicEngine()
+    return {
+        "partitions": len(parts),
+        "row_count": sum(p["row_count"] for p in parts),
+        "error_rows": sum(p["error_rows"] for p in parts),
+        "wall_ms_total": round(sum(p["wall_ms"] for p in parts), 1),
+        "stage_versions": sorted({p["stage_version"] for p in parts}),
+        "engine_info": eng.get_engine_info(),
+        "supported_languages": eng.get_supported_languages(),
+    }
+
+
 def _reattach_partition_cols(batch, ct: str, sb: int):
     """Hive partition values come back as strings (or may be dropped);
     normalize to the sniff stage's schema."""
