@@ -1,7 +1,13 @@
-"""Property-based tests (hypothesis) for the parsing/rendering cores."""
+"""Property-based tests (hypothesis) for the parsing/rendering cores.
+
+derandomized: the correctness gate must be reproducible — exploratory
+(randomized) runs belong in local dev, not the driver's pytest pass."""
 import string
 
 from hypothesis import given, settings, strategies as st
+
+settings.register_profile("ci", derandomize=True)
+settings.load_profile("ci")
 
 from ocr_main_ray.glyphs import CHARSET, decode_page, normalize_for_scan, render_page
 from ocr_main_ray.sources.pdfgen import native_pdf
