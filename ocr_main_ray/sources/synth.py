@@ -33,7 +33,7 @@ from .pdfgen import native_pdf, scanned_pdf
 _EPOCH = _dt.datetime(2025, 1, 1)
 
 # bump when payload construction changes — cache keys include it
-SYNTH_VERSION = 2
+SYNTH_VERSION = 3
 
 _BOILER_LINKS = [
     ("Home", "/"), ("Products", "/products"), ("Pricing", "/pricing"),
