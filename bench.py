@@ -6,14 +6,16 @@ Prints ONE JSON line:
    "docs_per_sec": ..., "ocr_pages_per_sec": ...}
 
 Env knobs:
-  GRAFT_SF_DIR     input tables dir (default /root/testdata/sf0.1)
-  RAY_GRAFT_CPUS   ray.init(num_cpus=...) (default 32)
-  OCR_BENCH_REPEAT pages-corpus replication factor (default 2)
+  GRAFT_SF_DIR          input tables dir (default /root/testdata/sf0.1)
+  RAY_GRAFT_CPUS        ray.init(num_cpus=...) (default 32)
+  OCR_BENCH_REPEAT      pages-corpus replication factor (default 6)
+  GRAFT_BENCH_MIX       content-type mix (default "ocr-heavy")
+  OCR_SCALING_CPUS_LO/_HI, OCR_SCALING_RUNS_LO/_HI  scaling-leg knobs
 
---scaling: runs this script twice in fresh subprocesses at 8 and 32 CPUs on
-the same cached input and reports throughputs + scaling efficiency
-(the sandbox substitute for N vs 4N Ray nodes — BASELINE.md section 3);
-writes BENCH/BASELINE.md.
+--scaling: runs this script in fresh subprocesses at N and 4N CPUs
+(default 6 vs 24 — see run_scaling docstring) on the same cached input and
+reports throughputs + scaling efficiency (the sandbox substitute for N vs
+4N Ray nodes — BASELINE.md section 3); writes BENCH/BASELINE.md.
 """
 from __future__ import annotations
 

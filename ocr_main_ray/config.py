@@ -8,7 +8,7 @@ threshold 60.0, high-quality threshold 80.0, profile dpi ladder 150/300/600).
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 # --- reference constants (domain/constants/__init__.py) ---------------------
 ENGINE_BASIC = "basic"
