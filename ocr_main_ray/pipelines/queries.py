@@ -530,6 +530,34 @@ def q_minhash_near_dups(sf_dir: str):
     })
 
 
+def q_ngram_jaccard_pairs(sf_dir: str):
+    """Exact n-gram Jaccard similarity pairs (j >= 0.3) over a bounded
+    deterministic subset — the brute-force ground truth the MinHash-LSH
+    pipeline approximates.  Shingle sets computed per batch in parallel;
+    the pairwise comparison runs on the collected (small) shingle table."""
+    from ..functions.dedup import jaccard, shingles
+
+    def shingle_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "shingles": batch["text"].map(lambda t: sorted(shingles(t or ""))),
+        })
+
+    subset = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda t: t.filter(pc.less(t.column("doc_id"), 200)),
+        batch_format="pyarrow",
+    )
+    sh = subset.map_batches(shingle_batch, batch_format="pandas").to_pandas()
+    sets = {int(r.doc_id): set(r.shingles) for r in sh.itertuples(index=False)}
+    ids = sorted(sets)
+    a_l, b_l = [], []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if jaccard(sets[a], sets[b]) >= 0.3:
+                a_l.append(a); b_l.append(b)
+    return pa.table({"a": pa.array(a_l, pa.int64()), "b": pa.array(b_l, pa.int64())})
+
+
 def q_simhash_signatures(sf_dir: str):
     from ..functions.dedup import simhash
 
@@ -737,6 +765,7 @@ QUERIES = {
     "fingerprints": q_fingerprints,
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_signatures": q_simhash_signatures,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "embedding_knn": q_embedding_knn,
     "embedding_ivf_knn": q_embedding_ivf_knn,
     "embedding_near_dups": q_embedding_near_dups,
