@@ -223,13 +223,14 @@ def run_scaling() -> dict:
         f"`ray.init(num_cpus={CPUS_LO})` vs `ray.init(num_cpus={CPUS_HI})` "
         "(N vs 4N substitute, BASELINE.md section 3; legs keep headroom "
         "below the 32 host cores so the ratio measures the engine, not "
-        "whole-box saturation; best of 2 runs per leg against +-20% "
-        "shared-VM noise).\n\n"
+        f"whole-box saturation; best of {RUNS_LO}/{RUNS_HI} runs per leg "
+        "against +-20% shared-VM noise).\n\n"
         f"| metric | {CPUS_LO} cpus | {CPUS_HI} cpus |\n|---|---|---|\n"
         f"| wall sec | {lo['value']} | {hi['value']} |\n"
         f"| docs/sec | {r_lo} | {r_hi} |\n"
         f"| OCR pages/sec | {lo['ocr_pages_per_sec']} | {hi['ocr_pages_per_sec']} |\n\n"
-        f"docs = {lo['n_docs']} (sf={lo['sf']}, repeat={REPEAT}, mix={MIX}, best of 2 runs/leg); "
+        f"docs = {lo['n_docs']} (sf={lo['sf']}, repeat={REPEAT}, mix={MIX}, "
+        f"best of {RUNS_LO}(lo)/{RUNS_HI}(hi) runs per leg); "
         f"**scaling efficiency = {result['value']}** "
         f"(requirement: >= 0.8)\n"
     )

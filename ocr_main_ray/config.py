@@ -74,6 +74,16 @@ class PipelineConfig:
         return cls(**table[profile])
 
 
+def cluster_cpus(default: int = 8) -> int:
+    """CPU count of the live Ray cluster (single definition for every stage
+    that sizes pools/buckets off it)."""
+    import ray
+
+    if ray.is_initialized():
+        return int(ray.cluster_resources().get("CPU", default))
+    return default
+
+
 class ConfigurationError(ValueError):
     """Unknown engine / profile (parity: adapter_factory.py:35 raises on
     unknown engine_type; domain/exceptions.py taxonomy)."""

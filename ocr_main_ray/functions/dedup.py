@@ -47,20 +47,23 @@ def jaccard(a: set[int], b: set[int]) -> float:
 class MinHasher:
     """num_perm universal-hash permutations h_i(x) = (a_i*x + b_i) mod p.
 
-    Parameters derive from a fixed seed — signatures are reproducible
-    across actors and processes."""
+    a_i, b_i are drawn below 2^32 and shingle ids are crc32 (< 2^32), so
+    a_i*x + b_i < 2^64 fits uint64 EXACTLY — no silent wraparound — and the
+    mod-p reduction is the true universal-hash family the LSH band
+    probability math (1-(1-j^r)^b) assumes.  Parameters derive from a fixed
+    seed — signatures are reproducible across actors and processes."""
 
     def __init__(self, num_perm: int = 128, seed: int = 42):
         rng = np.random.RandomState(seed)
         self.num_perm = num_perm
-        self.a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
-        self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+        self.a = rng.randint(1, 2 ** 32, size=num_perm, dtype=np.int64).astype(np.uint64)
+        self.b = rng.randint(0, 2 ** 32, size=num_perm, dtype=np.int64).astype(np.uint64)
 
     def signature(self, sh: set[int]) -> np.ndarray:
         if not sh:
             return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
         x = np.fromiter(sh, dtype=np.uint64, count=len(sh))
-        # (P, S) = a[:,None]*x[None,:] + b ; mod 2^61-1 via uint64 arithmetic
+        # (P, S): a < 2^32 and x < 2^32 -> a*x + b < 2^64, exact in uint64
         prod = (self.a[:, None] * x[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
         return prod.min(axis=1)
 

@@ -160,7 +160,7 @@ def ivf_knn(ds, index: IVFIndex, query: np.ndarray, k: int = 10,
         lambda t: t.filter(pc.is_in(t.column("ivf_list"),
                                     value_set=pa.array(sorted(lists), pa.int32()))),
         batch_format="pyarrow",
-    )
+    ).materialize()  # count + scan would otherwise re-run the lineage twice
     total = ds.count()
     scanned = cand.count()
     out = knn_topk(cand, np.atleast_2d(query), k=k)

@@ -161,7 +161,9 @@ def extract_dataset(ds: "ray.data.Dataset", config: PipelineConfig | None = None
         ds = dedup_by_url(ds)
     if stop_after == "dedup":
         return ds
-    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    from ..config import cluster_cpus
+
+    cpus = cluster_cpus()
     # split dedup output into many small blocks (metadata-only, no shuffle):
     # breaks operator fusion with the per-bucket dedup so the heavy dispatch
     # stage gets fine-grained tasks that rebalance across the actor pool
@@ -223,8 +225,10 @@ def extract_run(ds: "ray.data.Dataset", config: PipelineConfig | None = None,
             return ExtractDispatch(config)(batch)
 
         return staged.map_batches(dispatch, batch_format="pyarrow", batch_size=16)
-    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    pool = max(2, cpus - max(2, cpus // 5))
+    from ..config import cluster_cpus
+
+    pool_cpus = cluster_cpus()
+    pool = max(2, pool_cpus - max(2, pool_cpus // 5))
     return staged.map_batches(
         ExtractDispatch,
         fn_constructor_kwargs={"config": config},

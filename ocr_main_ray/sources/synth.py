@@ -28,6 +28,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..glyphs import normalize_for_scan
+from ..schema import PAGES_SCHEMA
 from .pdfgen import native_pdf, scanned_pdf
 
 _EPOCH = _dt.datetime(2025, 1, 1)
@@ -199,16 +200,6 @@ def _rows_for(key: int, text: str, lang: str, mix: str = "default"):
             rows.append((url, ts0 + _dt.timedelta(days=2), payload, crawler_text, lang))
     return rows
 
-
-PAGES_SCHEMA = pa.schema(
-    [
-        ("url", pa.string()),
-        ("warc_ts", pa.timestamp("us")),
-        ("html", pa.large_binary()),
-        ("text", pa.string()),
-        ("lang", pa.string()),
-    ]
-)
 
 _LANG_MAP = {"es": "spa", "en": "eng", "de": "deu", "fr": "fra", "zh": "zho"}
 

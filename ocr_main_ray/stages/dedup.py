@@ -35,14 +35,28 @@ import ray.data
 
 
 def _keep_first_sorted(tbl: pa.Table) -> pa.Table:
-    """Vectorized keep-first: sort by (url, warc_ts), keep each url run's
-    head.  Pure Arrow — binary payload columns are never copied to Python."""
+    """Vectorized keep-first: sort by (url, warc_ts, payload-crc), keep each
+    url run's head.  The payload crc32 tiebreak makes the winner
+    deterministic even for same-url same-timestamp rows with different
+    bytes (arrow sort is stable, so without it the winner would depend on
+    shuffle arrival order)."""
     if tbl.num_rows <= 1:
         return tbl
-    idx = pc.sort_indices(
-        tbl, sort_keys=[("url", "ascending"), ("warc_ts", "ascending")]
-    )
+    sort_keys = [("url", "ascending"), ("warc_ts", "ascending")]
+    added_tiebreak = False
+    if "html" in tbl.column_names:
+        crcs = np.fromiter(
+            (zlib.crc32(p) if p is not None else 0
+             for p in tbl.column("html").to_pylist()),
+            dtype=np.int64, count=tbl.num_rows,
+        )
+        tbl = tbl.append_column("_payload_crc", pa.array(crcs, pa.int64()))
+        sort_keys.append(("_payload_crc", "ascending"))
+        added_tiebreak = True
+    idx = pc.sort_indices(tbl, sort_keys=sort_keys)
     s = tbl.take(idx)
+    if added_tiebreak:
+        s = s.drop(["_payload_crc"])
     urls = s.column("url")
     first = pc.not_equal(urls.slice(1), urls.slice(0, len(urls) - 1))
     mask = pa.concat_arrays([pa.array([True]), first.combine_chunks()])
@@ -65,8 +79,9 @@ def _dedup_bucket(group: pa.Table) -> pa.Table:
 
 def dedup_by_url(ds: "ray.data.Dataset", num_buckets: int | None = None) -> "ray.data.Dataset":
     if num_buckets is None:
-        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        num_buckets = max(16, cpus * 2)
+        from ..config import cluster_cpus
+
+        num_buckets = max(16, cluster_cpus() * 2)
     ds = ds.map_batches(
         _bucket_batch, fn_kwargs={"num_buckets": num_buckets},
         batch_format="pyarrow", zero_copy_batch=True,

@@ -43,9 +43,21 @@ from .. import __version__
 STAGE_VERSION_SALT = "ocr-main-ray-extract-v1"
 
 
-def stage_version(config: PipelineConfig) -> str:
+def input_fingerprint(pages_dir: str) -> str:
+    """Fingerprint of the input file set (names + sizes): a changed, added
+    or removed input shard must invalidate the staged table and every
+    partition manifest, or a resume run would silently skip new data."""
+    entries = sorted(
+        (p.name, p.stat().st_size)
+        for p in pathlib.Path(pages_dir).glob("*.parquet")
+    )
+    return hashlib.md5(json.dumps(entries).encode()).hexdigest()[:16]
+
+
+def stage_version(config: PipelineConfig, input_fp: str = "") -> str:
     payload = json.dumps({"v": __version__, "salt": STAGE_VERSION_SALT,
-                          "config": asdict(config)}, sort_keys=True, default=str)
+                          "config": asdict(config), "input": input_fp},
+                         sort_keys=True, default=str)
     return hashlib.md5(payload.encode()).hexdigest()[:16]
 
 
@@ -74,7 +86,7 @@ def run_staged(pages_dir: str, out_dir: str,
     manifests = out / "manifests"
     manifests.mkdir(parents=True, exist_ok=True)
     stage_manifest = manifests / "stage.json"
-    version = stage_version(config)
+    version = stage_version(config, input_fingerprint(pages_dir))
     if stage_manifest.exists():
         m = json.loads(stage_manifest.read_text())
         if m.get("stage_version") == version and (out / "staged").exists():
@@ -109,7 +121,7 @@ def run_checkpointed(pages_dir: str, out_dir: str,
     config = config or PipelineConfig()
     out = pathlib.Path(out_dir)
     run_staged(pages_dir, out_dir, config)
-    version = stage_version(config)
+    version = stage_version(config, input_fingerprint(pages_dir))
     manifests = out / "manifests"
     extracted = out / "extracted"
     extracted.mkdir(parents=True, exist_ok=True)
@@ -203,7 +215,7 @@ def _reattach_partition_cols(batch, ct: str, sb: int):
 
 
 def _pool_size():
-    import ray
+    from ..config import cluster_cpus
 
-    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    cpus = cluster_cpus()
     return (min(4, max(2, cpus - 2)), max(4, cpus - 2))

@@ -64,11 +64,37 @@ def test_manifest_lineage_fields(pages_dir, tmp_path_factory):
     out = tmp_path_factory.mktemp("ckpt2")
     cfg = PipelineConfig(ocr_concurrency=2)
     run_checkpointed(str(pages_dir), str(out), cfg)
+    from ocr_main_ray.state.manifest import input_fingerprint
+
     m = json.loads(next((out / "manifests").glob("part-*.json")).read_text())
-    assert m["stage_version"] == stage_version(cfg)
+    assert m["stage_version"] == stage_version(cfg, input_fingerprint(str(pages_dir)))
     assert m["input_files"] and m["row_count"] > 0
     assert "wall_ms" in m and "error_rows" in m
 
 
 def test_stage_version_changes_with_config():
     assert stage_version(PipelineConfig()) != stage_version(PipelineConfig(dpi=600))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_input_change_invalidates_resume(pages_dir, tmp_path_factory):
+    """Adding an input shard after a completed run must reprocess — not
+    silently skip the new data."""
+    import pyarrow.parquet as pq
+
+    from ocr_main_ray.sources.synth import synth_pages
+
+    out = tmp_path_factory.mktemp("ckpt3")
+    cfg = PipelineConfig(ocr_concurrency=2)
+    run_checkpointed(str(pages_dir), str(out), cfg)
+    n1 = pq.read_table(str(out / "extracted")).num_rows
+
+    extra = synth_pages(6, offset=5000)
+    pq.write_table(extra, pages_dir / "c.parquet")
+    try:
+        summary = run_checkpointed(str(pages_dir), str(out), cfg)
+        assert summary["partitions_skipped"] == 0  # everything invalidated
+        n2 = pq.read_table(str(out / "extracted")).num_rows
+        assert n2 > n1
+    finally:
+        (pages_dir / "c.parquet").unlink()
