@@ -292,12 +292,16 @@ def _hourly_partial(batch: pa.Table) -> pa.Table:
 def q_events_hourly(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
     partials = ds.map_batches(_hourly_partial, batch_format="pyarrow")
-    return (
+    out = (
         partials.groupby("hour")
         .aggregate(Sum("p_cents", alias_name="total_value_cents"),
                    Sum("p_n", alias_name="n_events"))
         .to_pandas()
     )
+    # Ray's aggregate path downcasts hour-aligned timestamps to [s]; the
+    # oracle's date_trunc emits timestamp[us] — pin the unit for the typed hash
+    out["hour"] = out["hour"].astype("datetime64[us]")
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -773,12 +777,15 @@ QUERIES = {
 
 ORACLE_SQL = {
     "doc_count": "SELECT count(*) AS n FROM documents",
-    "doc_chars_sum": "SELECT sum(n_chars) AS total_chars FROM documents",
+    # every integer sum is CAST to BIGINT: DuckDB's sum(BIGINT) returns
+    # HUGEINT/decimal128 while the Ray side emits int64 — values equal, the
+    # driver's typed value-hash not (round-1 verdict root cause).
+    "doc_chars_sum": "SELECT CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents",
     "doc_chars_avg": (
         "SELECT CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars FROM documents"
     ),
     "summary_by_lang": (
-        "SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars, "
+        "SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars, "
         "CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars "
         "FROM documents GROUP BY lang"
     ),
@@ -812,25 +819,25 @@ ORACLE_SQL = {
         "FROM documents"
     ),
     "events_by_type": (
-        "SELECT event_type, sum(CAST(round(value * 100) AS BIGINT)) AS total_value_cents, "
+        "SELECT event_type, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_value_cents, "
         "count(*) AS n_events FROM events GROUP BY event_type"
     ),
     "pricing_summary": (
         "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, "
-        "sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents, "
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents, "
         "count(*) AS n, sum(l_quantity) / count(*) AS avg_qty "
         "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
         "GROUP BY l_returnflag, l_linestatus"
     ),
     "revenue_by_segment": (
-        "SELECT c_mktsegment, sum(CAST(round(o_totalprice * 100) AS BIGINT)) "
+        "SELECT c_mktsegment, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
         "AS total_revenue_cents, count(*) AS n_orders "
         "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
         "GROUP BY c_mktsegment"
     ),
     "revenue_by_priority": (
         "SELECT o_orderpriority, "
-        "sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS revenue_cents, "
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents, "
         "count(*) AS n_items "
         "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
         "GROUP BY o_orderpriority"
@@ -843,7 +850,7 @@ ORACLE_SQL = {
         "y AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts "
         "ROWS UNBOUNDED PRECEDING) AS sid FROM x) "
         "SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, "
-        "count(*) AS n_events, sum(cents) AS value_cents "
+        "count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS value_cents "
         "FROM y GROUP BY user_id, sid"
     ),
     "events_asof_orders": (
@@ -855,7 +862,7 @@ ORACLE_SQL = {
     ),
     "events_hourly": (
         "SELECT date_trunc('hour', ts) AS hour, "
-        "sum(CAST(round(value * 100) AS BIGINT)) AS total_value_cents, "
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_value_cents, "
         "count(*) AS n_events FROM events GROUP BY 1"
     ),
     "quality_scores": (

@@ -1,8 +1,14 @@
 """Local replica of the driver's oracle gate: run every queries() entry and
-compare against oracle_sql() via DuckDB (row count + schema + values)."""
+compare against oracle_sql() via DuckDB (row count + schema + typed values).
+
+The comparison is Arrow-TYPE-strict: round 1 shipped 8 queries whose values
+matched but whose oracle emitted decimal128 (DuckDB sum(BIGINT)) against our
+int64 — the driver's typed value-hash flagged them while a dtype-lax pandas
+compare stayed green.  Never weaken this back to check_dtype=False."""
 import duckdb
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pytest
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -18,9 +24,21 @@ def _to_pandas(obj):
     return obj.to_pandas()  # ray Dataset
 
 
-def _normalize(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)]
-    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+def _to_arrow(obj) -> pa.Table:
+    if isinstance(obj, pa.Table):
+        return obj
+    if isinstance(obj, pd.DataFrame):
+        return pa.Table.from_pandas(obj, preserve_index=False)
+    # ray Dataset
+    return pa.concat_tables(
+        obj.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+
+
+def _normalize_arrow(t: pa.Table) -> pa.Table:
+    t = t.select(sorted(t.column_names))
+    keys = [(c, "ascending") for c in t.column_names
+            if not pa.types.is_nested(t.schema.field(c).type)]
+    return t.take(pc.sort_indices(t, sort_keys=keys)) if keys else t
 
 
 @pytest.fixture(scope="module")
@@ -47,25 +65,24 @@ def test_queries_match_oracle(contract, oracle_con):
     queries, oracles = contract
     failures = []
     for name, sql in oracles.items():
-        got = _normalize(_to_pandas(queries[name](SF_DIR)))
-        exp = _normalize(oracle_con.execute(sql).fetchdf())
-        if list(got.columns) != list(exp.columns):
-            failures.append(f"{name}: columns {list(got.columns)} != {list(exp.columns)}")
+        got = _normalize_arrow(_to_arrow(queries[name](SF_DIR)))
+        exp = _normalize_arrow(oracle_con.execute(sql).arrow())
+        if got.column_names != exp.column_names:
+            failures.append(
+                f"{name}: columns {got.column_names} != {exp.column_names}")
             continue
-        if len(got) != len(exp):
-            failures.append(f"{name}: rows {len(got)} != {len(exp)}")
+        if got.num_rows != exp.num_rows:
+            failures.append(f"{name}: rows {got.num_rows} != {exp.num_rows}")
             continue
-        for col in got.columns:
-            a, b = got[col], exp[col].astype(got[col].dtype, errors="ignore") \
-                if hasattr(exp[col], "astype") else exp[col]
-            try:
-                pd.testing.assert_series_equal(
-                    got[col], exp[col], check_dtype=False, check_names=False,
-                    check_exact=True,
-                )
-            except AssertionError:
-                failures.append(f"{name}: column {col} values differ")
-                break
+        if not got.schema.equals(exp.schema):
+            diff = [f"{a.name}: {a.type} vs {b.type}"
+                    for a, b in zip(got.schema, exp.schema) if a.type != b.type]
+            failures.append(f"{name}: schema types differ ({'; '.join(diff)})")
+            continue
+        if not got.equals(exp):
+            bad = [c for c in got.column_names
+                   if not got.column(c).equals(exp.column(c))]
+            failures.append(f"{name}: values differ in columns {bad}")
     assert failures == [], "\n".join(failures)
 
 
