@@ -512,26 +512,21 @@ def q_fingerprints(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 def q_minhash_near_dups(sf_dir: str):
-    """MinHash-LSH candidates -> exact-Jaccard verified pairs (j >= 0.5).
-    128 perms, 32 bands x 4 rows: P(candidate | j=0.5) ~ 0.87."""
-    import pyarrow.parquet as pq
-
-    from ..functions.dedup import minhash_candidate_pairs, verify_jaccard_pairs
+    """MinHash-LSH candidates -> DISTRIBUTED exact-Jaccard verification
+    (j >= 0.5).  128 perms, 32 bands x 4 rows: P(candidate | j=0.5) ~ 0.87.
+    Verification joins candidate pairs back to shingle sets (broadcast
+    semi-join prune + hash join) — no driver-side text materialization."""
+    from ..functions.dedup import minhash_candidate_pairs, verify_pairs_distributed
 
     ds = _docs(sf_dir, ["doc_id", "text"])
-    cand = minhash_candidate_pairs(ds, num_perm=128, bands=32).to_pandas()
-    texts = dict(zip(*[
-        pq.read_table(f"{sf_dir}/documents.parquet",
-                      columns=["doc_id", "text"]).column(c).to_pylist()
-        for c in ("doc_id", "text")
-    ]))
-    verified = verify_jaccard_pairs(
-        cand[["a", "b"]].itertuples(index=False), texts, threshold=0.5
-    )
-    return pa.table({
-        "a": pa.array([v[0] for v in verified], pa.int64()),
-        "b": pa.array([v[1] for v in verified], pa.int64()),
-    })
+    cand = minhash_candidate_pairs(ds, num_perm=128, bands=32)
+    verified = verify_pairs_distributed(cand, _docs(sf_dir, ["doc_id", "text"]),
+                                        threshold=0.5)
+    out = pa.concat_tables(
+        verified.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    out = out.select(["a", "b"])
+    return out.take(pc.sort_indices(out, sort_keys=[("a", "ascending"),
+                                                    ("b", "ascending")]))
 
 
 def q_ngram_jaccard_pairs(sf_dir: str):

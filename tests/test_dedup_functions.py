@@ -58,6 +58,47 @@ def test_minhash_lsh_finds_near_dups():
     assert any(p in found for p in [(1, 101), (100, 101)])
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_distributed_verify_matches_oracle():
+    """verify_pairs_distributed == verify_jaccard_pairs on the planted-dup
+    corpus (round-1 verdict fix #2: no driver text dict)."""
+    from ocr_main_ray.functions.dedup import verify_pairs_distributed
+
+    texts = {i: _doc(i, mutate=30) for i in range(20)}
+    texts[100] = _doc(1, mutate=30)
+    texts[101] = texts[1][: len(texts[1]) * 9 // 10]
+    tbl = pa.table({"doc_id": pa.array(list(texts), pa.int64()),
+                    "text": pa.array(list(texts.values()), pa.string())})
+    ds = rd.from_arrow(tbl).repartition(4)
+    cand = minhash_candidate_pairs(ds, num_perm=128, bands=32)
+    cand_df = cand.to_pandas()
+    expect = {(a, b) for a, b, _ in verify_jaccard_pairs(
+        cand_df[["a", "b"]].itertuples(index=False), texts, threshold=0.5)}
+    got_tbl = pa.concat_tables(
+        verify_pairs_distributed(cand, rd.from_arrow(tbl).repartition(4),
+                                 threshold=0.5, num_partitions=4)
+        .iter_batches(batch_size=4096, batch_format="pyarrow"))
+    got = set(zip(got_tbl.column("a").to_pylist(), got_tbl.column("b").to_pylist()))
+    assert got == expect
+    assert (1, 100) in got
+
+
+def test_bucket_pairs_caps_degenerate_bucket():
+    """A boilerplate-identical bucket must not go O(n^2): above the cap the
+    bucket emits star pairs around the min id."""
+    from ocr_main_ray.functions.dedup import _bucket_pairs
+
+    n = 40
+    group = pa.table({"doc_id": pa.array(list(range(n)), pa.int64()),
+                      "band_key": pa.array([7] * n, pa.int64())})
+    full = _bucket_pairs(group, max_bucket_docs=64)
+    assert full.num_rows == n * (n - 1) // 2
+    capped = _bucket_pairs(group, max_bucket_docs=16)
+    assert capped.num_rows == n - 1
+    assert set(capped.column("a").to_pylist()) == {0}   # hub = min id
+    assert capped.column("b").to_pylist() == list(range(1, n))
+
+
 def test_simhash_hamming():
     s1 = simhash(_doc(1))
     s2 = simhash(_doc(1, mutate=2))   # 2 token change
