@@ -597,31 +597,51 @@ def q_embedding_knn(sf_dir: str):
 
 def q_embedding_ivf_knn(sf_dir: str):
     """Approximate top-10 via the IVF index (the ANN scale path): probes 8
-    of 16 k-means lists instead of scanning everything.  Rows-only —
-    approximate membership is engine-specific by design."""
+    of 16 k-means lists instead of scanning everything.  The quantizer is
+    trained on a BOUNDED deterministic sample (never the full table on the
+    driver).  Rows-only — approximate membership is engine-specific by
+    design."""
     import pyarrow.parquet as pq
 
-    from ..functions.similarity import IVFIndex, ivf_knn
+    from ..functions.similarity import ivf_knn, train_ivf_from_dataset
 
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                        columns=["vec_id", "embedding"])
-    m = np.stack([np.asarray(v, dtype=np.float64)
-                  for v in tbl.column("embedding").to_pylist()])
-    idx = IVFIndex(m, n_lists=16)
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
-    out, frac = ivf_knn(ds, idx, m[0], k=10, nprobe=8)
+    idx = train_ivf_from_dataset(ds, n_lists=16, sample_size=4096)
+    q0 = np.asarray(
+        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .filter(pc.equal(pc.field("vec_id"), 0)).column("embedding").to_pylist()[0]
+    )
+    out, frac = ivf_knn(ds, idx, q0, k=10, nprobe=8)
     res = out[["vec_id"]].astype("int64")
     res["scanned_fraction"] = round(float(frac), 4)
     return res
 
 
 def q_embedding_near_dups(sf_dir: str):
-    """All pairs with cosine >= 0.45 (ids only, see q_embedding_knn)."""
+    """All pairs with cosine >= 0.45 (ids only, see q_embedding_knn).
+    EXACT, computed distributed: one Ray task per block pair over
+    materialized normalized blocks — the driver handles only ObjectRefs."""
     from ..functions.similarity import embedding_near_dup_pairs
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return embedding_near_dup_pairs(ds, threshold=0.45).select(["a", "b"])
+
+
+def q_embedding_near_dups_lsh(sf_dir: str):
+    """Bucketed near-dup pairs — the 100-TB path: L=16 hyperplane tables of
+    k=2 planes, within-bucket exact cosine, groupby dedup.  Same pair set
+    as the exact query on this corpus (asserted in tests); rows-only here
+    because LSH membership is probabilistic by construction."""
+    from ..functions.similarity import embedding_near_dup_pairs_lsh
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = embedding_near_dup_pairs_lsh(ds, dim=64, threshold=0.45, k=2, L=16)
+    tbl = pa.concat_tables(
+        out.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    tbl = tbl.select(["a", "b"])
+    return tbl.take(pc.sort_indices(tbl, sort_keys=[("a", "ascending"),
+                                                    ("b", "ascending")]))
 
 
 # ---------------------------------------------------------------------------
@@ -768,6 +788,7 @@ QUERIES = {
     "embedding_knn": q_embedding_knn,
     "embedding_ivf_knn": q_embedding_ivf_knn,
     "embedding_near_dups": q_embedding_near_dups,
+    "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
 }
 
 ORACLE_SQL = {

@@ -146,6 +146,55 @@ def test_embedding_near_dups_and_lsh():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_lsh_bucketed_near_dups_match_exact():
+    """The bucketed (scale-path) variant finds the same pair set as the
+    exact distributed all-pairs on the real test embeddings — including the
+    low-cos (~0.45) pairs, which need k=2/L=16 for collision probability."""
+    from ocr_main_ray.functions.similarity import (embedding_near_dup_pairs,
+                                                   embedding_near_dup_pairs_lsh)
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    exact = embedding_near_dup_pairs(ds, threshold=0.45)
+    expect = set(zip(exact.column("a").to_pylist(), exact.column("b").to_pylist()))
+    assert expect, "fixture should contain planted near-dups"
+    lsh_tbl = pa.concat_tables(
+        embedding_near_dup_pairs_lsh(
+            rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                            columns=["vec_id", "embedding"]),
+            dim=64, threshold=0.45, k=2, L=16)
+        .iter_batches(batch_size=4096, batch_format="pyarrow"))
+    got = set(zip(lsh_tbl.column("a").to_pylist(), lsh_tbl.column("b").to_pylist()))
+    assert got == expect
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ivf_sampled_training():
+    """IVF trained on a bounded sample is deterministic and still routes the
+    query's own vector correctly (no full-table driver read)."""
+    from ocr_main_ray.functions.similarity import (ivf_knn,
+                                                   train_ivf_from_dataset)
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    idx1 = train_ivf_from_dataset(ds, n_lists=8, sample_size=128)
+    idx2 = train_ivf_from_dataset(
+        rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                        columns=["vec_id", "embedding"]).repartition(7),
+        n_lists=8, sample_size=128)
+    assert np.allclose(idx1.centroids, idx2.centroids)  # block-order independent
+    assert len(idx1.centroids) == 8
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+    q0 = np.asarray(pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+                    .filter(pc.equal(pc.field("vec_id"), 0))
+                    .column("embedding").to_pylist()[0])
+    out, frac = ivf_knn(ds, idx1, q0, k=5, nprobe=4)
+    assert 0 in set(out["vec_id"])
+    assert frac < 1.0
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_ivf_knn_recall():
     from ocr_main_ray.functions.similarity import IVFIndex, ivf_knn
 
