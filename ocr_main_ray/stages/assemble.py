@@ -22,18 +22,25 @@ import json
 
 
 def format_text_structure(text: str) -> str:
-    """B9 — the quirky heading formatter."""
-    paragraphs = text.split("\n\n")
+    """B9 — the quirky heading formatter, bug-for-bug with the reference's
+    _format_text_content (markdown_generator.py:78-100):
+
+    - empty / whitespace-only text -> the literal placeholder;
+    - the WHOLE text is stripped once, then split on "\\n\\n";
+    - each paragraph is kept if it strips non-empty but is tested and
+      emitted UNSTRIPPED — so "  SHORT CAPS" is NOT a heading (leading
+      space) and surrounding whitespace counts toward the <100 length."""
+    if not text or not text.strip():
+        return "*(No se extrajo texto del documento)*\n\n"
+    paragraphs = text.strip().split("\n\n")
     out = []
     for p in paragraphs:
-        p = p.strip()
-        if not p:
-            continue
-        if len(p) < 100 and p.isupper() and not p.startswith(" "):
-            out.append(f"### {p}")
-        else:
-            out.append(p)
-    return "\n\n".join(out) + "\n\n" if out else ""
+        if p.strip():
+            if len(p) < 100 and p.isupper() and not p.startswith(" "):
+                out.append(f"### {p}")
+            else:
+                out.append(p)
+    return "\n\n".join(out) + "\n\n"
 
 
 def table_to_markdown(table: dict) -> str:

@@ -16,17 +16,46 @@ def test_heading_rule_quirk():
     assert blocks[3] == "MIXED Case Not Upper"
 
 
-def test_heading_rule_leading_space():
-    # paragraphs are stripped first; the startswith-space check then never
-    # fires on the stripped text — reference order preserved (strip, test)
-    out = format_text_structure("  SPACED HEADING")
-    assert out == "### SPACED HEADING\n\n"
+def _middle(p: str) -> str:
+    """Run a paragraph through the formatter in MIDDLE position, where the
+    reference's whole-text strip cannot touch it."""
+    out = format_text_structure(f"start para\n\n{p}\n\nend para")
+    return out.split("\n\n")[1]
 
 
-def test_trailing_join():
+def test_heading_rule_truth_table():
+    """Truth table transcribing the reference's _format_text_content branch
+    conditions (markdown_generator.py:86-100): the paragraph is tested and
+    emitted UNSTRIPPED — only the whole text is stripped once."""
+    cases = [
+        ("CAPS", "### CAPS"),                      # <100, upper, no lead space
+        ("  SPACED CAPS", "  SPACED CAPS"),        # leading space -> no heading
+        ("X" * 99, "### " + "X" * 99),             # 99 < 100 -> heading
+        ("X" * 100, "X" * 100),                    # 100: not < 100
+        ("X" * 98 + "  ", "X" * 98 + "  "),        # UNSTRIPPED len 100 -> no
+        ("Mixed Case", "Mixed Case"),              # not isupper
+        ("CAPS WITH 123", "### CAPS WITH 123"),    # digits don't break isupper
+    ]
+    for p, expect in cases:
+        assert _middle(p) == expect, repr(p)
+
+
+def test_heading_rule_outer_strip():
+    # the reference strips the WHOLE text before splitting, so a single
+    # leading-space paragraph IS a heading (the spaces are gone)...
+    assert format_text_structure("  SPACED HEADING") == "### SPACED HEADING\n\n"
+    # ...but a middle paragraph keeps its spaces and is NOT one
+    assert _middle("  SPACED HEADING") == "  SPACED HEADING"
+
+
+def test_trailing_join_and_placeholder():
     assert format_text_structure("a b c") == "a b c\n\n"
-    assert format_text_structure("") == ""
-    assert format_text_structure("\n\n\n\n") == ""
+    # empty / whitespace-only -> the reference's literal placeholder
+    # (markdown_generator.py:80-81)
+    placeholder = "*(No se extrajo texto del documento)*\n\n"
+    assert format_text_structure("") == placeholder
+    assert format_text_structure("\n\n\n\n") == placeholder
+    assert format_text_structure("   ") == placeholder
 
 
 def test_pairwise_average_quirk():
