@@ -51,16 +51,44 @@ def _spans_for_pages(pages: list[str]) -> list[dict]:
 
 
 class ExtractDispatch:
-    """Stateful dispatch stage: one engine pair per actor, built once in
-    __init__ (F1 — the reference builds its adapters once per run via
-    AdapterFactory, adapter_factory.py:23-35)."""
+    """Stateful dispatch stage: engines built once per actor in __init__
+    (F1 — the reference builds its adapters once per run via AdapterFactory,
+    adapter_factory.py:23-35), plus a lazy cache of per-auto-config engine
+    variants (C2: the per-PDFType flags/dpi table).
+
+    Routing contract: the native-vs-OCR FORK follows the C4 first-page-text
+    probe (content_type) — the router the reference's live code paths
+    actually reach (routers/files.py:85-96).  The C1 5-class PDFType and its
+    C2 auto-config drive (a) the preprocessing flags + dpi of the OCR route
+    and (b) the pdf_type/strategy/dpi/engine metadata columns — mirroring
+    the reference, where the auto-detected engine recommendation is logged
+    but the pre-built processor's route wins (documents.py:227-239)."""
 
     def __init__(self, config: PipelineConfig | None = None):
         self.config = config or PipelineConfig()
         self.basic_engine = DeterministicEngine(self.config, ENGINE_BASIC)
         self.opencv_engine = DeterministicEngine(self.config, ENGINE_OPENCV)
+        self._auto_engines: dict[tuple, DeterministicEngine] = {}
+
+    def _engine_for(self, auto: dict) -> DeterministicEngine:
+        """Engine variant for a C2 auto-config row (cached per actor)."""
+        key = (auto["engine_type"], auto["dpi"], auto["deskew"],
+               auto["denoise"], auto["contrast"])
+        eng = self._auto_engines.get(key)
+        if eng is None:
+            import dataclasses
+            cfg = dataclasses.replace(
+                self.config, dpi=auto["dpi"], deskew=auto["deskew"],
+                denoise=auto["denoise"], enhance_contrast=auto["contrast"],
+                engine_type=auto["engine_type"])
+            eng = DeterministicEngine(cfg, auto["engine_type"])
+            self._auto_engines[key] = eng
+        return eng
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..stages.sniff import (classify_from_metrics, get_optimal_config,
+                                    pdf_metrics_from_parsed)
+
         urls = batch.column("url").to_pylist()
         tss = batch.column("warc_ts").to_pylist()
         langs = batch.column("lang").to_pylist()
@@ -71,10 +99,13 @@ class ExtractDispatch:
         payloads = batch.column("html").to_pylist()
 
         out = {k: [] for k in ("extracted_text", "span_offsets", "n_pages",
-                               "processing_ms", "engine", "error")}
+                               "processing_ms", "engine", "error",
+                               "pdf_type", "strategy", "dpi")}
         for ct, payload, err in zip(ctypes, payloads, errors):
             t0 = time.perf_counter()
             text, spans, n_pages, engine, row_err = "", [], 0, ENGINE_BASIC, err
+            pdf_type = strategy = None
+            dpi = None
             try:
                 if ct == CT_HTML:
                     blocks = extract_main_blocks(payload)
@@ -88,12 +119,23 @@ class ExtractDispatch:
                     n_pages = 1
                 elif ct == CT_PDF_NATIVE:
                     pages = pdf_native.extract_page_texts(payload)
+                    images = pdf_native.extract_page_images(payload)
+                    pdf_type = classify_from_metrics(
+                        pdf_metrics_from_parsed(pages, images, payload))
+                    auto = get_optimal_config(pdf_type)
+                    strategy, dpi = auto["strategy"], auto["dpi"]
                     text = PAGE_JOIN.join(pages)
                     spans = _spans_for_pages(pages)
                     n_pages = len(pages)
                 elif ct == CT_PDF_SCANNED:
-                    engine = ENGINE_OPENCV  # C5: scanned -> opencv
-                    pages = self.opencv_engine.extract_pages(payload)
+                    pages_txt = pdf_native.extract_page_texts(payload)
+                    images = pdf_native.extract_page_images(payload)
+                    pdf_type = classify_from_metrics(
+                        pdf_metrics_from_parsed(pages_txt, images, payload))
+                    auto = get_optimal_config(pdf_type)
+                    strategy, dpi = auto["strategy"], auto["dpi"]
+                    engine = auto["engine_type"]   # C5/C2: scanned -> opencv
+                    pages = self._engine_for(auto).extract_pages(payload)
                     text = PAGE_JOIN.join(pages)
                     spans = _spans_for_pages(pages)
                     n_pages = len(pages)
@@ -107,6 +149,9 @@ class ExtractDispatch:
             out["processing_ms"].append((time.perf_counter() - t0) * 1000.0)
             out["engine"].append(engine)
             out["error"].append(row_err)
+            out["pdf_type"].append(pdf_type)
+            out["strategy"].append(strategy)
+            out["dpi"].append(dpi)
 
         texts = out["extracted_text"]
         return pa.table(
@@ -124,6 +169,9 @@ class ExtractDispatch:
                 "text_length": pa.array([len(t) for t in texts], pa.int64()),
                 "processing_ms": pa.array(out["processing_ms"], pa.float64()),
                 "engine": pa.array(out["engine"], pa.string()),
+                "pdf_type": pa.array(out["pdf_type"], pa.string()),
+                "strategy": pa.array(out["strategy"], pa.string()),
+                "dpi": pa.array(out["dpi"], pa.int32()),
                 "size_bytes": pa.array(sizes, pa.int64()),
                 "size_bucket": pa.array(buckets, pa.int32()),
                 # B2 enhanced metrics (use_cases.py:131,189-198): MB size,

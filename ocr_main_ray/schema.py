@@ -32,6 +32,11 @@ EXTRACTED_SCHEMA = pa.schema(
         ("text_length", pa.int64()),
         ("processing_ms", pa.float64()),
         ("engine", pa.string()),
+        # C1/C2 routing metadata (null for non-PDF rows): the 5-class
+        # PDFType, the auto-config strategy name, and the config-table dpi
+        ("pdf_type", pa.string()),
+        ("strategy", pa.string()),
+        ("dpi", pa.int32()),
         ("size_bytes", pa.int64()),
         ("size_bucket", pa.int32()),
         ("file_size_mb", pa.float64()),

@@ -110,10 +110,10 @@ PDF_TYPE_IMAGE_HEAVY = "image_heavy"
 PDF_TYPE_MIXED = "mixed"
 
 
-def pdf_metrics(data: bytes) -> dict:
-    texts = pdf_native.extract_page_texts(data)
-    images = pdf_native.extract_page_images(data)
-    n_pages = max(len(texts), 1)
+def pdf_metrics_from_parsed(texts: list[str], images: list, data: bytes) -> dict:
+    """Metrics from pre-parsed page texts/images — lets the dispatch stage
+    classify without re-parsing the document it already parsed."""
+    n_pages = max(len(texts), len(images), 1)
     text_pages = sum(1 for t in texts if t.strip())
     total_text = sum(len(t) for t in texts)
     n_images = sum(1 for im in images if im is not None)
@@ -128,9 +128,18 @@ def pdf_metrics(data: bytes) -> dict:
     }
 
 
+def pdf_metrics(data: bytes) -> dict:
+    return pdf_metrics_from_parsed(
+        pdf_native.extract_page_texts(data),
+        pdf_native.extract_page_images(data), data)
+
+
 def classify_pdf_type(data: bytes) -> str:
     """Rule order and thresholds mirror pdf_analyzer.py:96-122."""
-    m = pdf_metrics(data)
+    return classify_from_metrics(pdf_metrics(data))
+
+
+def classify_from_metrics(m: dict) -> str:
     pages = m["n_pages"]
     img_ratio = m["n_images"] / pages
     table_ratio = m["n_tables"] / pages
@@ -152,3 +161,38 @@ def recommend_engine(pdf_type: str) -> tuple[str, int]:
     if pdf_type in (PDF_TYPE_SCANNED, CT_PDF_SCANNED):
         return "opencv", 300
     return "basic", 150
+
+
+# ---------------------------------------------------------------------------
+# C2 — the full per-PDFType auto-config table (pdf_analyzer.py:124-176),
+# value-for-value.  strategy names are the reference's; unknown types fall
+# back to the MIXED entry exactly like configs.get(pdf_type, configs[MIXED]).
+# ---------------------------------------------------------------------------
+
+AUTO_CONFIGS = {
+    PDF_TYPE_SCANNED: {
+        "engine_type": "opencv", "deskew": True, "denoise": True,
+        "contrast": True, "dpi": 300, "strategy": "full_ocr",
+    },
+    PDF_TYPE_NATIVE: {
+        "engine_type": "basic", "deskew": False, "denoise": False,
+        "contrast": False, "dpi": 150, "strategy": "text_extraction",
+    },
+    PDF_TYPE_MIXED: {
+        "engine_type": "opencv", "deskew": True, "denoise": False,
+        "contrast": True, "dpi": 250, "strategy": "hybrid",
+    },
+    PDF_TYPE_TABLE_HEAVY: {
+        "engine_type": "opencv", "deskew": False, "denoise": True,
+        "contrast": True, "dpi": 300, "strategy": "table_focused",
+    },
+    PDF_TYPE_IMAGE_HEAVY: {
+        "engine_type": "opencv", "deskew": True, "denoise": True,
+        "contrast": True, "dpi": 300, "strategy": "image_focused",
+    },
+}
+
+
+def get_optimal_config(pdf_type: str) -> dict:
+    """C2 (pdf_analyzer.py:124-176): per-type engine/flags/dpi/strategy."""
+    return AUTO_CONFIGS.get(pdf_type, AUTO_CONFIGS[PDF_TYPE_MIXED])

@@ -83,3 +83,62 @@ def test_recommend_engine():
     assert sniff.recommend_engine("scanned") == ("opencv", 300)
     assert sniff.recommend_engine("pdf_scanned") == ("opencv", 300)
     assert sniff.recommend_engine("native_text") == ("basic", 150)
+
+
+def test_auto_config_table():
+    """C2 parity: per-PDFType engine/flags/dpi/strategy value-for-value
+    (pdf_analyzer.py:124-176), unknown types fall back to MIXED."""
+    assert sniff.get_optimal_config("scanned") == {
+        "engine_type": "opencv", "deskew": True, "denoise": True,
+        "contrast": True, "dpi": 300, "strategy": "full_ocr"}
+    assert sniff.get_optimal_config("native_text") == {
+        "engine_type": "basic", "deskew": False, "denoise": False,
+        "contrast": False, "dpi": 150, "strategy": "text_extraction"}
+    assert sniff.get_optimal_config("mixed")["strategy"] == "hybrid"
+    assert sniff.get_optimal_config("mixed")["dpi"] == 250
+    assert sniff.get_optimal_config("mixed")["denoise"] is False
+    assert sniff.get_optimal_config("table_heavy")["deskew"] is False
+    assert sniff.get_optimal_config("image_heavy")["strategy"] == "image_focused"
+    # reference: configs.get(pdf_type, configs[PDFType.MIXED])
+    assert sniff.get_optimal_config("nonsense") == sniff.get_optimal_config("mixed")
+
+
+import pytest
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dispatch_reflects_auto_config():
+    """C1/C2 wired into ExtractDispatch: pdf_type/strategy/dpi/engine columns
+    come from the classifier + config table, including the MIXED route."""
+    from ocr_main_ray.pipelines.extract import extract_pages_table
+
+    payloads = [
+        native_pdf(["z" * 150, "w" * 150]),          # native_text
+        scanned_pdf(["scan page body text here", "more body text lines"]),  # scanned
+        # >=1024 B (D2 gate), first page strips to <50 chars (C4 -> OCR
+        # route), text_pages=1 of 3 (<0.8) with fonts -> classified MIXED
+        native_pdf(["tiny", " " * 1200, ""]),
+    ]
+    out = extract_pages_table(_pages(payloads), dedup=False).to_pandas()
+    out = out.set_index("url").loc[[f"u{i}" for i in range(3)]]
+
+    assert out.iloc[0]["content_type"] == CT_PDF_NATIVE
+    assert out.iloc[0]["pdf_type"] == "native_text"
+    assert out.iloc[0]["strategy"] == "text_extraction"
+    assert out.iloc[0]["dpi"] == 150
+    assert out.iloc[0]["engine"] == "basic"
+
+    assert out.iloc[1]["content_type"] == CT_PDF_SCANNED
+    assert out.iloc[1]["pdf_type"] == "scanned"
+    assert out.iloc[1]["strategy"] == "full_ocr"
+    assert out.iloc[1]["dpi"] == 300
+    assert out.iloc[1]["engine"] == "opencv"
+    assert len(out.iloc[1]["extracted_text"]) > 0
+
+    # the CT_MIXED route: C4 sends it to the OCR fork, C1 classifies MIXED,
+    # C2's hybrid config (opencv, dpi 250, denoise off) applies
+    assert out.iloc[2]["content_type"] == CT_PDF_SCANNED
+    assert out.iloc[2]["pdf_type"] == "mixed"
+    assert out.iloc[2]["strategy"] == "hybrid"
+    assert out.iloc[2]["dpi"] == 250
+    assert out.iloc[2]["engine"] == "opencv"
