@@ -738,6 +738,44 @@ def q_pdf_classify(sf_dir: str):
     return ds.groupby("pdf_type").aggregate(Count(alias_name="n")).to_pandas()
 
 
+def q_pdf_doc_info(sf_dir: str):
+    """C6 doc-info probe: build info-carrying PDFs from the documents table
+    (deterministic), probe /Title,/Author,/Producer,/CreationDate back out
+    with the fallback-chain parser.  Rows-only: binary round-trip, not SQL."""
+    from ..sources.pdfgen import native_pdf
+    from ..stages.pdf_native import doc_info
+
+    def roundtrip(batch: pa.Table) -> pa.Table:
+        rows = {"doc_id": [], "title": [], "author": [], "producer": [],
+                "page_count": []}
+        for doc_id, lang, text in zip(batch.column("doc_id").to_pylist(),
+                                      batch.column("lang").to_pylist(),
+                                      batch.column("text").to_pylist()):
+            pdf = native_pdf([text[:200] or "x"], info={
+                "Title": f"doc-{doc_id}", "Author": f"author-{lang}",
+                "Producer": "ocr_main_ray",
+                "CreationDate": "D:20250101000000Z"})
+            inf = doc_info(pdf)
+            rows["doc_id"].append(doc_id)
+            rows["title"].append(inf["title"])
+            rows["author"].append(inf["author"])
+            rows["producer"].append(inf["producer"])
+            rows["page_count"].append(inf["page_count"])
+        return pa.table({
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "title": pa.array(rows["title"], pa.string()),
+            "author": pa.array(rows["author"], pa.string()),
+            "producer": pa.array(rows["producer"], pa.string()),
+            "page_count": pa.array(rows["page_count"], pa.int32()),
+        })
+
+    sub = _docs(sf_dir, ["doc_id", "lang", "text"]).map_batches(
+        lambda t: t.filter(pc.less(t.column("doc_id"), 200)),
+        batch_format="pyarrow")
+    out = sub.map_batches(roundtrip, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_pages_sniff_counts(sf_dir: str):
     """Sniff stage only: content_type histogram of the synthetic pages."""
     from ..sources.synth import pages_from_documents
@@ -774,6 +812,7 @@ QUERIES = {
     "pages_sniff_counts": q_pages_sniff_counts,
     "extract_markdown": q_extract_markdown,
     "pdf_classify": q_pdf_classify,
+    "pdf_doc_info": q_pdf_doc_info,
     "events_hourly": q_events_hourly,
     "revenue_by_priority": q_revenue_by_priority,
     "user_sessions": q_user_sessions,

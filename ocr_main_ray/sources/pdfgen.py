@@ -29,9 +29,19 @@ def _escape_pdf_string(s: str) -> bytes:
     return out.encode("latin-1", errors="replace")
 
 
-def _assemble(objects: list[bytes]) -> bytes:
+def _assemble(objects: list[bytes], info: dict | None = None) -> bytes:
     """Number objects 1..n, build xref + trailer. objects[i] is the body
-    (without 'N 0 obj'/'endobj')."""
+    (without 'N 0 obj'/'endobj').  ``info`` (e.g. {"Title": ..., "Author":
+    ...}) appends a document-information dictionary referenced from the
+    trailer's /Info — the C6 probe target.  Default None keeps output bytes
+    identical to pre-info corpora (goldens)."""
+    info_ref = b""
+    if info:
+        fields = b" ".join(
+            b"/" + k.encode("ascii") + b" (" + _escape_pdf_string(v) + b")"
+            for k, v in info.items())
+        objects = objects + [b"<< " + fields + b" >>"]
+        info_ref = b" /Info %d 0 R" % len(objects)
     header = b"%PDF-1.7\n"
     parts = [header]
     offsets = []
@@ -46,15 +56,15 @@ def _assemble(objects: list[bytes]) -> bytes:
     for off in offsets:
         xref.append(b"%010d 00000 n \n" % off)
     trailer = (
-        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-        % (len(objects) + 1, xref_pos)
-    )
+        b"trailer\n<< /Size %d /Root 1 0 R" + info_ref + b" >>\nstartxref\n%d\n%%%%EOF\n"
+    ) % (len(objects) + 1, xref_pos)
     parts.extend(xref)
     parts.append(trailer)
     return b"".join(parts)
 
 
-def native_pdf(pages: list[str], compress: bool = False) -> bytes:
+def native_pdf(pages: list[str], compress: bool = False,
+               info: dict | None = None) -> bytes:
     """Text-layer PDF. Each page string may contain newlines; every line
     becomes ``(line) Tj`` followed by ``T*``."""
     n = len(pages)
@@ -88,10 +98,10 @@ def native_pdf(pages: list[str], compress: bool = False) -> bytes:
             objects.append(
                 b"<< /Length %d >>\nstream\n" % len(stream) + stream + b"\nendstream"
             )
-    return _assemble(objects)
+    return _assemble(objects, info=info)
 
 
-def scanned_pdf(pages: list[str]) -> bytes:
+def scanned_pdf(pages: list[str], info: dict | None = None) -> bytes:
     """Image-only PDF: page text is rasterized with the deterministic glyph
     font and embedded as a FlateDecode DeviceGray image XObject.  The text
     passed in is normalized (glyphs.normalize_for_scan) before rendering —
@@ -124,4 +134,4 @@ def scanned_pdf(pages: list[str]) -> bytes:
             + data
             + b"\nendstream"
         )
-    return _assemble(objects)
+    return _assemble(objects, info=info)

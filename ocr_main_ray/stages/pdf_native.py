@@ -323,3 +323,46 @@ def extract_page_images(data: bytes) -> list[np.ndarray | None]:
                 break
         images.append(img)
     return images
+
+
+# ---------------------------------------------------------------------------
+# C6 — document-information dictionary probe
+# ---------------------------------------------------------------------------
+
+_DOC_INFO_FIELDS = {
+    "Title": "title",
+    "Author": "author",
+    "Creator": "creator",
+    "Producer": "producer",
+    "CreationDate": "creation_date",
+    "ModDate": "modification_date",
+}
+
+
+def doc_info(data: bytes) -> dict:
+    """C6 (reference pdf_info_adapter.py:44-90): probe the trailer's /Info
+    dictionary for /Title /Author /Creator /Producer /CreationDate /ModDate.
+
+    Fallback-chain spirit preserved: any failure (no /Info, unparseable
+    object, non-PDF bytes) degrades to '' fields with the page-count
+    fallback — never an exception."""
+    out = {"page_count": page_count(data)}
+    out.update({v: "" for v in _DOC_INFO_FIELDS.values()})
+    try:
+        m = None
+        for m in re.finditer(rb"/Info\s+(\d+)\s+0\s+R", data):
+            pass  # last match wins (incremental-update PDFs append trailers)
+        if m is None:
+            return out
+        obj = _find_object(data, int(m.group(1)))
+        if obj is None:
+            return out
+        head = obj[0]
+        for key, field in _DOC_INFO_FIELDS.items():
+            km = re.search(rb"/" + key.encode("ascii") + rb"\s*\(", head)
+            if km:
+                s, _ = _read_pdf_string(head, km.end() - 1)
+                out[field] = s
+    except Exception:
+        pass  # reference logs a warning and returns the fallback dict
+    return out

@@ -48,3 +48,37 @@ def test_pdf_string_escapes():
     pages = ["octal \\ and (nested (parens)) ok"]
     data = native_pdf(pages)
     assert P.extract_page_texts(data) == pages
+
+
+def test_doc_info_probe():
+    """C6 parity (pdf_info_adapter.py:44-90): /Info dict fields recovered,
+    '' + page-count fallback on anything else."""
+    from ocr_main_ray.sources.pdfgen import native_pdf, scanned_pdf
+    from ocr_main_ray.stages.pdf_native import doc_info
+
+    p = native_pdf(["body text", "second page"], info={
+        "Title": "A (nested) title", "Author": "Ann", "Creator": "gen",
+        "Producer": "ocr_main_ray", "CreationDate": "D:20240101000000Z",
+        "ModDate": "D:20240102000000Z"})
+    inf = doc_info(p)
+    assert inf == {"page_count": 2, "title": "A (nested) title",
+                   "author": "Ann", "creator": "gen",
+                   "producer": "ocr_main_ray",
+                   "creation_date": "D:20240101000000Z",
+                   "modification_date": "D:20240102000000Z"}
+    # no /Info -> empty fields, page count still real
+    assert doc_info(native_pdf(["x", "y", "z"])) == {
+        "page_count": 3, "title": "", "author": "", "creator": "",
+        "producer": "", "creation_date": "", "modification_date": ""}
+    # garbage -> fallback chain bottoms out at page_count=1 (reference :40)
+    assert doc_info(b"not a pdf")["page_count"] == 1
+    # scanned flavour carries info too
+    assert doc_info(scanned_pdf(["S"], info={"Title": "s"}))["title"] == "s"
+
+
+def test_info_default_bytes_identical():
+    """info=None must not change a single output byte (golden corpus)."""
+    from ocr_main_ray.sources.pdfgen import native_pdf, scanned_pdf
+
+    assert b"/Info" not in native_pdf(["x"])
+    assert b"/Info" not in scanned_pdf(["x"])
