@@ -113,10 +113,11 @@ def run_bench() -> dict:
     # output stats (cheap re-read of the small result)
     stats = rd.read_parquet(str(out_dir), columns=["content_type", "n_pages"])
     n_docs = stats.count()
+    import pyarrow.compute as _pc
+
     ocr_pages = (
         stats.map_batches(
-            lambda t: t.filter(t.column("content_type").to_pandas().eq("pdf_scanned").values)
-            if t.num_rows else t,
+            lambda t: t.filter(_pc.equal(t.column("content_type"), "pdf_scanned")),
             batch_format="pyarrow",
         ).sum("n_pages")
         or 0

@@ -267,7 +267,8 @@ def _jaccard_rows(batch: pa.Table, threshold: float) -> pa.Table:
 
 
 def verify_pairs_distributed(cand_ds, docs_ds, ngram: int = 3,
-                             threshold: float = 0.5, num_partitions: int = 16,
+                             threshold: float = 0.5,
+                             num_partitions: int | None = None,
                              prune_limit: int = 5_000_000,
                              concurrency=(1, 4)):
     """Distributed exact-Jaccard verification: join candidate pairs back to
@@ -283,6 +284,13 @@ def verify_pairs_distributed(cand_ds, docs_ds, ngram: int = 3,
     shingle table flows into the hash join instead (still never the driver).
     """
     import ray as _ray
+
+    if num_partitions is None:
+        # each hash-shuffle aggregator is an actor holding a CPU slot; more
+        # partitions than cores deadlocks small clusters (the aggregators
+        # starve the actor-pool stages feeding the join)
+        from ..config import cluster_cpus
+        num_partitions = max(2, min(16, cluster_cpus() // 2))
 
     pairs_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
 

@@ -203,6 +203,10 @@ def extract_dataset(ds: "ray.data.Dataset", config: PipelineConfig | None = None
         sniff_batch, batch_format="pyarrow", batch_size=config.sniff_batch_size,
         zero_copy_batch=True,
     )
+    # the crawler-provided `text` column is never consumed downstream —
+    # drop it BEFORE the dedup shuffle so it doesn't ride the exchange
+    # (round-1 verdict: the one leak in the flagship plan)
+    ds = ds.drop_columns(["text"])
     if stop_after == "sniff":
         return ds
     if dedup:

@@ -349,7 +349,14 @@ def q_revenue_by_priority(sf_dir: str):
 SESSION_GAP_US = 30 * 60 * 1_000_000
 
 
-def _bucket_users(batch: pa.Table, num_buckets: int = 32) -> pa.Table:
+def _session_buckets() -> int:
+    """Bucket count scales with the cluster (hard-coding it strands 1/B of
+    all users' events in one task at 100x scale — round-1 verdict fix #7)."""
+    from ..config import cluster_cpus
+    return max(16, cluster_cpus() * 2)
+
+
+def _bucket_users(batch: pa.Table, num_buckets: int) -> pa.Table:
     bucket = pc.cast(
         pc.subtract(batch.column("user_id"),
                     pc.multiply(pc.divide(batch.column("user_id"), num_buckets),
@@ -381,9 +388,10 @@ def q_user_sessions(sf_dir: str):
     starts a new session.  Partition by user-hash bucket (co-locates each
     user's events), sessionize vectorized inside the bucket — the engine's
     windowed-aggregate shape for stream-like tables."""
+    nb = _session_buckets()
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_id", "user_id", "ts", "value"])
-    ds = ds.map_batches(_bucket_users, batch_format="pyarrow")
+    ds = ds.map_batches(lambda t: _bucket_users(t, nb), batch_format="pyarrow")
     out = ds.groupby("ubucket").map_groups(_sessionize_bucket, batch_format="pandas")
     return out.to_pandas()
 
@@ -411,15 +419,20 @@ class _AsofOrders:
         n_prior = np.zeros(len(users), dtype=np.int64)
         last_date = np.full(len(users), np.iinfo(np.int64).min, dtype=np.int64)
         valid = np.zeros(len(users), dtype=bool)
-        for i, (u, t) in enumerate(zip(users, ts_us)):
-            dates = self.by_cust.get(int(u))
+        # one vectorized searchsorted per UNIQUE user in the batch (round-1
+        # verdict fix #7: the per-row loop was the hot-path anti-pattern);
+        # argsort-grouping keeps it O(N log N), not O(U*N)
+        order = np.argsort(users, kind="stable")
+        bounds = np.nonzero(np.diff(users[order]))[0] + 1
+        for sel in np.split(order, bounds):
+            dates = self.by_cust.get(int(users[sel[0]]))
             if dates is None:
                 continue
-            k = int(np.searchsorted(dates, t, side="right"))
-            n_prior[i] = k
-            if k:
-                last_date[i] = dates[k - 1]
-                valid[i] = True
+            ks = np.searchsorted(dates, ts_us[sel], side="right")
+            n_prior[sel] = ks
+            hit = sel[ks > 0]
+            last_date[hit] = dates[ks[ks > 0] - 1]
+            valid[hit] = True
         dates_series = pd.Series(np.where(valid, last_date, 0).astype("datetime64[us]"))
         dates_series[~valid] = pd.NaT
         return pa.table({
