@@ -50,6 +50,9 @@ class PipelineConfig:
     enhance_contrast: bool = True
     deskew: bool = True
     min_quality_threshold: float = MIN_QUALITY_THRESHOLD
+    # A9: "stub" = reference parity (always []); "lines" = the working
+    # lines-strategy extension (stages/tables.py)
+    table_extractor: str = "stub"
     # Ray-side knobs (no reference equivalent — the reference is sequential).
     # sniff: batch_size=None -> one batch per input block, never coalesce
     # (coalescing to a fixed batch size collapses small-block inputs into a

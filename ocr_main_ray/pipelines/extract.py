@@ -65,10 +65,13 @@ class ExtractDispatch:
     but the pre-built processor's route wins (documents.py:227-239)."""
 
     def __init__(self, config: PipelineConfig | None = None):
+        from ..stages.tables import create_table_extractor
+
         self.config = config or PipelineConfig()
         self.basic_engine = DeterministicEngine(self.config, ENGINE_BASIC)
         self.opencv_engine = DeterministicEngine(self.config, ENGINE_OPENCV)
         self._auto_engines: dict[tuple, DeterministicEngine] = {}
+        self.table_extractor = create_table_extractor(self.config.table_extractor)
 
     def _engine_for(self, auto: dict) -> DeterministicEngine:
         """Engine variant for a C2 auto-config row (cached per actor)."""
@@ -100,12 +103,13 @@ class ExtractDispatch:
 
         out = {k: [] for k in ("extracted_text", "span_offsets", "n_pages",
                                "processing_ms", "engine", "error",
-                               "pdf_type", "strategy", "dpi")}
+                               "pdf_type", "strategy", "dpi", "tables_json")}
         for ct, payload, err in zip(ctypes, payloads, errors):
             t0 = time.perf_counter()
             text, spans, n_pages, engine, row_err = "", [], 0, ENGINE_BASIC, err
             pdf_type = strategy = None
             dpi = None
+            tables_json = "[]"
             try:
                 if ct == CT_HTML:
                     blocks = extract_main_blocks(payload)
@@ -139,6 +143,13 @@ class ExtractDispatch:
                     text = PAGE_JOIN.join(pages)
                     spans = _spans_for_pages(pages)
                     n_pages = len(pages)
+                if ct in (CT_PDF_NATIVE, CT_PDF_SCANNED):
+                    # B1 step (b): extract tables; stub -> "[]" (A9 parity),
+                    # json.dump(ensure_ascii=False) like file_storage.py:53-56
+                    import json as _json
+                    tables_json = _json.dumps(
+                        self.table_extractor.extract_tables(payload),
+                        ensure_ascii=False)
                 # CT_EMPTY / invalid rows pass through with empty text
             except Exception as e:  # per-row isolation (section 4.3.5)
                 text, spans, n_pages = "", [], 0
@@ -152,6 +163,7 @@ class ExtractDispatch:
             out["pdf_type"].append(pdf_type)
             out["strategy"].append(strategy)
             out["dpi"].append(dpi)
+            out["tables_json"].append(tables_json)
 
         texts = out["extracted_text"]
         return pa.table(
@@ -163,7 +175,7 @@ class ExtractDispatch:
                 "extracted_text": pa.array(texts, pa.large_string()),
                 "span_offsets": pa.array(out["span_offsets"], SPAN_TYPE),
                 "confidence": pa.array([0.0] * len(texts), pa.float64()),
-                "tables_json": pa.array(["[]"] * len(texts), pa.large_string()),
+                "tables_json": pa.array(out["tables_json"], pa.large_string()),
                 "n_pages": pa.array(out["n_pages"], pa.int32()),
                 "word_count": pa.array([word_count(t) for t in texts], pa.int64()),
                 "text_length": pa.array([len(t) for t in texts], pa.int64()),

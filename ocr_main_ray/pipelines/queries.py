@@ -751,6 +751,41 @@ def q_pdf_classify(sf_dir: str):
     return ds.groupby("pdf_type").aggregate(Count(alias_name="n")).to_pandas()
 
 
+def q_extract_summary_md(sf_dir: str):
+    """B11 summary-markdown artifact: the per-corpus statistics come from
+    DISTRIBUTED aggregates over the extracted table (Count/Sum/Mean — the
+    B11 aggregate op); the listed doc rows are a bounded top sample.
+    Rows-only: the artifact embeds wall-clock processing times."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    from ..pipelines.extract import extract_pages_table
+    from ..sources.synth import pages_from_documents
+    from ..stages.assemble import render_summary_markdown
+
+    pages = pages_from_documents(sf_dir, limit=100)
+    out = extract_pages_table(pages).materialize()
+    agg = out.aggregate(Count(alias_name="n"),
+                        Sum("n_pages", alias_name="pages"),
+                        Mean("confidence", alias_name="conf"),
+                        Sum("processing_ms", alias_name="ms"))
+    head = (out.select_columns(["url", "n_pages", "confidence",
+                                "processing_ms", "error"])
+            .sort("url").limit(20).to_pandas())
+    rows = [{"url": r.url, "n_pages": int(r.n_pages),
+             "confidence": float(r.confidence),
+             "processing_time": float(r.processing_ms) / 1000.0,
+             "status": "error" if r.error else "processed"}
+            for r in head.itertuples(index=False)]
+    md = render_summary_markdown(rows, int(agg["n"]), int(agg["pages"]),
+                                 float(agg["conf"]), float(agg["ms"]) / 1000.0)
+    return pa.table({
+        "n_docs": pa.array([int(agg["n"])], pa.int64()),
+        "total_pages": pa.array([int(agg["pages"])], pa.int64()),
+        "markdown": pa.array([md], pa.large_string()),
+        "md_lines": pa.array([md.count("\n") + 1], pa.int64()),
+    })
+
+
 def q_pdf_doc_info(sf_dir: str):
     """C6 doc-info probe: build info-carrying PDFs from the documents table
     (deterministic), probe /Title,/Author,/Producer,/CreationDate back out
@@ -826,6 +861,7 @@ QUERIES = {
     "extract_markdown": q_extract_markdown,
     "pdf_classify": q_pdf_classify,
     "pdf_doc_info": q_pdf_doc_info,
+    "extract_summary_md": q_extract_summary_md,
     "events_hourly": q_events_hourly,
     "revenue_by_priority": q_revenue_by_priority,
     "user_sessions": q_user_sessions,

@@ -101,6 +101,46 @@ def native_pdf(pages: list[str], compress: bool = False,
     return _assemble(objects, info=info)
 
 
+def table_pdf(tables: list[list[list[str]]], info: dict | None = None) -> bytes:
+    """Ruled-table PDF: one page per table, a drawn grid (``m``/``l``/``S``
+    line segments) with one absolutely-positioned text op per cell — the
+    geometry the lines-strategy table extractor consumes.  Row 0 renders at
+    the top (the header row of the table contract)."""
+    n = len(tables)
+    objects: list[bytes] = []
+    kids = b" ".join(b"%d 0 R" % (3 + i) for i in range(n))
+    objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objects.append(b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % n)
+    content_ids = [3 + n + i for i in range(n)]
+    for i in range(n):
+        objects.append(
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents %d 0 R /Resources << /Font << /F1 << /Type /Font "
+            b"/Subtype /Type1 /BaseFont /Helvetica >> >> >> >>" % content_ids[i]
+        )
+    x0, y0, cw, rh = 72, 600, 120, 24
+    for rows in tables:
+        n_rows, n_cols = len(rows), max(len(r) for r in rows)
+        body = []
+        for j in range(n_cols + 1):                 # vertical rules
+            x = x0 + j * cw
+            body.append(b"%d %d m %d %d l S" % (x, y0, x, y0 + n_rows * rh))
+        for i in range(n_rows + 1):                 # horizontal rules
+            y = y0 + i * rh
+            body.append(b"%d %d m %d %d l S" % (x0, y, x0 + n_cols * cw, y))
+        for r, row in enumerate(rows):              # row 0 at the TOP
+            ty = y0 + (n_rows - 1 - r) * rh + 6
+            for c, cell in enumerate(row):
+                tx = x0 + c * cw + 4
+                body.append(b"BT /F1 10 Tf %d %d Td (%s) Tj ET"
+                            % (tx, ty, _escape_pdf_string(str(cell))))
+        stream = b"\n".join(body)
+        objects.append(
+            b"<< /Length %d >>\nstream\n" % len(stream) + stream + b"\nendstream"
+        )
+    return _assemble(objects, info=info)
+
+
 def scanned_pdf(pages: list[str], info: dict | None = None) -> bytes:
     """Image-only PDF: page text is rasterized with the deterministic glyph
     font and embedded as a FlateDecode DeviceGray image XObject.  The text

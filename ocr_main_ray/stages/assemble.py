@@ -92,6 +92,44 @@ def render_markdown(url: str, extracted_text: str, tables_json: str,
     return "\n".join(parts)
 
 
+def render_summary_markdown(doc_rows: list[dict], total_docs: int,
+                            total_pages: int, avg_confidence: float,
+                            total_time_s: float) -> str:
+    """B11 — the multi-document summary artifact
+    (markdown_generator.py:173-217): per-doc pipe table + corpus statistics.
+    The generation-date line is intentionally absent (same determinism
+    policy as render_markdown); the listed rows are a bounded sample while
+    the statistics cover the WHOLE corpus via distributed aggregates."""
+    lines = [
+        "# Resumen de Procesamiento OCR",
+        "",
+        f"**Total de Documentos**: {total_docs}",
+        "",
+        "## Documentos Procesados",
+        "",
+        "| Documento | Páginas | Confianza | Tiempo | Estado |",
+        "|-----------|---------|-----------|--------|--------|",
+    ]
+    for d in doc_rows:
+        lines.append(
+            f"| {d.get('url', 'N/A')} | {d.get('n_pages', 0)} "
+            f"| {d.get('confidence', 0):.2%} | {d.get('processing_time', 0):.2f}s "
+            f"| {d.get('status', 'unknown')} |")
+    lines += [
+        "",
+        "## Estadísticas",
+        "",
+        f"- **Total de Páginas**: {total_pages}",
+        f"- **Confianza Promedio**: {avg_confidence:.2%}",
+        f"- **Tiempo Total**: {total_time_s:.2f} segundos",
+        "",
+        "---",
+        "",
+        "*Generado con ocr_main_ray*",
+    ]
+    return "\n".join(lines)
+
+
 def document_projection(url: str, extracted_text: str, tables_json: str,
                         confidence: float, processing_ms: float) -> dict:
     """E1 — Document -> dict projection."""

@@ -240,6 +240,19 @@ def extract_page_texts(data: bytes) -> list[str]:
     return texts
 
 
+def page_content_stream(objs: dict, pid: int) -> bytes | None:
+    """Concatenated decoded content stream(s) of one page object, or None
+    if the page has no content (used by the lines-strategy table extractor)."""
+    head, _ = objs.get(pid, (b"", None))
+    chunks = []
+    for cid in _content_refs(head):
+        chead, cstream = objs.get(cid, (b"", None))
+        if cstream is None:
+            continue
+        chunks.append(_decode_stream(chead, cstream))
+    return b"\n".join(chunks) if chunks else None
+
+
 def _find_object(data: bytes, num: int) -> tuple[bytes, bytes | None] | None:
     """Locate one numbered object without splitting the whole file."""
     m = re.search(rb"(?<![0-9])%d\s+0\s+obj\b" % num, data)
