@@ -160,20 +160,59 @@ def _bucket_pairs(group: pa.Table, max_bucket_docs: int = MAX_BUCKET_DOCS) -> pa
     return pa.table({"a": pa.array(a_ids, pa.int64()), "b": pa.array(b_ids, pa.int64())})
 
 
+def _coarse_buckets() -> int:
+    """O(cpus) coarse shuffle buckets: the per-GROUP UDF dispatch of
+    map_groups costs ~100 ms each (measured round 1), so grouping by the
+    raw band/chunk key (millions of distinct values at scale) is a
+    dispatch-bound disaster.  Group by a coarse crc bucket instead and
+    segment WITHIN the group — B tasks total, vectorized inside."""
+    from ..config import cluster_cpus
+    return max(16, cluster_cpus() * 2)
+
+
+def _segments_by_key(group: pa.Table, key: str):
+    """Yield per-key sub-tables of a coarse bucket, sorted by key."""
+    tbl = group.sort_by(key)
+    keys = np.asarray(tbl.column(key).to_pylist(), dtype=np.int64)
+    if not len(keys):
+        return
+    bounds = np.nonzero(np.diff(keys))[0] + 1
+    starts = np.concatenate(([0], bounds))
+    ends = np.concatenate((bounds, [len(keys)]))
+    for s, e in zip(starts, ends):
+        if e - s >= 2:
+            yield tbl.slice(s, e - s)
+
+
 def minhash_candidate_pairs(ds, num_perm: int = 128, bands: int = 16,
                             ngram: int = 3, concurrency=(1, 4),
                             max_bucket_docs: int = MAX_BUCKET_DOCS):
-    """documents Dataset (doc_id, text) -> unique candidate pairs (a < b)."""
+    """documents Dataset (doc_id, text) -> unique candidate pairs (a < b).
+
+    Shuffle shape: explode to (band_key, doc_id), crc-coarse-bucket the
+    band keys to O(cpus) groups, segment by band_key inside each group."""
+    nb = _coarse_buckets()
     exploded = ds.map_batches(
         MinHashSignatures,
         fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "ngram": ngram},
         batch_format="pyarrow", concurrency=concurrency, num_cpus=1,
+    ).map_batches(
+        lambda t: t.append_column(
+            "cb", pa.array((np.asarray(t.column("band_key").to_pylist(),
+                                       dtype=np.int64) % nb).astype(np.int32),
+                           pa.int32())),
+        batch_format="pyarrow",
     )
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        return _bucket_pairs(group, max_bucket_docs)
+        parts = [_bucket_pairs(seg, max_bucket_docs)
+                 for seg in _segments_by_key(group, "band_key")]
+        parts = [p for p in parts if p.num_rows]
+        return (pa.concat_tables(parts) if parts else
+                pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64())}))
 
-    pairs = exploded.groupby("band_key").map_groups(bucket_pairs, batch_format="pyarrow")
+    pairs = exploded.groupby("cb").map_groups(bucket_pairs, batch_format="pyarrow")
     # dedup identical pairs found in multiple bands
     import ray.data  # noqa: F401  (ds is a ray Dataset)
     from ray.data.aggregate import Count
@@ -200,6 +239,102 @@ def verify_jaccard_pairs(pairs_df, texts: dict[int, str], ngram: int = 3,
         if j >= threshold:
             out.append((a, b, round(j, 6)))
     return out
+
+
+# ---------------------------------------------------------------------------
+# SimHash pigeonhole retrieval (the chunk-groupby near-dup pipeline)
+# ---------------------------------------------------------------------------
+
+class SimHashChunks:
+    """Stage: (doc_id, text) batch -> exploded (chunk_key, doc_id, sig)
+    rows, one per pigeonhole chunk.  Two signatures within Hamming distance
+    n_chunks-1 MUST agree on at least one chunk, so the chunk groupby is a
+    complete candidate generator for distance <= 3 at n_chunks = 4."""
+
+    def __init__(self, n_chunks: int = 4):
+        self.n_chunks = n_chunks
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys, ids, sigs = [], [], []
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            sig = simhash(text or "")
+            signed = sig - (1 << 64) if sig >= (1 << 63) else sig
+            for ck in simhash_chunks(sig, self.n_chunks):
+                keys.append(ck)
+                ids.append(doc_id)
+                sigs.append(signed)
+        return pa.table({"chunk_key": pa.array(keys, pa.int64()),
+                         "doc_id": pa.array(ids, pa.int64()),
+                         "sig": pa.array(sigs, pa.int64())})
+
+
+def _hamming_bucket_pairs(group: pa.Table, max_distance: int,
+                          max_bucket_docs: int) -> pa.Table:
+    ids_all = np.asarray(group.column("doc_id").to_pylist(), dtype=np.int64)
+    sigs_all = np.asarray(group.column("sig").to_pylist(),
+                          dtype=np.int64).view(np.uint64)
+    ids, sel = np.unique(ids_all, return_index=True)
+    sigs = sigs_all[sel]
+    n = len(ids)
+    if n < 2:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64()),
+                         "hamming": pa.array([], pa.int64())})
+    if n > max_bucket_docs:
+        import logging
+        logging.getLogger(__name__).warning(
+            "degenerate simhash bucket: %d docs — star comparison only", n)
+        ref = sigs[:1]
+        xor = (ref[:, None] ^ sigs[None, :])[0]
+        dist = np.unpackbits(xor.view(np.uint8)).reshape(n, 8 * 8).sum(axis=1)
+        hit = np.nonzero((dist <= max_distance) & (ids != ids[0]))[0]
+        return pa.table({"a": pa.array(np.minimum(ids[0], ids[hit]), pa.int64()),
+                         "b": pa.array(np.maximum(ids[0], ids[hit]), pa.int64()),
+                         "hamming": pa.array(dist[hit], pa.int64())})
+    xor = sigs[:, None] ^ sigs[None, :]                       # (n, n) uint64
+    dist = (np.unpackbits(np.ascontiguousarray(xor).reshape(-1).view(np.uint8))
+            .reshape(n * n, 64).sum(axis=1).reshape(n, n))
+    ai, bi = np.nonzero(np.triu(dist <= max_distance, k=1))
+    return pa.table({"a": pa.array(ids[ai], pa.int64()),
+                     "b": pa.array(ids[bi], pa.int64()),
+                     "hamming": pa.array(dist[ai, bi], pa.int64())})
+
+
+def simhash_near_dup_pairs(ds, max_distance: int = 3, n_chunks: int = 4,
+                           concurrency=(1, 4),
+                           max_bucket_docs: int = MAX_BUCKET_DOCS):
+    """Distributed SimHash near-dup retrieval: explode to pigeonhole chunks
+    (hash shuffle on chunk_key), vectorized XOR-popcount Hamming verify
+    WITHIN each bucket, groupby dedup of pairs found via several chunks.
+    Complete for Hamming distance <= n_chunks - 1 (pigeonhole)."""
+    from ray.data.aggregate import Min
+
+    nb = _coarse_buckets()
+    exploded = ds.map_batches(
+        SimHashChunks, fn_constructor_kwargs={"n_chunks": n_chunks},
+        batch_format="pyarrow", concurrency=concurrency, num_cpus=1,
+    ).map_batches(
+        lambda t: t.append_column(
+            "cb", pa.array((np.asarray(t.column("chunk_key").to_pylist(),
+                                       dtype=np.int64) % nb).astype(np.int32),
+                           pa.int32())),
+        batch_format="pyarrow",
+    )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        parts = [_hamming_bucket_pairs(seg, max_distance, max_bucket_docs)
+                 for seg in _segments_by_key(group, "chunk_key")]
+        parts = [p for p in parts if p.num_rows]
+        return (pa.concat_tables(parts) if parts else
+                pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64()),
+                          "hamming": pa.array([], pa.int64())}))
+
+    pairs = exploded.groupby("cb").map_groups(
+        bucket_pairs, batch_format="pyarrow")
+    return (pairs.groupby(["a", "b"])
+            .aggregate(Min("hamming", alias_name="hamming")))
 
 
 # ---------------------------------------------------------------------------

@@ -570,6 +570,20 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     return pa.table({"a": pa.array(a_l, pa.int64()), "b": pa.array(b_l, pa.int64())})
 
 
+def q_simhash_near_dups(sf_dir: str):
+    """SimHash pigeonhole retrieval wired end-to-end: chunk-key groupby ->
+    vectorized XOR-popcount Hamming verify (<= 3 bits of 64) -> pair dedup.
+    Rows-only (signature algorithm, not SQL)."""
+    from ..functions.dedup import simhash_near_dup_pairs
+
+    out = simhash_near_dup_pairs(_docs(sf_dir, ["doc_id", "text"]),
+                                 max_distance=3)
+    tbl = pa.concat_tables(
+        out.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    return tbl.take(pc.sort_indices(tbl, sort_keys=[("a", "ascending"),
+                                                    ("b", "ascending")]))
+
+
 def q_simhash_signatures(sf_dir: str):
     from ..functions.dedup import simhash
 
@@ -872,6 +886,7 @@ QUERIES = {
     "fingerprints": q_fingerprints,
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_signatures": q_simhash_signatures,
+    "simhash_near_dups": q_simhash_near_dups,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "embedding_knn": q_embedding_knn,
     "embedding_ivf_knn": q_embedding_ivf_knn,

@@ -99,6 +99,31 @@ def test_bucket_pairs_caps_degenerate_bucket():
     assert capped.column("b").to_pylist() == list(range(1, n))
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_simhash_retrieval_pipeline():
+    """Pigeonhole retrieval finds planted near-identical docs and is
+    complete for Hamming <= 3 (brute-force cross-check)."""
+    from ocr_main_ray.functions.dedup import simhash_near_dup_pairs
+
+    texts = {i: _doc(i, mutate=30) for i in range(30)}
+    texts[200] = texts[1]                                  # identical -> d=0
+    texts[201] = _doc(2, mutate=30).replace("tok2_0", "tok2_X")  # ~1 token off doc 2
+    tbl = pa.table({"doc_id": pa.array(list(texts), pa.int64()),
+                    "text": pa.array(list(texts.values()), pa.string())})
+    ds = rd.from_arrow(tbl).repartition(4)
+    out = simhash_near_dup_pairs(ds, max_distance=3).to_pandas()
+    got = {(int(r.a), int(r.b)): int(r.hamming)
+           for r in out.itertuples(index=False)}
+    assert got.get((1, 200)) == 0
+    # brute-force completeness oracle at distance <= 3
+    sigs = {i: simhash(t) for i, t in texts.items()}
+    ids = sorted(sigs)
+    expect = {(a, b): hamming64(sigs[a], sigs[b])
+              for i, a in enumerate(ids) for b in ids[i + 1:]
+              if hamming64(sigs[a], sigs[b]) <= 3}
+    assert got == expect
+
+
 def test_simhash_hamming():
     s1 = simhash(_doc(1))
     s2 = simhash(_doc(1, mutate=2))   # 2 token change
