@@ -305,6 +305,156 @@ def q_events_hourly(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# min/max/count global stats — Ray's built-in partial+final aggregate
+# ---------------------------------------------------------------------------
+
+def q_events_value_stats(sf_dir: str):
+    from ray.data.aggregate import Max
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    out = ds.aggregate(Min("value", alias_name="min_value"),
+                       Max("value", alias_name="max_value"),
+                       Count(alias_name="n_events"))
+    return pa.table({
+        "min_value": pa.array([out["min_value"]], pa.float64()),
+        "max_value": pa.array([out["max_value"]], pa.float64()),
+        "n_events": pa.array([out["n_events"]], pa.int64()),
+    })
+
+
+def q_distinct_sources(sf_dir: str):
+    """Count-distinct via groupby (per-key partials shuffle, not a global
+    set): n rows of the grouped table = the distinct count."""
+    srcs = (_docs(sf_dir, ["source"]).groupby("source")
+            .aggregate(Count(alias_name="n")))
+    langs = (_docs(sf_dir, ["lang"]).groupby("lang")
+             .aggregate(Count(alias_name="n")))
+    return pa.table({
+        "n_sources": pa.array([srcs.count()], pa.int64()),
+        "n_langs": pa.array([langs.count()], pa.int64()),
+    })
+
+
+# ---------------------------------------------------------------------------
+# month-bucketed rollup (coarser time window than events_hourly)
+# ---------------------------------------------------------------------------
+
+def _monthly_partial(batch: pa.Table) -> pa.Table:
+    month = pc.floor_temporal(batch.column("o_orderdate"), unit="month")
+    cents = pc.cast(pc.round(pc.multiply(batch.column("o_totalprice"), 100.0)),
+                    pa.int64())
+    t = pa.table({"month": month, "cents": cents})
+    g = t.group_by("month").aggregate([("cents", "sum"), ("cents", "count")])
+    return g.rename_columns(["month", "p_cents", "p_n"])
+
+
+def q_orders_by_month(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderdate", "o_totalprice"])
+    out = (ds.map_batches(_monthly_partial, batch_format="pyarrow")
+           .groupby("month")
+           .aggregate(Sum("p_cents", alias_name="revenue_cents"),
+                      Sum("p_n", alias_name="n_orders"))
+           .to_pandas())
+    out["month"] = out["month"].astype("datetime64[us]")  # oracle date_trunc unit
+    return out
+
+
+# ---------------------------------------------------------------------------
+# left-outer join: every customer with their order count (0 included)
+# ---------------------------------------------------------------------------
+
+def q_customer_order_counts(sf_dir: str):
+    from ..config import cluster_cpus
+
+    nparts = max(2, min(16, cluster_cpus() // 2))
+    counts_schema = pa.schema([("o_custkey", pa.int64()), ("n", pa.int64())])
+
+    def coerce(t: pa.Table) -> pa.Table:
+        # aggregate pipelines emit schema-less empty blocks; pin before join
+        if t.num_columns == 0:
+            return counts_schema.empty_table()
+        return t.cast(counts_schema)
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    counts = (orders.map_batches(
+        lambda t: t.group_by("o_custkey").aggregate([("o_custkey", "count")])
+        .rename_columns(["o_custkey", "pn"]),
+        batch_format="pyarrow")
+        .groupby("o_custkey").aggregate(Sum("pn", alias_name="n"))
+        .map_batches(coerce, batch_format="pyarrow")
+        .repartition(nparts))
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    joined = cust.join(counts, join_type="left_outer", num_partitions=nparts,
+                       on=("c_custkey",), right_on=("o_custkey",))
+    out = joined.to_pandas()
+    out["n_orders"] = out["n"].fillna(0).astype("int64")
+    return out[["c_custkey", "n_orders"]].sort_values("c_custkey").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# multi-way broadcast join: orders -> customer -> nation rollup (both
+# dimension tables are small: compose the lookup once per actor)
+# ---------------------------------------------------------------------------
+
+class _NationJoin:
+    def __init__(self, cust_ref, nation_ref):
+        cust = ray.get(cust_ref)
+        nation = ray.get(nation_ref)
+        nname = dict(zip(nation.column("n_nationkey").to_pylist(),
+                         nation.column("n_name").to_pylist()))
+        self.nation_of = {
+            ck: nname.get(nk)
+            for ck, nk in zip(cust.column("c_custkey").to_pylist(),
+                              cust.column("c_nationkey").to_pylist())
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch.column("o_custkey").to_pylist()
+        names = [self.nation_of.get(k) for k in keys]
+        cents = pc.cast(pc.round(pc.multiply(batch.column("o_totalprice"), 100.0)),
+                        pa.int64())
+        t = pa.table({"n_name": pa.array(names, pa.string()), "cents": cents})
+        g = t.group_by("n_name").aggregate([("cents", "sum"), ("cents", "count")])
+        return g.rename_columns(["n_name", "p_cents", "p_n"])
+
+
+def q_revenue_by_nation(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    cust_ref = ray.put(pq.read_table(f"{sf_dir}/customer.parquet",
+                                     columns=["c_custkey", "c_nationkey"]))
+    nation_ref = ray.put(pq.read_table(f"{sf_dir}/nation.parquet",
+                                       columns=["n_nationkey", "n_name"]))
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_totalprice"])
+    partials = ds.map_batches(
+        _NationJoin,
+        fn_constructor_kwargs={"cust_ref": cust_ref, "nation_ref": nation_ref},
+        batch_format="pyarrow", batch_size=65536, concurrency=(1, 4),
+    )
+    return (partials.groupby("n_name")
+            .aggregate(Sum("p_cents", alias_name="revenue_cents"),
+                       Sum("p_n", alias_name="n_orders"))
+            .to_pandas())
+
+
+# ---------------------------------------------------------------------------
+# HAVING-style post-aggregation filter
+# ---------------------------------------------------------------------------
+
+def q_brands_having(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_brand"])
+    g = (ds.map_batches(
+        lambda t: t.group_by("p_brand").aggregate([("p_brand", "count")])
+        .rename_columns(["p_brand", "pn"]),
+        batch_format="pyarrow")
+        .groupby("p_brand").aggregate(Sum("pn", alias_name="n_parts"))
+        .to_pandas())
+    return g[g["n_parts"] > 5].sort_values("p_brand").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # large-large hash join: native Dataset.join (hash-partitioned exchange of
 # BOTH sides) — complements the broadcast join (revenue_by_segment) for the
 # case where neither side fits in memory.  Pre-project to the join+agg
@@ -868,6 +1018,12 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "word_count": q_word_count,
     "events_by_type": q_events_by_type,
+    "events_value_stats": q_events_value_stats,
+    "distinct_sources": q_distinct_sources,
+    "orders_by_month": q_orders_by_month,
+    "customer_order_counts": q_customer_order_counts,
+    "revenue_by_nation": q_revenue_by_nation,
+    "brands_having": q_brands_having,
     "pricing_summary": q_pricing_summary,
     "revenue_by_segment": q_revenue_by_segment,
     "extract_flagship": q_extract_flagship,
@@ -940,6 +1096,35 @@ ORACLE_SQL = {
     "events_by_type": (
         "SELECT event_type, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_value_cents, "
         "count(*) AS n_events FROM events GROUP BY event_type"
+    ),
+    "events_value_stats": (
+        "SELECT min(value) AS min_value, max(value) AS max_value, "
+        "count(*) AS n_events FROM events"
+    ),
+    "distinct_sources": (
+        "SELECT CAST(count(DISTINCT source) AS BIGINT) AS n_sources, "
+        "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs FROM documents"
+    ),
+    "orders_by_month": (
+        "SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month, "
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents, "
+        "count(*) AS n_orders FROM orders GROUP BY 1"
+    ),
+    "customer_order_counts": (
+        "SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders "
+        "FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey "
+        "GROUP BY c_custkey"
+    ),
+    "revenue_by_nation": (
+        "SELECT n_name, "
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents, "
+        "count(*) AS n_orders "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY n_name"
+    ),
+    "brands_having": (
+        "SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts FROM part "
+        "GROUP BY p_brand HAVING count(*) > 5"
     ),
     "pricing_summary": (
         "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, "
