@@ -139,7 +139,8 @@ class ExtractDispatch:
                     auto = get_optimal_config(pdf_type)
                     strategy, dpi = auto["strategy"], auto["dpi"]
                     engine = auto["engine_type"]   # C5/C2: scanned -> opencv
-                    pages = self._engine_for(auto).extract_pages(payload)
+                    pages = self._engine_for(auto).extract_pages(
+                        payload, images=images)
                     text = PAGE_JOIN.join(pages)
                     spans = _spans_for_pages(pages)
                     n_pages = len(pages)

@@ -67,8 +67,13 @@ class DeterministicEngine:
         self.engine_type = engine_type or self.config.engine_type
         self.last_confidence = 0.0  # parity: never updated (A7)
 
-    def extract_pages(self, pdf_bytes: bytes) -> list[str]:
-        images = pdf_native.extract_page_images(pdf_bytes)
+    def extract_pages(self, pdf_bytes: bytes,
+                      images: list | None = None) -> list[str]:
+        # callers that already decoded the page rasters (e.g. the dispatch's
+        # C1 classification pass) hand them in — the Flate decode of
+        # full-page images is the expensive part of the parse
+        if images is None:
+            images = pdf_native.extract_page_images(pdf_bytes)
         pages: list[str] = []
         for img in images:
             if img is None:
