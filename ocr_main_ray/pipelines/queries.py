@@ -18,6 +18,7 @@ sorted column name).
 from __future__ import annotations
 
 import hashlib
+import math
 
 import numpy as np
 import pandas as pd
@@ -27,7 +28,7 @@ import pyarrow.dataset as pds
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Min, Sum
+from ray.data.aggregate import Count, Max, Min, Sum
 
 
 def _docs(sf_dir: str, columns=None):
@@ -1003,6 +1004,452 @@ def q_pages_sniff_counts(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# anti join: customers with NO order on/after a cutoff ("lapsed" customers).
+# Shape: pushed-down date filter at the scan -> distributed distinct of the
+# surviving custkeys (partial count per batch, tiny groupby) -> hash-
+# partitioned LEFT OUTER join -> keep the null side.  Nothing but join keys
+# crosses the shuffle.
+# ---------------------------------------------------------------------------
+
+LAPSED_CUTOFF = np.datetime64("1999-01-01", "us")
+
+
+def q_customers_lapsed(sf_dir: str):
+    from ..config import cluster_cpus
+
+    nparts = max(2, min(16, cluster_cpus() // 2))
+    keys_schema = pa.schema([("o_custkey", pa.int64()), ("pn", pa.int64())])
+
+    def coerce(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:  # aggregate pipelines emit schema-less empties
+            return keys_schema.empty_table()
+        return t.cast(keys_schema)
+
+    recent = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+        filter=pds.field("o_orderdate") >= pa.scalar(LAPSED_CUTOFF),
+    )
+    keys = (recent.map_batches(
+        lambda t: t.group_by("o_custkey").aggregate([("o_custkey", "count")])
+        .rename_columns(["o_custkey", "pn"]),
+        batch_format="pyarrow")
+        .groupby("o_custkey").aggregate(Sum("pn", alias_name="pn"))
+        .map_batches(coerce, batch_format="pyarrow")
+        .repartition(nparts))
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"])
+    joined = cust.join(keys, join_type="left_outer", num_partitions=nparts,
+                       on=("c_custkey",), right_on=("o_custkey",))
+    out = joined.to_pandas()
+    out = out[out["pn"].isna()]
+    return (out[["c_custkey", "c_name"]]
+            .sort_values("c_custkey").reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# top-N per group (grouped top-k): each user's 3 highest-value events.
+# Partial top-3 per (batch, user) BEFORE the shuffle bounds the exchange to
+# <= 3 rows * users * blocks; the grouped final pass re-ranks candidates.
+# ---------------------------------------------------------------------------
+
+def _user_top3_partial(batch: pd.DataFrame) -> pd.DataFrame:
+    return (batch.sort_values(["user_id", "value", "event_id"],
+                              ascending=[True, False, True])
+            .groupby("user_id", sort=False).head(3))
+
+
+def _user_top3_final(g: pd.DataFrame) -> pd.DataFrame:
+    return (g.sort_values(["value", "event_id"], ascending=[False, True])
+            .head(3)[["user_id", "event_id", "value"]])
+
+
+def q_top_events_per_user(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "value"])
+    partial = ds.map_batches(_user_top3_partial, batch_format="pandas")
+    out = partial.groupby("user_id").map_groups(_user_top3_final,
+                                                batch_format="pandas")
+    return out.to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# per-key ordered window: running value total per user over the event log
+# (sum OVER (PARTITION BY user ORDER BY ts ROWS UNBOUNDED PRECEDING)).
+# Same co-location strategy as q_user_sessions: user-hash buckets sized to
+# the cluster, vectorized cumsum within each bucket.
+# ---------------------------------------------------------------------------
+
+def _running_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    g = g.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    cents = (g["value"] * 100).round().astype("int64")
+    run = cents.groupby(g["user_id"], sort=False).cumsum()
+    return pd.DataFrame({"event_id": g["event_id"], "user_id": g["user_id"],
+                         "ts": g["ts"], "running_cents": run})
+
+
+def q_user_running_value(sf_dir: str):
+    nb = _session_buckets()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+    ds = ds.map_batches(lambda t: _bucket_users(t, nb), batch_format="pyarrow")
+    out = ds.groupby("ubucket").map_groups(_running_bucket,
+                                           batch_format="pandas").to_pandas()
+    out["ts"] = out["ts"].astype("datetime64[us]")  # oracle emits timestamp[us]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# exact distributed percentiles (quantile_disc semantics): integer-cents
+# histogram — per-batch value_counts partial, groupby-sum over <= distinct
+# cents rows, driver folds the (small, bounded-cardinality) histogram into
+# nearest-rank picks.  No global sort: the shuffle moves one row per distinct
+# cent value per block, not one row per event.
+# ---------------------------------------------------------------------------
+
+def _cents_hist_partial(batch: pa.Table) -> pa.Table:
+    cents = pc.cast(pc.round(pc.multiply(batch.column("value"), 100.0)),
+                    pa.int64())
+    g = pa.table({"cents": cents}).group_by("cents").aggregate(
+        [("cents", "count")])
+    return g.rename_columns(["cents", "pn"])
+
+
+def q_events_value_percentiles(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    hist = (ds.map_batches(_cents_hist_partial, batch_format="pyarrow")
+            .groupby("cents").aggregate(Sum("pn", alias_name="n"))
+            .to_pandas().sort_values("cents").reset_index(drop=True))
+    cum = hist["n"].cumsum().to_numpy()
+    total = int(cum[-1])
+
+    def pick(q: float) -> int:
+        # DuckDB quantile_disc: 1-indexed rank ceil(q*n) (double arithmetic),
+        # verified empirically across n in {3..10} x q in {.1...99}
+        rank = min(total, max(1, math.ceil(q * total)))
+        return int(hist["cents"].iloc[int(np.searchsorted(cum, rank))])
+
+    return pa.table({
+        "p50_cents": pa.array([pick(0.5)], pa.int64()),
+        "p90_cents": pa.array([pick(0.9)], pa.int64()),
+        "p99_cents": pa.array([pick(0.99)], pa.int64()),
+        "n_events": pa.array([total], pa.int64()),
+    })
+
+
+# ---------------------------------------------------------------------------
+# pivot-style conditional aggregation: order counts by status as columns
+# (COUNT(*) FILTER ...).  One partial row per batch, Sum-combined — no
+# groupby shuffle at all.
+# ---------------------------------------------------------------------------
+
+def q_orders_status_pivot(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderstatus"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        st = t.column("o_orderstatus")
+
+        def cnt(v: str) -> int:
+            return pc.sum(pc.cast(pc.equal(st, v), pa.int64())).as_py() or 0
+
+        return pa.table({"p_open": pa.array([cnt("O")], pa.int64()),
+                         "p_fulfilled": pa.array([cnt("F")], pa.int64()),
+                         "p_pending": pa.array([cnt("P")], pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("p_open", alias_name="n_open"),
+        Sum("p_fulfilled", alias_name="n_fulfilled"),
+        Sum("p_pending", alias_name="n_pending"))
+    return pa.table({
+        "n_open": pa.array([agg["n_open"]], pa.int64()),
+        "n_fulfilled": pa.array([agg["n_fulfilled"]], pa.int64()),
+        "n_pending": pa.array([agg["n_pending"]], pa.int64()),
+    })
+
+
+# ---------------------------------------------------------------------------
+# range/band join: classify each event's value into fixed tiers (broadcast
+# boundary array + one vectorized searchsorted per batch — the banded-join
+# shape; no shuffle of the boundaries, partial agg before the tiny groupby).
+# ---------------------------------------------------------------------------
+
+TIER_BOUNDS = np.array([25.0, 50.0, 100.0])
+TIER_NAMES = np.array(["t0_low", "t1_mid", "t2_high", "t3_top"])
+
+
+def _tier_partial(batch: pa.Table) -> pa.Table:
+    v = batch.column("value").to_numpy()
+    tier = TIER_NAMES[np.searchsorted(TIER_BOUNDS, v, side="right")]
+    cents = pc.cast(pc.round(pc.multiply(batch.column("value"), 100.0)),
+                    pa.int64())
+    t = pa.table({"tier": pa.array(tier, pa.string()), "cents": cents})
+    g = t.group_by("tier").aggregate([("cents", "sum"), ("cents", "count")])
+    return g.rename_columns(["tier", "p_cents", "p_n"])
+
+
+def q_events_value_tiers(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    return (ds.map_batches(_tier_partial, batch_format="pyarrow")
+            .groupby("tier")
+            .aggregate(Sum("p_cents", alias_name="value_cents"),
+                       Sum("p_n", alias_name="n_events"))
+            .to_pandas())
+
+
+# ---------------------------------------------------------------------------
+# set ops (INTERSECT / EXCEPT over key sets): customers ordering in 1995,
+# in 1996, or both.  Per-batch max-flag partials -> per-key flag groupby ->
+# flag-combination counts (a second, single-row reduction).
+# ---------------------------------------------------------------------------
+
+def _year_flags_partial(batch: pa.Table) -> pa.Table:
+    yr = pc.year(batch.column("o_orderdate"))
+    t = pa.table({
+        "o_custkey": batch.column("o_custkey"),
+        "a": pc.cast(pc.equal(yr, 1995), pa.int64()),
+        "b": pc.cast(pc.equal(yr, 1996), pa.int64()),
+    })
+    g = t.group_by("o_custkey").aggregate([("a", "max"), ("b", "max")])
+    return g.rename_columns(["o_custkey", "pa_", "pb_"])
+
+
+def _flag_combo_counts(t: pa.Table) -> pa.Table:
+    if "a" not in t.column_names:  # schema-less empty aggregate block
+        z = pa.array([0], pa.int64())
+        return pa.table({"p_both": z, "p_only_a": z, "p_only_b": z})
+    a = t.column("a").to_numpy().astype(bool)
+    b = t.column("b").to_numpy().astype(bool)
+    return pa.table({
+        "p_both": pa.array([int(np.sum(a & b))], pa.int64()),
+        "p_only_a": pa.array([int(np.sum(a & ~b))], pa.int64()),
+        "p_only_b": pa.array([int(np.sum(~a & b))], pa.int64()),
+    })
+
+
+def q_repeat_customers(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_orderdate"])
+    flags = (ds.map_batches(_year_flags_partial, batch_format="pyarrow")
+             .groupby("o_custkey")
+             .aggregate(Max("pa_", alias_name="a"), Max("pb_", alias_name="b")))
+    agg = flags.map_batches(_flag_combo_counts, batch_format="pyarrow").aggregate(
+        Sum("p_both", alias_name="n_both"),
+        Sum("p_only_a", alias_name="n_only_1995"),
+        Sum("p_only_b", alias_name="n_only_1996"))
+    return pa.table({
+        "n_both": pa.array([agg["n_both"]], pa.int64()),
+        "n_only_1995": pa.array([agg["n_only_1995"]], pa.int64()),
+        "n_only_1996": pa.array([agg["n_only_1996"]], pa.int64()),
+    })
+
+
+# ---------------------------------------------------------------------------
+# corpus term frequency (boilerplate-token mining over the web-text corpus):
+# explode words with a per-batch value_counts partial — the shuffle moves one
+# (word, count) row per distinct word per block, never one row per token.
+# ---------------------------------------------------------------------------
+
+def _word_freq_partial(batch: pd.DataFrame) -> pd.DataFrame:
+    words = batch["text"].str.split().explode().dropna()
+    vc = words.value_counts()
+    return pd.DataFrame({"w": vc.index.to_numpy(dtype=object),
+                         "pn": vc.to_numpy(dtype="int64")})
+
+
+def q_top_words(sf_dir: str):
+    freq = (_docs(sf_dir, ["text"])
+            .map_batches(_word_freq_partial, batch_format="pandas")
+            .groupby("w").aggregate(Sum("pn", alias_name="n")))
+    return _topk(freq, "n", "w", 20)[["w", "n"]]
+
+
+# ---------------------------------------------------------------------------
+# within-doc repetition (Gopher-style quality signal): distinct-word ratio
+# per document.  Embarrassingly parallel per-doc kernel — no cross-doc state.
+# ---------------------------------------------------------------------------
+
+def _diversity_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    words = batch["text"].str.split()
+    nw = words.str.len().fillna(0).astype("int64")
+    ndw = words.apply(
+        lambda ws: len(set(ws)) if isinstance(ws, list) else 0).astype("int64")
+    ratio = np.where(nw.to_numpy() > 0,
+                     ndw.to_numpy() / np.maximum(nw.to_numpy(), 1), 0.0)
+    return pd.DataFrame({"doc_id": batch["doc_id"], "n_words": nw,
+                         "n_distinct_words": ndw, "distinct_ratio": ratio})
+
+
+def q_word_diversity(sf_dir: str):
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(_diversity_batch, batch_format="pandas",
+                         batch_size=8192)
+            .to_pandas())
+
+
+# ---------------------------------------------------------------------------
+# semi-structured (JSON) field extraction + rollup: pull props.k out of the
+# JSON string column with one vectorized regex per batch, partial-agg by
+# event_type.  The parse happens inside the scan-side map_batches, so only
+# (type, sum, count) partials cross the network.
+# ---------------------------------------------------------------------------
+
+def _props_partial(batch: pd.DataFrame) -> pd.DataFrame:
+    k = (batch["props"].str.extract(r'"k":\s*(-?\d+)', expand=False)
+         .astype("int64"))
+    df = pd.DataFrame({"event_type": batch["event_type"], "k": k})
+    return df.groupby("event_type", as_index=False).agg(
+        p_k=("k", "sum"), p_n=("k", "size"))
+
+
+def q_props_value_by_type(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "props"])
+    return (ds.map_batches(_props_partial, batch_format="pandas")
+            .groupby("event_type")
+            .aggregate(Sum("p_k", alias_name="k_sum"),
+                       Sum("p_n", alias_name="n_events"))
+            .to_pandas())
+
+
+# ---------------------------------------------------------------------------
+# text normalization: NFC + whitespace collapse + trim, reporting the
+# normalized length.  Arrow kernels end-to-end for ASCII (the overwhelming
+# majority of a web corpus after extraction); non-ASCII strings fall back to
+# unicodedata.normalize because THIS build's pc.utf8_normalize(form="NFC")
+# does not compose combining marks (verified: "cafe\\u0301" stays 5 cp),
+# while DuckDB's nfc_normalize / the Unicode standard compose to 4.
+# ---------------------------------------------------------------------------
+
+def _normalize_batch(batch: pa.Table) -> pa.Table:
+    txt = pc.utf8_trim_whitespace(
+        pc.replace_substring_regex(batch.column("text"), r"\s+", " "))
+    if not pc.all(pc.string_is_ascii(txt)).as_py():
+        import unicodedata
+
+        txt = pa.array(
+            [v if v is None or v.isascii() else unicodedata.normalize("NFC", v)
+             for v in txt.to_pylist()], pa.string())
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_chars_norm": pc.cast(pc.utf8_length(txt), pa.int64()),
+    })
+
+
+def q_text_normalize(sf_dir: str):
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(_normalize_batch, batch_format="pyarrow",
+                         batch_size=8192)
+            .to_pandas())
+
+
+# ---------------------------------------------------------------------------
+# term-feature extraction (tf/df): each document's top-5 terms by in-doc
+# frequency, joined to the corpus-wide document frequency of those terms.
+# tf is computed entirely inside the scan batch (documents never span
+# blocks); df is a vocabulary-sized partial-count shuffle; the two meet in
+# a native hash-partitioned join keyed on the term string.  All-integer
+# ranking (tf desc, term asc) keeps the output hash-stable — no
+# transcendental tf-idf floats whose last ulp could differ between libm
+# and the oracle.
+# ---------------------------------------------------------------------------
+
+def _doc_tf_top5(batch: pd.DataFrame) -> pd.DataFrame:
+    ex = (batch[["doc_id"]]
+          .join(batch["text"].str.split().rename("w"))
+          .explode("w").dropna(subset=["w"]))
+    tf = (ex.groupby(["doc_id", "w"], as_index=False).size()
+          .rename(columns={"size": "tf"}))
+    tf["tf"] = tf["tf"].astype("int64")
+    return (tf.sort_values(["doc_id", "tf", "w"],
+                           ascending=[True, False, True])
+            .groupby("doc_id", sort=False).head(5))
+
+
+def _docfreq_partial(batch: pd.DataFrame) -> pd.DataFrame:
+    ex = (batch[["doc_id"]]
+          .join(batch["text"].str.split().rename("w"))
+          .explode("w").dropna(subset=["w"]))
+    vc = ex.drop_duplicates()["w"].value_counts()
+    return pd.DataFrame({"w": vc.index.to_numpy(dtype=object),
+                         "pdf": vc.to_numpy(dtype="int64")})
+
+
+def q_doc_top_terms(sf_dir: str):
+    from ..config import cluster_cpus
+
+    nparts = max(2, min(16, cluster_cpus() // 2))
+    df_schema = pa.schema([("w", pa.string()), ("df", pa.int64())])
+
+    def coerce(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return df_schema.empty_table()
+        return t.cast(df_schema)
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    df_ds = (docs.map_batches(_docfreq_partial, batch_format="pandas")
+             .groupby("w").aggregate(Sum("pdf", alias_name="df"))
+             .map_batches(coerce, batch_format="pyarrow")
+             .repartition(nparts))
+    tf_ds = docs.map_batches(_doc_tf_top5, batch_format="pandas")
+    joined = tf_ds.join(df_ds, join_type="inner", num_partitions=nparts,
+                        on=("w",), right_on=("w",))
+    return (joined.to_pandas()[["doc_id", "w", "tf", "df"]]
+            .sort_values(["doc_id", "w"]).reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# grouped exact percentiles: median value per event_type via the same
+# integer-cents histogram trick, one nearest-rank fold per group.
+# ---------------------------------------------------------------------------
+
+def _type_cents_partial(batch: pa.Table) -> pa.Table:
+    cents = pc.cast(pc.round(pc.multiply(batch.column("value"), 100.0)),
+                    pa.int64())
+    t = pa.table({"event_type": batch.column("event_type"), "cents": cents})
+    g = t.group_by(["event_type", "cents"]).aggregate([("cents", "count")])
+    return g.rename_columns(["event_type", "cents", "pn"])
+
+
+def q_value_p50_by_type(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    hist = (ds.map_batches(_type_cents_partial, batch_format="pyarrow")
+            .groupby(["event_type", "cents"])
+            .aggregate(Sum("pn", alias_name="n"))
+            .to_pandas())
+    rows = []
+    for etype, g in hist.sort_values("cents").groupby("event_type"):
+        cum = g["n"].cumsum().to_numpy()
+        total = int(cum[-1])
+        rank = min(total, max(1, math.ceil(0.5 * total)))
+        rows.append((etype, int(g["cents"].iloc[int(np.searchsorted(cum, rank))]),
+                     total))
+    out = pd.DataFrame(rows, columns=["event_type", "p50_cents", "n_events"])
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# approximate count-distinct (HyperLogLog, functions/sketch.py): per-batch
+# register partials -> groupby(register).max -> driver folds <= 4096 rows.
+# Shuffle volume is O(4096) regardless of input size — the scale-safe
+# COUNT(DISTINCT) for 100-TB keys.  No SQL oracle (approximate by design);
+# tests/test_sketch.py pins accuracy against the exact count.
+# ---------------------------------------------------------------------------
+
+def q_approx_distinct_custkeys(sf_dir: str):
+    from ..functions.sketch import hll_estimate, hll_partial
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    merged = (ds.map_batches(
+        lambda t: hll_partial(t.column("o_custkey").to_numpy()),
+        batch_format="pyarrow")
+        .groupby("reg").aggregate(Max("rho", alias_name="rho"))
+        .to_pandas())
+    est = hll_estimate(merged["reg"].to_numpy(), merged["rho"].to_numpy())
+    return pa.table({"approx_n_custkeys": pa.array([int(round(est))],
+                                                   pa.int64())})
+
+
 QUERIES = {
     "doc_count": q_doc_count,
     "doc_chars_sum": q_doc_chars_sum,
@@ -1048,6 +1495,20 @@ QUERIES = {
     "embedding_ivf_knn": q_embedding_ivf_knn,
     "embedding_near_dups": q_embedding_near_dups,
     "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
+    "customers_lapsed": q_customers_lapsed,
+    "top_events_per_user": q_top_events_per_user,
+    "user_running_value": q_user_running_value,
+    "events_value_percentiles": q_events_value_percentiles,
+    "orders_status_pivot": q_orders_status_pivot,
+    "events_value_tiers": q_events_value_tiers,
+    "repeat_customers": q_repeat_customers,
+    "top_words": q_top_words,
+    "word_diversity": q_word_diversity,
+    "props_value_by_type": q_props_value_by_type,
+    "text_normalize": q_text_normalize,
+    "approx_distinct_custkeys": q_approx_distinct_custkeys,
+    "doc_top_terms": q_doc_top_terms,
+    "value_p50_by_type": q_value_p50_by_type,
 }
 
 ORACLE_SQL = {
@@ -1203,9 +1664,99 @@ ORACLE_SQL = {
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
         "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45"
     ),
+    "customers_lapsed": (
+        "SELECT c_custkey, c_name FROM customer c LEFT JOIN "
+        "(SELECT DISTINCT o_custkey FROM orders "
+        "WHERE o_orderdate >= TIMESTAMP '1999-01-01') o "
+        "ON o.o_custkey = c.c_custkey WHERE o.o_custkey IS NULL"
+    ),
+    "top_events_per_user": (
+        "SELECT user_id, event_id, value FROM ("
+        "SELECT user_id, event_id, value, row_number() OVER ("
+        "PARTITION BY user_id ORDER BY value DESC, event_id) AS rn "
+        "FROM events) WHERE rn <= 3"
+    ),
+    "user_running_value": (
+        "SELECT event_id, user_id, ts, "
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER ("
+        "PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents FROM events"
+    ),
+    "events_value_percentiles": (
+        "SELECT quantile_disc(CAST(round(value * 100) AS BIGINT), 0.5) AS p50_cents, "
+        "quantile_disc(CAST(round(value * 100) AS BIGINT), 0.9) AS p90_cents, "
+        "quantile_disc(CAST(round(value * 100) AS BIGINT), 0.99) AS p99_cents, "
+        "count(*) AS n_events FROM events"
+    ),
+    "orders_status_pivot": (
+        "SELECT CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_open, "
+        "CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_fulfilled, "
+        "CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_pending "
+        "FROM orders"
+    ),
+    "events_value_tiers": (
+        "SELECT CASE WHEN value < 25 THEN 't0_low' WHEN value < 50 THEN 't1_mid' "
+        "WHEN value < 100 THEN 't2_high' ELSE 't3_top' END AS tier, "
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents, "
+        "count(*) AS n_events FROM events GROUP BY 1"
+    ),
+    "repeat_customers": (
+        "WITH y AS (SELECT o_custkey, "
+        "max(CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END) AS a, "
+        "max(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END) AS b "
+        "FROM orders GROUP BY o_custkey) "
+        "SELECT CAST(count(*) FILTER (WHERE a = 1 AND b = 1) AS BIGINT) AS n_both, "
+        "CAST(count(*) FILTER (WHERE a = 1 AND b = 0) AS BIGINT) AS n_only_1995, "
+        "CAST(count(*) FILTER (WHERE a = 0 AND b = 1) AS BIGINT) AS n_only_1996 "
+        "FROM y"
+    ),
+    "top_words": (
+        "SELECT w, count(*) AS n FROM (SELECT unnest(string_split_regex("
+        "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS w "
+        "FROM documents) WHERE w <> '' GROUP BY w ORDER BY n DESC, w LIMIT 20"
+    ),
+    "word_diversity": (
+        "WITH s AS (SELECT doc_id, "
+        "regexp_replace(text, '^\\s+|\\s+$', '', 'g') AS st FROM documents), "
+        "w AS (SELECT doc_id, CASE WHEN st = '' THEN CAST([] AS VARCHAR[]) "
+        "ELSE string_split_regex(st, '\\s+') END AS ws FROM s) "
+        "SELECT doc_id, len(ws) AS n_words, "
+        "len(list_distinct(ws)) AS n_distinct_words, "
+        "CASE WHEN len(ws) = 0 THEN 0.0 ELSE "
+        "CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) END AS distinct_ratio "
+        "FROM w"
+    ),
+    "doc_top_terms": (
+        "WITH words AS (SELECT doc_id, unnest(string_split_regex("
+        "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS w "
+        "FROM documents), "
+        "tf AS (SELECT doc_id, w, count(*) AS tf FROM words WHERE w <> '' "
+        "GROUP BY doc_id, w), "
+        "df AS (SELECT w, count(*) AS df FROM "
+        "(SELECT DISTINCT doc_id, w FROM words WHERE w <> '') GROUP BY w), "
+        "ranked AS (SELECT doc_id, tf.w AS w, tf, df, row_number() OVER ("
+        "PARTITION BY doc_id ORDER BY tf DESC, tf.w) AS rn "
+        "FROM tf JOIN df USING (w)) "
+        "SELECT doc_id, w, tf, df FROM ranked WHERE rn <= 5"
+    ),
+    "value_p50_by_type": (
+        "SELECT event_type, "
+        "quantile_disc(CAST(round(value * 100) AS BIGINT), 0.5) AS p50_cents, "
+        "count(*) AS n_events FROM events GROUP BY event_type"
+    ),
+    "props_value_by_type": (
+        "SELECT event_type, "
+        "CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum, "
+        "count(*) AS n_events FROM events GROUP BY event_type"
+    ),
+    "text_normalize": (
+        "SELECT doc_id, length(nfc_normalize(trim(regexp_replace("
+        "text, '\\s+', ' ', 'g')))) AS n_chars_norm FROM documents"
+    ),
     # not SQL-expressible -> rows-only checks recorded by the driver:
     #   extract_flagship, pages_sniff_counts (synthetic binary payloads +
     #   OCR), lang_id (n-gram profile scoring), fingerprints (winnowing
     #   rolling hash), minhash_near_dups / simhash_signatures (signature
-    #   algorithms).
+    #   algorithms), approx_distinct_custkeys (approximate by design —
+    #   accuracy pinned against the exact count in tests/test_sketch.py).
 }
