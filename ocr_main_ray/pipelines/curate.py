@@ -1,0 +1,173 @@
+"""Corpus curation: the end-to-end keep/drop pipeline a training-data run
+applies to a document table — exact dedup, near-dup clustering with
+canonical-document election, and a quality floor, each drop tagged with its
+reason.
+
+The reference processes one document at a time and has no corpus-level
+curation (SURVEY.md §2 G covers only its per-request dedup-by-name); this
+module is part of the added training-data operator set, composed from the
+engine's own primitives:
+
+- exact duplicates: content-hash shuffle, keep the minimum doc_id per hash
+  group (``stages/dedup.py`` semantics);
+- near duplicates: MinHash-LSH candidates -> distributed exact-Jaccard
+  verification (``functions/dedup.py``) -> union-find over the verified
+  pairs -> canonical id = min doc_id per connected component;
+- quality: the replicable composite score in ``functions/text.py``.
+
+Scale notes: the text column never crosses a shuffle — hashing and quality
+scoring happen scan-side, so the exact-dup exchange moves (doc_id, hash,
+score) only.  The near-dup pair set is the OUTPUT of LSH + verification,
+bounded by the near-dup rate (typically ~1 % of docs), so the union-find
+runs driver-side over int pairs and the resulting {doc: canonical} map is
+broadcast once via ``ray.put`` and read inside an actor pool.
+"""
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+
+def cluster_pairs(pairs: pa.Table) -> dict[int, int]:
+    """Union-find (path-halving) over (a, b) int pairs -> {doc_id: canonical}
+    where canonical = min doc_id of the connected component.  Only docs that
+    appear in a pair are keys; everything else is implicitly its own
+    canonical.  If the pair set ever outgrew driver memory the same result
+    is an iterative min-label-propagation join; at real near-dup rates the
+    pairs are orders of magnitude smaller than the corpus.
+    """
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    a_col = pairs.column("a").to_numpy(zero_copy_only=False)
+    b_col = pairs.column("b").to_numpy(zero_copy_only=False)
+    seen: set[int] = set()
+    for a, b in zip(a_col.tolist(), b_col.tolist()):
+        seen.add(a)
+        seen.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min keeps find() results stable as canonical ids
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in seen}
+
+
+def near_dup_canonical_map(docs_ds, threshold: float = 0.5,
+                           num_perm: int = 128, bands: int = 32):
+    """MinHash-LSH -> distributed verify -> union-find; returns the
+    {doc_id: canonical_doc_id} dict for verified-near-dup members."""
+    from ..functions.dedup import (minhash_candidate_pairs,
+                                   verify_pairs_distributed)
+
+    cand = minhash_candidate_pairs(docs_ds, num_perm=num_perm, bands=bands)
+    verified = verify_pairs_distributed(cand, docs_ds, threshold=threshold)
+    pairs = pa.concat_tables(
+        verified.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    if pairs.num_rows == 0:
+        return {}
+    return cluster_pairs(pairs.select(["a", "b"]))
+
+
+class _ClusterAssign:
+    """Actor-pool stage: per-doc cluster id + canonical flag from the
+    broadcast component map (fetched once per actor)."""
+
+    def __init__(self, canon_ref):
+        self.canon = ray.get(canon_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        cluster = (pd.Series(ids).map(self.canon).fillna(pd.Series(ids))
+                   .astype("int64").to_numpy())
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "cluster_id": pa.array(cluster, pa.int64()),
+            "is_canonical": pa.array((cluster == ids).astype(np.int64),
+                                     pa.int64()),
+        })
+
+
+def assign_clusters(docs_ds, canon: dict[int, int]):
+    """documents -> (doc_id, cluster_id, is_canonical); singletons are their
+    own canonical."""
+    ref = ray.put(canon)
+    return docs_ds.select_columns(["doc_id"]).map_batches(
+        _ClusterAssign, fn_constructor_kwargs={"canon_ref": ref},
+        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
+
+
+def _hash_quality_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Scan-side prep: content hash + quality score, text dropped BEFORE any
+    shuffle (only ids/hashes/scores cross the exchange)."""
+    from ..functions.text import quality_score
+
+    return pd.DataFrame({
+        "doc_id": batch["doc_id"],
+        "text_hash": [hashlib.md5(t.encode("utf-8")).hexdigest()
+                      for t in batch["text"]],
+        "q": [quality_score(t) for t in batch["text"]],
+    })
+
+
+def _exact_winners(g: pd.DataFrame) -> pd.DataFrame:
+    g = g.copy()
+    g["exact_dup"] = (g["doc_id"] != g["doc_id"].min()).astype("int64")
+    return g[["doc_id", "q", "exact_dup"]]
+
+
+class _CurationFlags:
+    """Final per-doc verdict: drop-reason precedence is
+    exact_dup > near_dup (non-canonical member) > low_quality."""
+
+    def __init__(self, canon_ref, min_quality: float):
+        self.canon = ray.get(canon_ref)
+        self.min_quality = min_quality
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"]
+        cluster = ids.map(self.canon).fillna(ids).astype("int64")
+        near_dup = (cluster != ids).to_numpy()
+        exact_dup = batch["exact_dup"].to_numpy().astype(bool)
+        low_q = (batch["q"] < self.min_quality).to_numpy()
+        reason = np.where(exact_dup, "exact_dup",
+                          np.where(near_dup, "near_dup",
+                                   np.where(low_q, "low_quality", "")))
+        return pd.DataFrame({
+            "doc_id": ids,
+            "keep": (reason == "").astype("int64"),
+            "drop_reason": reason,
+            "quality": batch["q"],
+        })
+
+
+def curate_documents(docs_ds, min_quality: float = 30.0,
+                     near_dup_threshold: float = 0.5):
+    """documents(doc_id, text) -> (doc_id, keep, drop_reason, quality).
+
+    One content-hash shuffle (ids + scores only), one broadcast of the
+    near-dup canonical map; everything else is scan-side map_batches.
+    """
+    canon = near_dup_canonical_map(docs_ds, threshold=near_dup_threshold)
+    canon_ref = ray.put(canon)
+    prepped = docs_ds.map_batches(_hash_quality_batch, batch_format="pandas",
+                                  batch_size=8192)
+    flagged = prepped.groupby("text_hash").map_groups(_exact_winners,
+                                                      batch_format="pandas")
+    return flagged.map_batches(
+        _CurationFlags,
+        fn_constructor_kwargs={"canon_ref": canon_ref,
+                               "min_quality": min_quality},
+        batch_format="pandas", concurrency=(1, 4), num_cpus=1)

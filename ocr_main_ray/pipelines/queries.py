@@ -1343,6 +1343,29 @@ def q_text_normalize(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# near-dup clustering + corpus curation (pipelines/curate.py): connected
+# components over verified MinHash-LSH pairs with canonical-doc election,
+# and the end-to-end keep/drop pipeline (exact dedup + near-dup + quality
+# floor, reason-tagged).  Rows-only: the LSH candidate generation is not
+# SQL-expressible; tests/test_curation.py pins planted-duplicate behavior.
+# ---------------------------------------------------------------------------
+
+def q_near_dup_clusters(sf_dir: str):
+    from .curate import assign_clusters, near_dup_canonical_map
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    canon = near_dup_canonical_map(docs, threshold=0.5)
+    return assign_clusters(_docs(sf_dir, ["doc_id"]), canon).to_pandas()
+
+
+def q_curation(sf_dir: str):
+    from .curate import curate_documents
+
+    out = curate_documents(_docs(sf_dir, ["doc_id", "text"])).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # term-feature extraction (tf/df): each document's top-5 terms by in-doc
 # frequency, joined to the corpus-wide document frequency of those terms.
 # tf is computed entirely inside the scan batch (documents never span
@@ -1509,6 +1532,8 @@ QUERIES = {
     "approx_distinct_custkeys": q_approx_distinct_custkeys,
     "doc_top_terms": q_doc_top_terms,
     "value_p50_by_type": q_value_p50_by_type,
+    "near_dup_clusters": q_near_dup_clusters,
+    "curation": q_curation,
 }
 
 ORACLE_SQL = {
