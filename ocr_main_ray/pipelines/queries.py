@@ -1343,6 +1343,114 @@ def q_text_normalize(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# lag window: per-user inter-event gap (ts - lag(ts) OVER user ORDER BY ts).
+# Same user-hash bucket co-location as q_user_sessions; the first event of
+# each user has a NULL gap, exactly like SQL lag().
+# ---------------------------------------------------------------------------
+
+def _gaps_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    g = g.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    ts_us = g["ts"].astype("int64")
+    gap = ts_us.diff()
+    gap[g["user_id"].ne(g["user_id"].shift())] = np.nan  # first event per user
+    return pd.DataFrame({"event_id": g["event_id"], "user_id": g["user_id"],
+                         "gap_us": gap.astype("Int64")})
+
+
+def q_user_event_gaps(sf_dir: str):
+    nb = _session_buckets()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+    ds = ds.map_batches(lambda t: _bucket_users(t, nb), batch_format="pyarrow")
+    return ds.groupby("ubucket").map_groups(_gaps_bucket,
+                                            batch_format="pandas").to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# hopping (sliding) window aggregate: 2-hour windows advancing every hour —
+# each event lands in exactly two windows.  The fan-out is done scan-side
+# (duplicate the partial rows with the two window starts), so the shuffle
+# still moves one partial row per (window, block), never per event.
+# ---------------------------------------------------------------------------
+
+_HOUR_US = 3_600 * 1_000_000
+
+
+def _hopping_partial(batch: pa.Table) -> pa.Table:
+    ts_us = batch.column("ts").cast(pa.int64()).to_numpy()
+    hour_us = (ts_us // _HOUR_US) * _HOUR_US  # ts > 0: floor == trunc
+    starts = np.concatenate([hour_us, hour_us - _HOUR_US])
+    cents = pc.cast(pc.round(pc.multiply(batch.column("value"), 100.0)),
+                    pa.int64()).to_numpy()
+    both = pa.table({
+        "window_start": pa.array(starts, pa.int64()).cast(pa.timestamp("us")),
+        "cents": pa.array(np.concatenate([cents, cents]), pa.int64()),
+    })
+    g = both.group_by("window_start").aggregate(
+        [("cents", "sum"), ("cents", "count")])
+    return g.rename_columns(["window_start", "p_cents", "p_n"])
+
+
+def q_events_hopping_2h(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    out = (ds.map_batches(_hopping_partial, batch_format="pyarrow")
+           .groupby("window_start")
+           .aggregate(Sum("p_cents", alias_name="total_value_cents"),
+                      Sum("p_n", alias_name="n_events"))
+           .to_pandas())
+    out["window_start"] = out["window_start"].astype("datetime64[us]")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# broadcast semi join: orders whose customer is in one market segment —
+# the filter side is a broadcast custkey hash set, so nothing shuffles and
+# the fact table is reduced at the scan.
+# ---------------------------------------------------------------------------
+
+class _SegmentSemi:
+    def __init__(self, keys_ref):
+        self.keys = ray.get(keys_ref)  # sorted int64 custkeys (one segment)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ck = batch.column("o_custkey").to_numpy()
+        if len(self.keys) == 0:
+            hit = np.zeros(len(ck), dtype=bool)
+        else:
+            idx = np.searchsorted(self.keys, ck)
+            idx[idx == len(self.keys)] = 0
+            hit = self.keys[idx] == ck
+        cents = pc.cast(pc.round(pc.multiply(batch.column("o_totalprice"),
+                                             100.0)), pa.int64()).to_numpy()
+        return pa.table({
+            "p_n": pa.array([int(hit.sum())], pa.int64()),
+            "p_cents": pa.array([int(cents[hit].sum())], pa.int64()),
+        })
+
+
+def q_building_orders(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    keys = np.sort(cust.filter(
+        pc.equal(cust.column("c_mktsegment"), "BUILDING"))
+        .column("c_custkey").to_numpy())
+    keys_ref = ray.put(keys)
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_totalprice"])
+    agg = ds.map_batches(
+        _SegmentSemi, fn_constructor_kwargs={"keys_ref": keys_ref},
+        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1,
+    ).aggregate(Sum("p_n", alias_name="n_orders"),
+                Sum("p_cents", alias_name="revenue_cents"))
+    return pa.table({
+        "n_orders": pa.array([agg["n_orders"]], pa.int64()),
+        "revenue_cents": pa.array([agg["revenue_cents"]], pa.int64()),
+    })
+
+
+# ---------------------------------------------------------------------------
 # near-dup clustering + corpus curation (pipelines/curate.py): connected
 # components over verified MinHash-LSH pairs with canonical-doc election,
 # and the end-to-end keep/drop pipeline (exact dedup + near-dup + quality
@@ -1534,6 +1642,9 @@ QUERIES = {
     "value_p50_by_type": q_value_p50_by_type,
     "near_dup_clusters": q_near_dup_clusters,
     "curation": q_curation,
+    "user_event_gaps": q_user_event_gaps,
+    "events_hopping_2h": q_events_hopping_2h,
+    "building_orders": q_building_orders,
 }
 
 ORACLE_SQL = {
@@ -1750,6 +1861,28 @@ ORACLE_SQL = {
         "CASE WHEN len(ws) = 0 THEN 0.0 ELSE "
         "CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) END AS distinct_ratio "
         "FROM w"
+    ),
+    "user_event_gaps": (
+        "SELECT event_id, user_id, date_diff('microseconds', "
+        "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) "
+        "AS gap_us FROM events"
+    ),
+    "events_hopping_2h": (
+        "SELECT window_start, CAST(sum(cents) AS BIGINT) AS total_value_cents, "
+        "count(*) AS n_events FROM ("
+        "SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, "
+        "CAST(round(value * 100) AS BIGINT) AS cents FROM events "
+        "UNION ALL "
+        "SELECT CAST(date_trunc('hour', ts) - INTERVAL 1 HOUR AS TIMESTAMP), "
+        "CAST(round(value * 100) AS BIGINT) FROM events"
+        ") GROUP BY window_start"
+    ),
+    "building_orders": (
+        "SELECT CAST(count(*) AS BIGINT) AS n_orders, "
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+        "AS revenue_cents FROM orders o "
+        "JOIN customer c ON o.o_custkey = c.c_custkey "
+        "WHERE c.c_mktsegment = 'BUILDING'"
     ),
     "doc_top_terms": (
         "WITH words AS (SELECT doc_id, unnest(string_split_regex("
