@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import pathlib
 import sys
 
 
@@ -39,12 +38,9 @@ def _init_ray(num_cpus: int | None):
 
 
 def _load_pages(input_path: str):
-    from .sources.readers import pages_from_binary_dir, pages_from_parquet
+    from .sources.readers import read_pages
 
-    p = pathlib.Path(input_path)
-    if p.is_dir() and not list(p.glob("*.parquet")):
-        return pages_from_binary_dir(str(p))
-    return pages_from_parquet(str(p))
+    return read_pages(input_path)
 
 
 def _config(args) -> "object":
@@ -63,6 +59,10 @@ def cmd_run(args) -> int:
     out = extract_run(ds, config=_config(args), dedup=not args.no_dedup,
                       dispatch_mode=args.dispatch)
     out.write_parquet(args.output)
+    if args.stats:
+        # per-stage wall/cpu/row breakdown (ray.data.Dataset.stats) — the
+        # operability hook for tuning batch sizes and stage concurrency
+        print(out.stats(), file=sys.stderr)
     import ray.data as rd
 
     n = rd.read_parquet(args.output, columns=["url"]).count()
@@ -116,11 +116,14 @@ def build_parser() -> argparse.ArgumentParser:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     runp = sub.add_parser("run", help="extract pages -> parquet")
-    runp.add_argument("input", help="pages parquet file/dir, or dir of raw files")
+    runp.add_argument("input", help="pages parquet file/dir, .jsonl/.csv "
+                                    "interchange dump, or dir of raw files")
     runp.add_argument("output", help="output parquet dir")
     runp.add_argument("--profile", choices=["fast", "balanced", "high"])
     runp.add_argument("--no-dedup", action="store_true")
     runp.add_argument("--dispatch", choices=["actors", "tasks"], default="actors")
+    runp.add_argument("--stats", action="store_true",
+                      help="print per-stage execution stats to stderr")
     runp.set_defaults(fn=cmd_run)
 
     res = sub.add_parser("resume", help="checkpointed run with manifests")

@@ -13,6 +13,10 @@ Ray-native equivalents:
   non-deterministic, SURVEY.md section 7.4).
 - pages_from_arrow: in-memory table (tests / small corpora), split into
   blocks so downstream stages parallelize.
+- pages_from_jsonl / pages_from_csv: crawl-dump interchange formats; the
+  binary payload column travels base64-encoded (JSON/CSV cannot carry raw
+  bytes) and is decoded vectorized on read.
+- read_pages: one entry point dispatching on path extension.
 """
 from __future__ import annotations
 
@@ -57,3 +61,69 @@ def pages_from_binary_dir(path: str):
 
     ds = rd.read_binary_files(path, include_paths=True)
     return ds.map_batches(to_pages, batch_format="pyarrow")
+
+
+def _decode_interchange(batch: pa.Table) -> pa.Table:
+    """Interchange rows -> pages schema: base64-decode the payload column,
+    parse the timestamp column (vectorized Arrow kernels)."""
+    import base64
+
+    import pyarrow.compute as pc
+
+    def str_col(name: str):
+        # all-empty JSON/CSV columns infer as null type -> pin to string
+        if name not in batch.column_names:
+            return pa.nulls(batch.num_rows, pa.string())
+        col = batch.column(name)
+        if pa.types.is_null(col.type):
+            return pa.nulls(batch.num_rows, pa.string())
+        return pc.cast(col, pa.string())
+
+    b64 = pc.coalesce(str_col("html_b64"), "")
+    payload = pa.array([base64.b64decode(v) if v else b""
+                        for v in b64.to_pylist()], pa.large_binary())
+    ts = batch.column("warc_ts")
+    if not pa.types.is_timestamp(ts.type):
+        ts = pc.strptime(pc.cast(ts, pa.string()), format="%Y-%m-%dT%H:%M:%S",
+                         unit="us")
+    else:
+        ts = pc.cast(ts, pa.timestamp("us"))
+    return pa.table({
+        "url": pc.cast(batch.column("url"), pa.string()),
+        "warc_ts": ts,
+        "html": payload,
+        "text": pc.coalesce(str_col("text"), ""),
+        "lang": pc.coalesce(str_col("lang"), ""),
+    }, schema=PAGES_SCHEMA)
+
+
+def pages_from_jsonl(path: str):
+    """JSON-lines crawl dump (url, warc_ts ISO string, html_b64, text,
+    lang) -> pages-shaped Dataset."""
+    return rd.read_json(path).map_batches(_decode_interchange,
+                                          batch_format="pyarrow")
+
+
+def pages_from_csv(path: str):
+    """CSV crawl dump with the same interchange columns."""
+    return rd.read_csv(path).map_batches(_decode_interchange,
+                                         batch_format="pyarrow")
+
+
+def read_pages(path: str):
+    """Dispatch on extension: .parquet -> parquet, .jsonl/.json -> JSONL,
+    .csv -> CSV, directory -> binary files."""
+    import pathlib
+
+    p = pathlib.Path(path)
+    if p.is_dir():
+        globbed = list(p.glob("*.parquet"))
+        return pages_from_parquet(path) if globbed else pages_from_binary_dir(path)
+    suffix = p.suffix.lower()
+    if suffix == ".parquet":
+        return pages_from_parquet(path)
+    if suffix in (".jsonl", ".json"):
+        return pages_from_jsonl(path)
+    if suffix == ".csv":
+        return pages_from_csv(path)
+    raise ValueError(f"unsupported pages source: {path}")

@@ -20,3 +20,53 @@ def test_pages_from_binary_dir(tmp_path):
     assert "hello from a real file" in out["doc1.pdf"]["extracted_text"]
     assert out["page2.html"]["content_type"] == "html"
     assert "real html file content" in out["page2.html"]["extracted_text"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_interchange_jsonl_csv_roundtrip(tmp_path):
+    """JSONL and CSV crawl dumps decode to the same pages the parquet path
+    carries: base64 payload, ISO timestamp, identical extraction output."""
+    import base64
+    import csv
+    import json
+
+    from ocr_main_ray.sources.readers import pages_from_csv, pages_from_jsonl, read_pages
+
+    html_payload = (b"<html><body><p>interchange row with words enough to "
+                    b"extract</p></body></html>")
+    row = {
+        "url": "http://example.com/a",
+        "warc_ts": "2025-01-02T03:04:05",
+        "html_b64": base64.b64encode(html_payload).decode("ascii"),
+        "text": "",
+        "lang": "en",
+    }
+
+    jl = tmp_path / "pages.jsonl"
+    jl.write_text(json.dumps(row) + "\n")
+    cv = tmp_path / "pages.csv"
+    with cv.open("w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(row))
+        w.writeheader()
+        w.writerow(row)
+
+    for src in (pages_from_jsonl(str(jl)), pages_from_csv(str(cv)),
+                read_pages(str(jl)), read_pages(str(cv))):
+        rows = src.take_all()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["url"] == row["url"]
+        assert bytes(r["html"]) == html_payload
+        assert str(r["warc_ts"]).startswith("2025-01-02 03:04:05")
+        out = extract_dataset(src).take_all()[0]
+        assert out["content_type"] == "html"
+        assert "interchange row" in out["extracted_text"]
+
+
+def test_read_pages_dispatch_errors(tmp_path):
+    from ocr_main_ray.sources.readers import read_pages
+
+    bad = tmp_path / "pages.xml"
+    bad.write_text("<pages/>")
+    with pytest.raises(ValueError):
+        read_pages(str(bad))
