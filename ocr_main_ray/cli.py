@@ -21,9 +21,13 @@ import sys
 
 
 def _init_ray(num_cpus: int | None):
+    """Guarded init.  Returns (ray, owns_session): the CLI shuts Ray down
+    only if IT started the session — joining an existing cluster (e.g. the
+    test fixture's, or a driver's) must leave it running."""
     import ray
 
-    if not ray.is_initialized():
+    owns = not ray.is_initialized()
+    if owns:
         kwargs = dict(address="local", include_dashboard=False,
                       ignore_reinit_error=True, logging_level="ERROR")
         if num_cpus:
@@ -34,7 +38,7 @@ def _init_ray(num_cpus: int | None):
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.preserve_order = False
-    return ray
+    return ray, owns
 
 
 def _load_pages(input_path: str):
@@ -52,7 +56,7 @@ def _config(args) -> "object":
 
 
 def cmd_run(args) -> int:
-    ray = _init_ray(args.num_cpus)
+    ray, owns = _init_ray(args.num_cpus)
     from .pipelines.extract import extract_run
 
     ds = _load_pages(args.input)
@@ -67,22 +71,24 @@ def cmd_run(args) -> int:
 
     n = rd.read_parquet(args.output, columns=["url"]).count()
     print(json.dumps({"status": "ok", "rows": n, "output": args.output}))
-    ray.shutdown()
+    if owns:
+        ray.shutdown()
     return 0
 
 
 def cmd_resume(args) -> int:
-    ray = _init_ray(args.num_cpus)
+    ray, owns = _init_ray(args.num_cpus)
     from .state.manifest import run_checkpointed
 
     summary = run_checkpointed(args.input, args.output, _config(args))
     print(json.dumps({"status": "ok", **summary}))
-    ray.shutdown()
+    if owns:
+        ray.shutdown()
     return 0
 
 
 def cmd_sniff(args) -> int:
-    ray = _init_ray(args.num_cpus)
+    ray, owns = _init_ray(args.num_cpus)
     from ray.data.aggregate import Count
 
     from .stages.sniff import sniff_batch
@@ -93,7 +99,8 @@ def cmd_sniff(args) -> int:
     hist = ds.groupby("content_type").aggregate(Count(alias_name="n")).take_all()
     print(json.dumps({"status": "ok",
                       "histogram": {r["content_type"]: r["n"] for r in hist}}))
-    ray.shutdown()
+    if owns:
+        ray.shutdown()
     return 0
 
 

@@ -417,8 +417,16 @@ def verify_pairs_distributed(cand_ds, docs_ds, ngram: int = 3,
     each pair with a vectorized sorted-array intersection.  If the candidate
     set exceeds ``prune_limit`` the broadcast prune is skipped and the full
     shingle table flows into the hash join instead (still never the driver).
+
+    Join inputs are normalized with :func:`..rayops.fit_for_join` — Ray
+    passes empty blocks through map_batches/rename_columns without running
+    the UDF, and a stale-schema or zero-column block on a join side crashes
+    the Acero key lookup (the round-2 flake in the full test suite).
     """
     import ray as _ray
+    import ray.data as rd
+
+    from ..rayops import concat_batches, fit_for_join
 
     if num_partitions is None:
         # each hash-shuffle aggregator is an actor holding a CPU slot; more
@@ -429,50 +437,39 @@ def verify_pairs_distributed(cand_ds, docs_ds, ngram: int = 3,
 
     pairs_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
 
-    def _coerce_pairs(t: pa.Table) -> pa.Table:
-        # groupby/map_groups pipelines emit zero-column empty blocks which
-        # crash the Acero join's key-field lookup — pin the schema
-        if t.num_columns == 0:
-            return pairs_schema.empty_table()
-        return t.select(["a", "b"]).cast(pairs_schema)
-
-    # the repartition consolidates away schema-less EMPTY blocks that Ray
-    # passes through map_batches without calling the UDF — without it the
-    # join's finalize sees a zero-column left partition and aborts
-    cand = (cand_ds.map_batches(_coerce_pairs, batch_format="pyarrow")
-            .repartition(num_partitions).materialize())
-    ids_tbl = pa.concat_tables(
-        cand.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    # candidate pairs come to the driver ONCE anyway (for the distinct-id
+    # broadcast prune) — build the join's left side from that table, sliced
+    # into clean non-empty blocks; pairs are ints only, bounded by the LSH
+    # output, orders of magnitude smaller than the corpus
+    ids_tbl = concat_batches(
+        cand_ds.iter_batches(batch_size=1 << 20, batch_format="pyarrow"),
+        pairs_schema)
     import pyarrow.compute as pc
     uniq = pc.unique(pa.concat_arrays(
         [c for col in (ids_tbl.column("a"), ids_tbl.column("b"))
          for c in col.chunks])) if ids_tbl.num_rows else pa.array([], pa.int64())
     keep_ref = (_ray.put(uniq.to_numpy(zero_copy_only=False))
                 if len(uniq) <= prune_limit else None)
+    n_slices = max(1, min(num_partitions, ids_tbl.num_rows))
+    step = -(-max(ids_tbl.num_rows, 1) // n_slices)
+    cand = rd.from_arrow(
+        [ids_tbl.slice(i * step, step) for i in range(n_slices)]
+        if ids_tbl.num_rows else [pairs_schema.empty_table()])
 
     sh_ds = docs_ds.map_batches(
         ShingleSets, fn_constructor_kwargs={"ngram": ngram, "keep_ref": keep_ref},
         batch_format="pyarrow", concurrency=concurrency, num_cpus=1,
-    ).materialize()  # bounded: candidate docs only (or corpus if prune skipped)
+    )  # bounded: candidate docs only (or corpus if prune skipped)
 
-    sh_a = sh_ds.map_batches(
-        lambda t: t.rename_columns(["a_doc", "sh_a"]), batch_format="pyarrow")
-    sh_b = sh_ds.map_batches(
-        lambda t: t.rename_columns(["b_doc", "sh_b"]), batch_format="pyarrow")
-
-    j1_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
-                           ("sh_a", pa.large_binary())])
-
-    def _coerce_j1(t: pa.Table) -> pa.Table:
-        # empty join partitions emit zero-column blocks (same issue as above)
-        if t.num_columns == 0:
-            return j1_schema.empty_table()
-        return t.select(["a", "b", "sh_a"]).cast(j1_schema)
+    sh_fit = fit_for_join(  # one materialization, shared by both sides
+        sh_ds, pa.schema([("doc_id", pa.int64()), ("sh", pa.large_binary())]))
+    sh_a = sh_fit.map_batches(lambda t: t.rename_columns(["a_doc", "sh_a"]),
+                              batch_format="pyarrow")
+    sh_b = sh_fit.map_batches(lambda t: t.rename_columns(["b_doc", "sh_b"]),
+                              batch_format="pyarrow")
 
     j1 = cand.join(sh_a, join_type="inner", num_partitions=num_partitions,
                    on=("a",), right_on=("a_doc",))
-    j1 = (j1.map_batches(_coerce_j1, batch_format="pyarrow")
-          .repartition(num_partitions))
     j2 = j1.join(sh_b, join_type="inner", num_partitions=num_partitions,
                  on=("b",), right_on=("b_doc",))
 

@@ -72,10 +72,13 @@ def near_dup_canonical_map(docs_ds, threshold: float = 0.5,
     from ..functions.dedup import (minhash_candidate_pairs,
                                    verify_pairs_distributed)
 
+    from ..rayops import concat_batches
+
     cand = minhash_candidate_pairs(docs_ds, num_perm=num_perm, bands=bands)
     verified = verify_pairs_distributed(cand, docs_ds, threshold=threshold)
-    pairs = pa.concat_tables(
-        verified.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    pairs = concat_batches(
+        verified.iter_batches(batch_size=1 << 20, batch_format="pyarrow"),
+        pa.schema([("a", pa.int64()), ("b", pa.int64())]))
     if pairs.num_rows == 0:
         return {}
     return cluster_pairs(pairs.select(["a", "b"]))

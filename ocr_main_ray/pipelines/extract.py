@@ -266,9 +266,13 @@ def extract_run(ds: "ray.data.Dataset", config: PipelineConfig | None = None,
       their CPU slot while idle, and a pool spanning the node starves the
       read/sniff/shuffle stages feeding it (pool=30/32 -> 51 s, 26/32 ->
       32 s on the same corpus).
-    - no repartition between dedup and dispatch: the dedup groupby already
-      emits ~2 blocks per CPU and a repartition is an extra all-to-all
-      barrier (removing it: 45 -> 43 s at 32 CPUs, 143 -> 136 s at 8).
+    - a metadata-only repartition (no shuffle) splits the dedup output into
+      ~6 blocks per CPU before dispatch: the groupby alone emits one block
+      per bucket (~2 per CPU), which is exactly 2 scheduling waves — OCR
+      cost skew then idles CPUs behind the last wave's stragglers.
+      Measured at repeat=16: 139 -> 124 s at 24 CPUs, 430 -> 418 s at 6
+      (on the small repeat<=10 corpus the effect is within noise, which is
+      why an earlier round measured the opposite and removed it).
 
     dispatch_mode:
     - "actors": fixed-size actor pool — the right shape when engine state is
@@ -283,16 +287,19 @@ def extract_run(ds: "ray.data.Dataset", config: PipelineConfig | None = None,
 
     The unbounded-corpus path is state/manifest.run_checkpointed (stages
     to partitioned parquet, spillable and resumable)."""
+    from ..config import cluster_cpus
+
     config = config or PipelineConfig()
     staged = extract_dataset(ds, config=config, dedup=dedup, stop_after="dedup")
+    pool_cpus = cluster_cpus()
+    if dedup:
+        # metadata-only split: finer dispatch tasks, no extra shuffle
+        staged = staged.repartition(pool_cpus * 6)
     if dispatch_mode == "tasks":
         def dispatch(batch: pa.Table) -> pa.Table:
             return ExtractDispatch(config)(batch)
 
         return staged.map_batches(dispatch, batch_format="pyarrow", batch_size=16)
-    from ..config import cluster_cpus
-
-    pool_cpus = cluster_cpus()
     pool = max(2, pool_cpus - max(2, pool_cpus // 5))
     return staged.map_batches(
         ExtractDispatch,

@@ -368,23 +368,19 @@ def q_orders_by_month(sf_dir: str):
 def q_customer_order_counts(sf_dir: str):
     from ..config import cluster_cpus
 
+    from ..rayops import fit_for_join
+
     nparts = max(2, min(16, cluster_cpus() // 2))
     counts_schema = pa.schema([("o_custkey", pa.int64()), ("n", pa.int64())])
 
-    def coerce(t: pa.Table) -> pa.Table:
-        # aggregate pipelines emit schema-less empty blocks; pin before join
-        if t.num_columns == 0:
-            return counts_schema.empty_table()
-        return t.cast(counts_schema)
-
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
-    counts = (orders.map_batches(
-        lambda t: t.group_by("o_custkey").aggregate([("o_custkey", "count")])
-        .rename_columns(["o_custkey", "pn"]),
-        batch_format="pyarrow")
-        .groupby("o_custkey").aggregate(Sum("pn", alias_name="n"))
-        .map_batches(coerce, batch_format="pyarrow")
-        .repartition(nparts))
+    counts = fit_for_join(  # empty/zero-column blocks poison the join
+        orders.map_batches(
+            lambda t: t.group_by("o_custkey").aggregate([("o_custkey", "count")])
+            .rename_columns(["o_custkey", "pn"]),
+            batch_format="pyarrow")
+        .groupby("o_custkey").aggregate(Sum("pn", alias_name="n")),
+        counts_schema)
     cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
     joined = cust.join(counts, join_type="left_outer", num_partitions=nparts,
                        on=("c_custkey",), right_on=("o_custkey",))
@@ -1018,25 +1014,22 @@ LAPSED_CUTOFF = np.datetime64("1999-01-01", "us")
 def q_customers_lapsed(sf_dir: str):
     from ..config import cluster_cpus
 
+    from ..rayops import fit_for_join
+
     nparts = max(2, min(16, cluster_cpus() // 2))
     keys_schema = pa.schema([("o_custkey", pa.int64()), ("pn", pa.int64())])
-
-    def coerce(t: pa.Table) -> pa.Table:
-        if t.num_columns == 0:  # aggregate pipelines emit schema-less empties
-            return keys_schema.empty_table()
-        return t.cast(keys_schema)
 
     recent = rd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey"],
         filter=pds.field("o_orderdate") >= pa.scalar(LAPSED_CUTOFF),
     )
-    keys = (recent.map_batches(
-        lambda t: t.group_by("o_custkey").aggregate([("o_custkey", "count")])
-        .rename_columns(["o_custkey", "pn"]),
-        batch_format="pyarrow")
-        .groupby("o_custkey").aggregate(Sum("pn", alias_name="pn"))
-        .map_batches(coerce, batch_format="pyarrow")
-        .repartition(nparts))
+    keys = fit_for_join(  # empty/zero-column blocks poison the join
+        recent.map_batches(
+            lambda t: t.group_by("o_custkey").aggregate([("o_custkey", "count")])
+            .rename_columns(["o_custkey", "pn"]),
+            batch_format="pyarrow")
+        .groupby("o_custkey").aggregate(Sum("pn", alias_name="pn")),
+        keys_schema)
     cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey", "c_name"])
     joined = cust.join(keys, join_type="left_outer", num_partitions=nparts,
@@ -1509,18 +1502,15 @@ def q_doc_top_terms(sf_dir: str):
     from ..config import cluster_cpus
 
     nparts = max(2, min(16, cluster_cpus() // 2))
+    from ..rayops import fit_for_join
+
     df_schema = pa.schema([("w", pa.string()), ("df", pa.int64())])
 
-    def coerce(t: pa.Table) -> pa.Table:
-        if t.num_columns == 0:
-            return df_schema.empty_table()
-        return t.cast(df_schema)
-
     docs = _docs(sf_dir, ["doc_id", "text"])
-    df_ds = (docs.map_batches(_docfreq_partial, batch_format="pandas")
-             .groupby("w").aggregate(Sum("pdf", alias_name="df"))
-             .map_batches(coerce, batch_format="pyarrow")
-             .repartition(nparts))
+    df_ds = fit_for_join(  # empty/zero-column blocks poison the join
+        docs.map_batches(_docfreq_partial, batch_format="pandas")
+        .groupby("w").aggregate(Sum("pdf", alias_name="df")),
+        df_schema)
     tf_ds = docs.map_batches(_doc_tf_top5, batch_format="pandas")
     joined = tf_ds.join(df_ds, join_type="inner", num_partitions=nparts,
                         on=("w",), right_on=("w",))

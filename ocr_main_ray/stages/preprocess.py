@@ -34,11 +34,16 @@ def to_grayscale(img: np.ndarray) -> np.ndarray:
 
 
 def _shifted(img: np.ndarray, dy: int, dx: int) -> np.ndarray:
-    """Shift with edge replication (BORDER_REPLICATE)."""
+    """Shift with edge replication (BORDER_REPLICATE):
+    ``shifted[y, x] = img[clip(y+dy), clip(x+dx)]``.  pad+slice, not fancy
+    indexing — identical values, a fraction of the memory traffic (the
+    gather formulation was ~6 s of `np.take` per thousand pages in the
+    dispatch profile)."""
     h, w = img.shape
-    ys = np.clip(np.arange(h) + dy, 0, h - 1)
-    xs = np.clip(np.arange(w) + dx, 0, w - 1)
-    return img[ys[:, None], xs[None, :]]
+    pad = np.pad(img, ((max(-dy, 0), max(dy, 0)), (max(-dx, 0), max(dx, 0))),
+                 mode="edge")
+    y0, x0 = max(dy, 0), max(dx, 0)
+    return pad[y0 : y0 + h, x0 : x0 + w]
 
 
 _BILATERAL_LUT: dict[float, np.ndarray] = {}
@@ -51,12 +56,23 @@ def bilateral_filter(img: np.ndarray, d: int = 9, sigma_color: float = 75.0,
     The color weight exp(-(diff^2)/(2*sigma^2)) is a 256-entry lookup table
     over |intensity difference| (uint8 input), float32 throughout — same
     kernel, ~10x cheaper than per-pixel exp."""
-    if sigma_color not in _BILATERAL_LUT:
+    key = (d, sigma_color, sigma_space)
+    if key not in _BILATERAL_LUT:
         diffs = np.arange(256, dtype=np.float32)
-        _BILATERAL_LUT[sigma_color] = np.exp(
-            -(diffs ** 2) / (2.0 * np.float32(sigma_color) ** 2)
-        ).astype(np.float32)
-    lut = _BILATERAL_LUT[sigma_color]
+        base = np.exp(-(diffs ** 2) / (2.0 * np.float32(sigma_color) ** 2)
+                      ).astype(np.float32)
+        r_ = d // 2
+        # fold the scalar spatial weight into a per-offset scaled LUT:
+        # (lut * sw)[v] is the identical float32 product lut[v] * sw, so
+        # the per-pixel `cw *= sw` pass disappears bit-exactly
+        scaled = {}
+        for dy in range(-r_, r_ + 1):
+            for dx in range(-r_, r_ + 1):
+                sw = np.float32(np.exp(-(dx * dx + dy * dy)
+                                       / (2.0 * sigma_space ** 2)))
+                scaled[(dy, dx)] = base * sw
+        _BILATERAL_LUT[key] = scaled
+    luts = _BILATERAL_LUT[key]
     r = d // 2
     u8 = img.astype(np.uint8, copy=False)
     h, w_ = u8.shape
@@ -65,6 +81,7 @@ def bilateral_filter(img: np.ndarray, d: int = 9, sigma_color: float = 75.0,
     # and collapses under many-actor concurrency (measured 2.6x inflation
     # at 24 parallel workers vs 1.3x for this formulation)
     pad = np.pad(u8, r, mode="edge")
+    pad_f = pad.astype(np.float32)  # float32(uint8) is exact: one-time cast
     num = np.zeros((h, w_), np.float32)
     den = np.zeros((h, w_), np.float32)
     diff = np.empty((h, w_), np.uint8)
@@ -72,12 +89,11 @@ def bilateral_filter(img: np.ndarray, d: int = 9, sigma_color: float = 75.0,
     tmp = np.empty((h, w_), np.float32)
     for dy in range(-r, r + 1):
         for dx in range(-r, r + 1):
-            sw = np.float32(np.exp(-(dx * dx + dy * dy) / (2.0 * sigma_space ** 2)))
             nb = pad[r + dy : r + dy + h, r + dx : r + dx + w_]
             np.subtract(np.maximum(nb, u8), np.minimum(nb, u8), out=diff)
-            np.take(lut, diff, out=cw)
-            cw *= sw
-            np.multiply(cw, nb, out=tmp)
+            np.take(luts[(dy, dx)], diff, out=cw)
+            np.multiply(cw, pad_f[r + dy : r + dy + h, r + dx : r + dx + w_],
+                        out=tmp)
             num += tmp
             den += cw
     np.divide(num, den, out=num)
@@ -111,7 +127,7 @@ def clahe(img: np.ndarray, clip_limit: float = 2.0, tiles: tuple[int, int] = (8,
     x1 = np.clip(x0 + 1, 0, tx - 1)
     fy = np.clip(yy - y0, 0, 1)[:, None].astype(np.float32)
     fx = np.clip(xx - x0, 0, 1)[None, :].astype(np.float32)
-    v = img.astype(int)
+    v = img  # uint8 indices gather identically; no (H, W) int64 materialization
     p00 = luts[y0[:, None], x0[None, :], v]
     p01 = luts[y0[:, None], x1[None, :], v]
     p10 = luts[y1[:, None], x0[None, :], v]
@@ -183,7 +199,7 @@ def sobel_edges(img: np.ndarray, low: float = 50.0, high: float = 150.0) -> np.n
     grow = strong.copy()
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
-            grow |= _shifted(strong.astype(np.uint8), dy, dx).astype(bool)
+            grow |= _shifted(strong, dy, dx)  # pad+slice works on bool
     return (weak & grow)
 
 
