@@ -682,9 +682,11 @@ def q_minhash_near_dups(sf_dir: str):
     cand = minhash_candidate_pairs(ds, num_perm=128, bands=32)
     verified = verify_pairs_distributed(cand, _docs(sf_dir, ["doc_id", "text"]),
                                         threshold=0.5)
-    out = pa.concat_tables(
-        verified.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
-    out = out.select(["a", "b"])
+    from ..rayops import concat_batches
+
+    out = concat_batches(
+        verified.iter_batches(batch_size=1 << 20, batch_format="pyarrow"),
+        pa.schema([("a", pa.int64()), ("b", pa.int64())]))
     return out.take(pc.sort_indices(out, sort_keys=[("a", "ascending"),
                                                     ("b", "ascending")]))
 
@@ -725,8 +727,12 @@ def q_simhash_near_dups(sf_dir: str):
 
     out = simhash_near_dup_pairs(_docs(sf_dir, ["doc_id", "text"]),
                                  max_distance=3)
-    tbl = pa.concat_tables(
-        out.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    from ..rayops import concat_batches
+
+    tbl = concat_batches(
+        out.iter_batches(batch_size=1 << 20, batch_format="pyarrow"),
+        pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                   ("hamming", pa.int64())]))
     return tbl.take(pc.sort_indices(tbl, sort_keys=[("a", "ascending"),
                                                     ("b", "ascending")]))
 
@@ -811,9 +817,11 @@ def q_embedding_near_dups_lsh(sf_dir: str):
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     out = embedding_near_dup_pairs_lsh(ds, dim=64, threshold=0.45, k=2, L=16)
-    tbl = pa.concat_tables(
-        out.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
-    tbl = tbl.select(["a", "b"])
+    from ..rayops import concat_batches
+
+    tbl = concat_batches(
+        out.iter_batches(batch_size=1 << 20, batch_format="pyarrow"),
+        pa.schema([("a", pa.int64()), ("b", pa.int64())]))
     return tbl.take(pc.sort_indices(tbl, sort_keys=[("a", "ascending"),
                                                     ("b", "ascending")]))
 
