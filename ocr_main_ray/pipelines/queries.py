@@ -1579,6 +1579,100 @@ def q_approx_distinct_custkeys(sf_dir: str):
                                                    pa.int64())})
 
 
+# ---------------------------------------------------------------------------
+# per-domain quota sampling (crawl curation): cap every source at K documents,
+# keeping the K lowest doc_ids — the "at most N pages per domain" rule every
+# web-corpus recipe applies before training.  Same scale shape as
+# q_top_events_per_user: partial head(K) per (batch, source) bounds the
+# shuffle to <= K * sources * blocks rows even with millions of domains; the
+# grouped final pass re-ranks candidates.  No driver-side merge.
+# ---------------------------------------------------------------------------
+
+DOMAIN_QUOTA_K = 10
+
+
+def _quota_partial(batch: pd.DataFrame) -> pd.DataFrame:
+    return (batch.sort_values(["source", "doc_id"])
+            .groupby("source", sort=False).head(DOMAIN_QUOTA_K))
+
+
+def _quota_final(g: pd.DataFrame) -> pd.DataFrame:
+    return (g.sort_values("doc_id")
+            .head(DOMAIN_QUOTA_K)[["doc_id", "source", "n_chars"]])
+
+
+def q_domain_quota(sf_dir: str):
+    ds = _docs(sf_dir, ["doc_id", "source", "n_chars"])
+    partial = ds.map_batches(_quota_partial, batch_format="pandas")
+    out = partial.groupby("source").map_groups(_quota_final,
+                                               batch_format="pandas")
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# corpus boilerplate detection: top repeated word bigrams.  The per-batch
+# partial explodes each text into a flat word array (vectorized pandas
+# split/explode, no per-row Python loop), pairs adjacent words that share a
+# doc, and pre-counts locally — one (bigram, count) partial row per distinct
+# bigram per batch crosses the shuffle, then the standard partial-agg groupby
+# + distributed top-k.  This is the signal behind "drop documents dominated
+# by templated n-grams" in web-corpus cleaning.
+# ---------------------------------------------------------------------------
+
+def _bigram_partial(batch: pd.DataFrame) -> pd.DataFrame:
+    words = batch["text"].str.strip().str.split()
+    ex = words.explode().dropna()
+    empty = pd.DataFrame({"bg": pd.Series([], dtype=object),
+                          "pn": pd.Series([], dtype="int64")})
+    if len(ex) < 2:
+        return empty
+    doc = ex.index.to_numpy()
+    w = ex.to_numpy()
+    same = doc[:-1] == doc[1:]  # adjacent words from the same document
+    if not same.any():
+        return empty
+    bg = (pd.Series(w[:-1][same], dtype=object) + " "
+          + pd.Series(w[1:][same], dtype=object))
+    vc = bg.value_counts()
+    return pd.DataFrame({"bg": vc.index.to_numpy(dtype=object),
+                         "pn": vc.to_numpy().astype("int64")})
+
+
+def q_top_bigrams(sf_dir: str):
+    freq = (_docs(sf_dir, ["text"])
+            .map_batches(_bigram_partial, batch_format="pandas")
+            .groupby("bg").aggregate(Sum("pn", alias_name="n")))
+    return _topk(freq, "n", "bg", 20)[["bg", "n"]]
+
+
+# ---------------------------------------------------------------------------
+# per-source corpus profile with an EXACT grouped count-distinct
+# (source -> n distinct langs): the classic two-level exchange.  Level 1
+# combines per-batch (source, lang) partials and shuffles one row per
+# distinct (source, lang) pair; level 2 groups the (already unique) pairs by
+# source, so count(rows) == count(distinct lang) with no per-row set state.
+# ---------------------------------------------------------------------------
+
+def _src_lang_partial(batch: pa.Table) -> pa.Table:
+    g = (batch.select(["source", "lang", "n_chars"])
+         .group_by(["source", "lang"])
+         .aggregate([("n_chars", "sum"), ("n_chars", "count")]))
+    return g.rename_columns(["source", "lang", "p_chars", "p_docs"])
+
+
+def q_source_profiles(sf_dir: str):
+    ds = _docs(sf_dir, ["source", "lang", "n_chars"])
+    per_sl = (ds.map_batches(_src_lang_partial, batch_format="pyarrow")
+              .groupby(["source", "lang"])
+              .aggregate(Sum("p_docs", alias_name="sl_docs"),
+                         Sum("p_chars", alias_name="sl_chars")))
+    prof = (per_sl.groupby("source")
+            .aggregate(Sum("sl_docs", alias_name="n_docs"),
+                       Sum("sl_chars", alias_name="total_chars"),
+                       Count(alias_name="n_langs")))
+    return prof.to_pandas().sort_values("source").reset_index(drop=True)
+
+
 QUERIES = {
     "doc_count": q_doc_count,
     "doc_chars_sum": q_doc_chars_sum,
@@ -1643,6 +1737,9 @@ QUERIES = {
     "user_event_gaps": q_user_event_gaps,
     "events_hopping_2h": q_events_hopping_2h,
     "building_orders": q_building_orders,
+    "domain_quota": q_domain_quota,
+    "top_bigrams": q_top_bigrams,
+    "source_profiles": q_source_profiles,
 }
 
 ORACLE_SQL = {
@@ -1908,6 +2005,29 @@ ORACLE_SQL = {
     "text_normalize": (
         "SELECT doc_id, length(nfc_normalize(trim(regexp_replace("
         "text, '\\s+', ' ', 'g')))) AS n_chars_norm FROM documents"
+    ),
+    "domain_quota": (
+        "SELECT doc_id, source, n_chars FROM ("
+        "SELECT doc_id, source, n_chars, "
+        "row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn "
+        "FROM documents) WHERE rn <= 10 ORDER BY doc_id"
+    ),
+    "top_bigrams": (
+        "WITH w AS (SELECT doc_id, unnest(ws) AS w, "
+        "generate_subscripts(ws, 1) AS pos FROM ("
+        "SELECT doc_id, string_split_regex("
+        "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS ws "
+        "FROM documents)) "
+        "SELECT a.w || ' ' || b.w AS bg, count(*) AS n "
+        "FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
+        "WHERE a.w <> '' AND b.w <> '' "
+        "GROUP BY 1 ORDER BY n DESC, bg LIMIT 20"
+    ),
+    "source_profiles": (
+        "SELECT source, count(*) AS n_docs, "
+        "CAST(sum(n_chars) AS BIGINT) AS total_chars, "
+        "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs "
+        "FROM documents GROUP BY source ORDER BY source"
     ),
     # not SQL-expressible -> rows-only checks recorded by the driver:
     #   extract_flagship, pages_sniff_counts (synthetic binary payloads +
