@@ -1673,6 +1673,76 @@ def q_source_profiles(sf_dir: str):
     return prof.to_pandas().sort_values("source").reset_index(drop=True)
 
 
+# ---------------------------------------------------------------------------
+# benchmark decontamination: flag training documents that share any word
+# 4-gram with a held-out "test" slice (doc_id % 47 == 0) — the standard
+# train/test contamination check applied before training on a web corpus.
+# The test-set gram universe is broadcast once via ray.put (real benchmark
+# suites are MBs — driver-bounded by construction; a corpus-sized right
+# side would instead reuse the distributed semi-join of q_building_orders).
+# The train side is one pass: vectorized n-gram explode per batch, set
+# membership against the broadcast array, per-doc counts finalized WITHIN
+# the batch (a doc is one row), so no shuffle at all.
+# ---------------------------------------------------------------------------
+
+DECON_TEST_MOD = 47
+DECON_NGRAM = 4
+
+
+def _mod_filter(t: pa.Table, mod: int, keep_zero: bool) -> pa.Table:
+    ids = t.column("doc_id")
+    rem = pc.subtract(ids, pc.multiply(pc.divide(ids, mod), mod))
+    m = pc.equal(rem, 0)
+    return t.filter(m if keep_zero else pc.invert(m))
+
+
+def _grams_frame(batch: pd.DataFrame, n: int = DECON_NGRAM) -> pd.DataFrame:
+    """Distinct (doc_id, gram) rows per document: explode words, build the
+    n-gram windows with n shifted views (no per-row Python loop)."""
+    empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                          "gram": pd.Series([], dtype=object)})
+    words = batch["text"].str.strip().str.split()
+    ex = words.explode().dropna()
+    if len(ex) < n:
+        return empty
+    idx = ex.index.to_numpy()
+    w = ex.to_numpy()
+    m = len(w) - n + 1
+    valid = idx[:m] == idx[n - 1 :]  # window stays inside one document
+    if not valid.any():
+        return empty
+    gram = pd.Series(w[:m], dtype=object)
+    for i in range(1, n):
+        gram = gram + " " + pd.Series(w[i : m + i], dtype=object)
+    docids = batch["doc_id"].to_numpy()[idx[:m][valid]]
+    return pd.DataFrame({"doc_id": docids,
+                         "gram": gram.to_numpy()[valid]}).drop_duplicates()
+
+
+def q_decontaminate(sf_dir: str):
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    test_grams = (ds.map_batches(
+        lambda t: _mod_filter(t, DECON_TEST_MOD, True), batch_format="pyarrow")
+        .map_batches(_grams_frame, batch_format="pandas")
+        .to_pandas())
+    gram_ref = ray.put(np.unique(test_grams["gram"].to_numpy(dtype=object)))
+
+    def flag_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        grams = ray.get(gram_ref)  # object-store cached per node
+        g = _grams_frame(batch)
+        hit = g[g["gram"].isin(grams)]
+        out = hit.groupby("doc_id", as_index=False).agg(n_shared=("gram", "size"))
+        return out.astype({"doc_id": "int64", "n_shared": "int64"})
+
+    train = ds.map_batches(
+        lambda t: _mod_filter(t, DECON_TEST_MOD, False), batch_format="pyarrow")
+    out = train.map_batches(flag_batch, batch_format="pandas").to_pandas()
+    if "doc_id" not in out.columns:  # every block empty: zero contamination
+        out = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                            "n_shared": pd.Series([], dtype="int64")})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 QUERIES = {
     "doc_count": q_doc_count,
     "doc_chars_sum": q_doc_chars_sum,
@@ -1740,6 +1810,7 @@ QUERIES = {
     "domain_quota": q_domain_quota,
     "top_bigrams": q_top_bigrams,
     "source_profiles": q_source_profiles,
+    "decontaminate": q_decontaminate,
 }
 
 ORACLE_SQL = {
@@ -2028,6 +2099,18 @@ ORACLE_SQL = {
         "CAST(sum(n_chars) AS BIGINT) AS total_chars, "
         "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs "
         "FROM documents GROUP BY source ORDER BY source"
+    ),
+    "decontaminate": (
+        "WITH g AS (SELECT doc_id, "
+        "array_to_string(ws[p : p + 3], ' ') AS gram FROM ("
+        "SELECT doc_id, unnest(generate_series(1, greatest(len(ws) - 3, 0))) "
+        "AS p, ws FROM (SELECT doc_id, string_split_regex("
+        "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS ws "
+        "FROM documents))), "
+        "tg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 47 = 0), "
+        "tr AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 47 <> 0) "
+        "SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_shared "
+        "FROM tr JOIN tg USING (gram) GROUP BY tr.doc_id ORDER BY tr.doc_id"
     ),
     # not SQL-expressible -> rows-only checks recorded by the driver:
     #   extract_flagship, pages_sniff_counts (synthetic binary payloads +
