@@ -1674,6 +1674,76 @@ def q_source_profiles(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q3 shape (shipping priority): the classic 3-table pipeline composed
+# from this pack's scale primitives — segment custkeys broadcast once
+# (ray.put) to prune orders scan-side (no customer shuffle), date filters
+# pushed into both parquet scans, lineitem revenue pre-aggregated by
+# orderkey BEFORE the single hash join (the exchange carries one row per
+# qualifying order, not one per lineitem), then distributed top-10.
+# ---------------------------------------------------------------------------
+
+Q3_CUTOFF = np.datetime64("1995-03-15", "us")
+
+
+def _q3_li_partial(t: pa.Table) -> pa.Table:
+    rev = pc.multiply(
+        pc.multiply(t.column("l_extendedprice"),
+                    pc.subtract(pa.scalar(1.0), t.column("l_discount"))),
+        100.0)
+    g = (pa.table({"l_orderkey": t.column("l_orderkey"),
+                   "cents": pc.cast(pc.round(rev), pa.int64())})
+         .group_by("l_orderkey").aggregate([("cents", "sum")]))
+    return g.rename_columns(["l_orderkey", "p_cents"])
+
+
+def q_shipping_priority(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from ..config import cluster_cpus
+    from ..rayops import fit_for_join
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    keys = cust.filter(
+        pc.equal(cust.column("c_mktsegment"), "BUILDING")).column("c_custkey")
+    keys_ref = ray.put(np.asarray(keys))
+
+    def orders_filter(t: pa.Table) -> pa.Table:
+        ks = pa.array(ray.get(keys_ref))  # object-store cached per node
+        t = t.filter(pc.is_in(t.column("o_custkey"), value_set=ks))
+        return t.select(["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    od = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        filter=pds.field("o_orderdate") < pa.scalar(Q3_CUTOFF),
+    ).map_batches(orders_filter, batch_format="pyarrow")
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pds.field("l_shipdate") > pa.scalar(Q3_CUTOFF),
+    )
+    li_agg = (li.map_batches(_q3_li_partial, batch_format="pyarrow")
+              .groupby("l_orderkey")
+              .aggregate(Sum("p_cents", alias_name="revenue_cents")))
+
+    li_schema = pa.schema([("l_orderkey", pa.int64()),
+                           ("revenue_cents", pa.int64())])
+    od_schema = pa.schema([("o_orderkey", pa.int64()),
+                           ("o_orderdate", pa.timestamp("us")),
+                           ("o_orderpriority", pa.string())])
+    nparts = max(2, min(16, cluster_cpus() // 2))
+    joined = fit_for_join(li_agg, li_schema).join(
+        fit_for_join(od, od_schema), join_type="inner",
+        num_partitions=nparts, on=("l_orderkey",), right_on=("o_orderkey",))
+    out = _topk(joined, "revenue_cents", "l_orderkey", 10)
+    out["o_orderdate"] = out["o_orderdate"].astype("datetime64[us]")
+    return (out[["l_orderkey", "revenue_cents", "o_orderdate",
+                 "o_orderpriority"]].reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
 # benchmark decontamination: flag training documents that share any word
 # 4-gram with a held-out "test" slice (doc_id % 47 == 0) — the standard
 # train/test contamination check applied before training on a web corpus.
@@ -1811,6 +1881,7 @@ QUERIES = {
     "top_bigrams": q_top_bigrams,
     "source_profiles": q_source_profiles,
     "decontaminate": q_decontaminate,
+    "shipping_priority": q_shipping_priority,
 }
 
 ORACLE_SQL = {
@@ -2111,6 +2182,18 @@ ORACLE_SQL = {
         "tr AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 47 <> 0) "
         "SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_shared "
         "FROM tr JOIN tg USING (gram) GROUP BY tr.doc_id ORDER BY tr.doc_id"
+    ),
+    "shipping_priority": (
+        "SELECT l_orderkey, "
+        "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) "
+        "AS BIGINT)) AS BIGINT) AS revenue_cents, o_orderdate, o_orderpriority "
+        "FROM customer, orders, lineitem "
+        "WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey "
+        "AND l_orderkey = o_orderkey "
+        "AND o_orderdate < TIMESTAMP '1995-03-15' "
+        "AND l_shipdate > TIMESTAMP '1995-03-15' "
+        "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
+        "ORDER BY revenue_cents DESC, l_orderkey LIMIT 10"
     ),
     # not SQL-expressible -> rows-only checks recorded by the driver:
     #   extract_flagship, pages_sniff_counts (synthetic binary payloads +
