@@ -1674,6 +1674,79 @@ def q_source_profiles(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Gopher-style repetition filter signal: fraction of a document's word
+# 3-grams that are repeats of an earlier gram in the SAME document.  High
+# values mark boilerplate/templated pages.  Embarrassingly parallel: grams
+# explode + per-doc (size, nunique) entirely within the batch, no shuffle;
+# the ratio is a single int/int division (hash-stable like word_diversity).
+# ---------------------------------------------------------------------------
+
+REP_NGRAM = 3
+
+
+def _repetition_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    g = _grams_frame_all(batch, REP_NGRAM)
+    stats = (g.groupby("doc_id")["gram"]
+             .agg(n_grams="size", n_distinct_grams="nunique").reset_index())
+    out = batch[["doc_id"]].merge(stats, on="doc_id", how="left")
+    out[["n_grams", "n_distinct_grams"]] = (
+        out[["n_grams", "n_distinct_grams"]].fillna(0).astype("int64"))
+    n = out["n_grams"].to_numpy()
+    nd = out["n_distinct_grams"].to_numpy()
+    out["dup_ratio"] = np.where(n > 0, (n - nd) / np.maximum(n, 1), 0.0)
+    return out
+
+
+def _grams_frame_all(batch: pd.DataFrame, n: int) -> pd.DataFrame:
+    """(doc_id, gram) rows WITH repeats (unlike _grams_frame's distinct)."""
+    empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                          "gram": pd.Series([], dtype=object)})
+    words = batch["text"].str.strip().str.split()
+    ex = words.explode().dropna()
+    if len(ex) < n:
+        return empty
+    idx = ex.index.to_numpy()
+    w = ex.to_numpy()
+    m = len(w) - n + 1
+    valid = idx[:m] == idx[n - 1 :]
+    if not valid.any():
+        return empty
+    gram = pd.Series(w[:m], dtype=object)
+    for i in range(1, n):
+        gram = gram + " " + pd.Series(w[i : m + i], dtype=object)
+    docids = batch["doc_id"].to_numpy()[idx[:m][valid]]
+    return pd.DataFrame({"doc_id": docids, "gram": gram.to_numpy()[valid]})
+
+
+def q_repetition_ratio(sf_dir: str):
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(_repetition_batch, batch_format="pandas",
+                         batch_size=8192)
+            .to_pandas())
+
+
+# ---------------------------------------------------------------------------
+# language rebalancing (corpus mixing): deterministic stratified sample that
+# downsamples the dominant language — keep every 2nd English doc, every 5th
+# otherwise.  Pure scan-side vectorized predicate, reproducible in SQL
+# (unlike an RNG sample), zero shuffle.
+# ---------------------------------------------------------------------------
+
+def _lang_sample_batch(t: pa.Table) -> pa.Table:
+    ids = t.column("doc_id")
+    is_en = pc.equal(t.column("lang"), "en")
+    mod = pc.if_else(is_en, pa.scalar(2, pa.int64()), pa.scalar(5, pa.int64()))
+    rem = pc.subtract(ids, pc.multiply(pc.divide(ids, mod), mod))
+    return t.filter(pc.equal(rem, 0)).select(["doc_id", "lang", "n_chars"])
+
+
+def q_lang_rebalance(sf_dir: str):
+    return (_docs(sf_dir, ["doc_id", "lang", "n_chars"])
+            .map_batches(_lang_sample_batch, batch_format="pyarrow")
+            .to_pandas())
+
+
+# ---------------------------------------------------------------------------
 # TPC-H Q3 shape (shipping priority): the classic 3-table pipeline composed
 # from this pack's scale primitives — segment custkeys broadcast once
 # (ray.put) to prune orders scan-side (no customer shuffle), date filters
@@ -1882,6 +1955,8 @@ QUERIES = {
     "source_profiles": q_source_profiles,
     "decontaminate": q_decontaminate,
     "shipping_priority": q_shipping_priority,
+    "repetition_ratio": q_repetition_ratio,
+    "lang_rebalance": q_lang_rebalance,
 }
 
 ORACLE_SQL = {
@@ -2194,6 +2269,25 @@ ORACLE_SQL = {
         "AND l_shipdate > TIMESTAMP '1995-03-15' "
         "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
         "ORDER BY revenue_cents DESC, l_orderkey LIMIT 10"
+    ),
+    "repetition_ratio": (
+        "WITH g AS (SELECT doc_id, "
+        "array_to_string(ws[p : p + 2], ' ') AS gram FROM ("
+        "SELECT doc_id, unnest(generate_series(1, greatest(len(ws) - 2, 0))) "
+        "AS p, ws FROM (SELECT doc_id, string_split_regex("
+        "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS ws "
+        "FROM documents))), "
+        "s AS (SELECT doc_id, count(*) AS n_grams, "
+        "count(DISTINCT gram) AS n_distinct_grams FROM g GROUP BY doc_id) "
+        "SELECT d.doc_id, CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams, "
+        "CAST(coalesce(s.n_distinct_grams, 0) AS BIGINT) AS n_distinct_grams, "
+        "CASE WHEN coalesce(s.n_grams, 0) = 0 THEN 0.0 ELSE "
+        "CAST(s.n_grams - s.n_distinct_grams AS DOUBLE) / s.n_grams END "
+        "AS dup_ratio FROM documents d LEFT JOIN s USING (doc_id)"
+    ),
+    "lang_rebalance": (
+        "SELECT doc_id, lang, n_chars FROM documents "
+        "WHERE doc_id % (CASE WHEN lang = 'en' THEN 2 ELSE 5 END) = 0"
     ),
     # not SQL-expressible -> rows-only checks recorded by the driver:
     #   extract_flagship, pages_sniff_counts (synthetic binary payloads +
