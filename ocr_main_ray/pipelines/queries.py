@@ -1674,6 +1674,33 @@ def q_source_profiles(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# hourly distinct users: streaming tumbling window x EXACT count-distinct,
+# via the same two-level exchange as q_source_profiles — per-batch distinct
+# (hour, user) pairs, a unique-pair groupby, then Count per hour.  The
+# shuffle carries one row per distinct pair per block, never one per event.
+# ---------------------------------------------------------------------------
+
+def _hour_user_partial(batch: pa.Table) -> pa.Table:
+    t = pa.table({"hour": pc.floor_temporal(batch.column("ts"), unit="hour"),
+                  "user_id": batch.column("user_id")})
+    g = t.group_by(["hour", "user_id"]).aggregate([("user_id", "count")])
+    return g.rename_columns(["hour", "user_id", "p_n"]).select(
+        ["hour", "user_id"])
+
+
+def q_events_hourly_users(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+    pairs = (ds.map_batches(_hour_user_partial, batch_format="pyarrow")
+             .groupby(["hour", "user_id"])
+             .aggregate(Count(alias_name="dummy")))
+    out = (pairs.groupby("hour")
+           .aggregate(Count(alias_name="n_users"))
+           .to_pandas())[["hour", "n_users"]]
+    out["hour"] = out["hour"].astype("datetime64[us]")  # oracle emits [us]
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Gopher-style repetition filter signal: fraction of a document's word
 # 3-grams that are repeats of an earlier gram in the SAME document.  High
 # values mark boilerplate/templated pages.  Embarrassingly parallel: grams
@@ -1957,6 +1984,7 @@ QUERIES = {
     "shipping_priority": q_shipping_priority,
     "repetition_ratio": q_repetition_ratio,
     "lang_rebalance": q_lang_rebalance,
+    "events_hourly_users": q_events_hourly_users,
 }
 
 ORACLE_SQL = {
@@ -2288,6 +2316,11 @@ ORACLE_SQL = {
     "lang_rebalance": (
         "SELECT doc_id, lang, n_chars FROM documents "
         "WHERE doc_id % (CASE WHEN lang = 'en' THEN 2 ELSE 5 END) = 0"
+    ),
+    "events_hourly_users": (
+        "SELECT date_trunc('hour', ts) AS hour, "
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
+        "FROM events GROUP BY 1"
     ),
     # not SQL-expressible -> rows-only checks recorded by the driver:
     #   extract_flagship, pages_sniff_counts (synthetic binary payloads +
