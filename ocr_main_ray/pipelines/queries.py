@@ -1674,6 +1674,63 @@ def q_source_profiles(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# per-source exact-duplication report: how much of each source is copies.
+# Same two-level exchange as q_source_profiles over (source, md5(text))
+# pairs; dup_rate is a single int/int division (hash-stable double).
+# ---------------------------------------------------------------------------
+
+def _src_hash_partial(batch: pa.Table) -> pa.Table:
+    hashes = [hashlib.md5(t.encode("utf-8")).hexdigest()
+              for t in batch.column("text").to_pylist()]
+    t = pa.table({"source": batch.column("source"),
+                  "text_hash": pa.array(hashes, pa.string())})
+    g = t.group_by(["source", "text_hash"]).aggregate([("text_hash", "count")])
+    return g.rename_columns(["source", "text_hash", "p_docs"])
+
+
+def q_dup_rate_by_source(sf_dir: str):
+    ds = _docs(sf_dir, ["source", "text"])
+    pairs = (ds.map_batches(_src_hash_partial, batch_format="pyarrow",
+                            batch_size=8192)
+             .groupby(["source", "text_hash"])
+             .aggregate(Sum("p_docs", alias_name="sh_docs")))
+    out = (pairs.groupby("source")
+           .aggregate(Sum("sh_docs", alias_name="n_docs"),
+                      Count(alias_name="n_distinct_texts"))
+           .to_pandas())
+    n = out["n_docs"].to_numpy()
+    nd = out["n_distinct_texts"].to_numpy()
+    out["dup_rate"] = (n - nd) / n
+    return out.sort_values("source").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# adaptive length filter (compute-stat-then-filter): documents above the
+# corpus p90 of n_chars.  Phase 1 folds a bounded n_chars histogram (one row
+# per distinct length per block crosses the wire) into the quantile_disc
+# threshold; phase 2 re-reads with the predicate PUSHED INTO the parquet
+# scan — the classic two-phase shape for "filter by a global statistic".
+# ---------------------------------------------------------------------------
+
+def q_docs_above_p90(sf_dir: str):
+    hist = (_docs(sf_dir, ["n_chars"])
+            .map_batches(
+                lambda t: t.group_by("n_chars").aggregate([("n_chars", "count")])
+                .rename_columns(["n_chars", "pn"]),
+                batch_format="pyarrow")
+            .groupby("n_chars").aggregate(Sum("pn", alias_name="n"))
+            .to_pandas().sort_values("n_chars").reset_index(drop=True))
+    cum = hist["n"].cumsum().to_numpy()
+    total = int(cum[-1])
+    rank = min(total, max(1, math.ceil(0.9 * total)))  # quantile_disc rank
+    thr = int(hist["n_chars"].iloc[int(np.searchsorted(cum, rank))])
+    out = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "n_chars"],
+                          filter=pds.field("n_chars") > thr).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # hourly distinct users: streaming tumbling window x EXACT count-distinct,
 # via the same two-level exchange as q_source_profiles — per-batch distinct
 # (hour, user) pairs, a unique-pair groupby, then Count per hour.  The
@@ -1985,6 +2042,8 @@ QUERIES = {
     "repetition_ratio": q_repetition_ratio,
     "lang_rebalance": q_lang_rebalance,
     "events_hourly_users": q_events_hourly_users,
+    "dup_rate_by_source": q_dup_rate_by_source,
+    "docs_above_p90": q_docs_above_p90,
 }
 
 ORACLE_SQL = {
@@ -2321,6 +2380,16 @@ ORACLE_SQL = {
         "SELECT date_trunc('hour', ts) AS hour, "
         "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
         "FROM events GROUP BY 1"
+    ),
+    "dup_rate_by_source": (
+        "SELECT source, count(*) AS n_docs, "
+        "CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts, "
+        "CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE) / count(*) "
+        "AS dup_rate FROM documents GROUP BY source ORDER BY source"
+    ),
+    "docs_above_p90": (
+        "SELECT doc_id, n_chars FROM documents WHERE n_chars > "
+        "(SELECT quantile_disc(n_chars, 0.9) FROM documents) ORDER BY doc_id"
     ),
     # not SQL-expressible -> rows-only checks recorded by the driver:
     #   extract_flagship, pages_sniff_counts (synthetic binary payloads +
