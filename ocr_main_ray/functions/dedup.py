@@ -452,8 +452,11 @@ def verify_pairs_distributed(cand_ds, docs_ds, ngram: int = 3,
                 if len(uniq) <= prune_limit else None)
     n_slices = max(1, min(num_partitions, ids_tbl.num_rows))
     step = -(-max(ids_tbl.num_rows, 1) // n_slices)
+    # ceil-step slicing can leave trailing EMPTY slices (e.g. 6 rows into 4
+    # slices of step 2 -> slice(6, 2) is empty): emit only covered offsets
     cand = rd.from_arrow(
-        [ids_tbl.slice(i * step, step) for i in range(n_slices)]
+        [ids_tbl.slice(i * step, step) for i in range(n_slices)
+         if i * step < ids_tbl.num_rows]
         if ids_tbl.num_rows else [pairs_schema.empty_table()])
 
     sh_ds = docs_ds.map_batches(
