@@ -2391,6 +2391,28 @@ ORACLE_SQL = {
         "SELECT doc_id, n_chars FROM documents WHERE n_chars > "
         "(SELECT quantile_disc(n_chars, 0.9) FROM documents) ORDER BY doc_id"
     ),
+    # external validation of the dedup family's brute-force ground truth:
+    # word-3-gram Jaccard in pure SQL (gram STRINGS; the Ray side's crc32
+    # shingle ids are collision-free on this subset, verified by equality)
+    "ngram_jaccard_pairs": (
+        "WITH w AS (SELECT doc_id, string_split_regex("
+        "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS ws "
+        "FROM documents WHERE doc_id < 200), "
+        "g0 AS (SELECT doc_id, array_to_string(ws[p : p + 2], ' ') AS gram "
+        "FROM (SELECT doc_id, unnest(generate_series(1, "
+        "greatest(len(ws) - 2, 0))) AS p, ws FROM w)), "
+        "gf AS (SELECT doc_id, array_to_string(ws, ' ') AS gram FROM w "
+        "WHERE len(ws) < 3 AND array_to_string(ws, ' ') <> ''), "
+        "g AS (SELECT DISTINCT doc_id, gram FROM "
+        "(SELECT * FROM g0 UNION ALL SELECT * FROM gf)), "
+        "s AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id), "
+        "inter AS (SELECT g1.doc_id AS a, g2.doc_id AS b, count(*) AS i "
+        "FROM g g1 JOIN g g2 ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id "
+        "GROUP BY 1, 2) "
+        "SELECT a, b FROM inter "
+        "JOIN s sa ON sa.doc_id = a JOIN s sb ON sb.doc_id = b "
+        "WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.3 ORDER BY a, b"
+    ),
     # not SQL-expressible -> rows-only checks recorded by the driver:
     #   extract_flagship, pages_sniff_counts (synthetic binary payloads +
     #   OCR), lang_id (n-gram profile scoring), fingerprints (winnowing
