@@ -167,6 +167,48 @@ RUNS_HI = int(os.environ.get("OCR_SCALING_RUNS_HI", "2"))
 SCALING_REPEAT = int(os.environ.get("OCR_SCALING_REPEAT", "16"))
 
 
+def _kernel_probe_worker(seconds: float) -> float:
+    """One process of the hardware-ceiling probe: run the dominant compute
+    kernel (opencv-path OCR of a scanned page) in a tight loop with NO Ray
+    involved; returns docs/s for this process."""
+    import time as _t
+
+    from ocr_main_ray.config import ENGINE_OPENCV, PipelineConfig
+    from ocr_main_ray.sources.pdfgen import scanned_pdf
+    from ocr_main_ray.stages.ocr import DeterministicEngine, ocr_document
+
+    pages = ["HELLO WORLD THIS IS A SCANNED PAGE WITH TEXT " * 4
+             + f"\nLINE {i}" for i in range(3)]
+    pdfs = [scanned_pdf([p + f" DOC{d}" for p in pages]) for d in range(4)]
+    eng = DeterministicEngine(PipelineConfig(), engine_type=ENGINE_OPENCV)
+    t0 = _t.perf_counter()
+    cnt = 0
+    while _t.perf_counter() - t0 < seconds:
+        ocr_document(eng, pdfs[cnt % 4])
+        cnt += 1
+    return cnt / (_t.perf_counter() - t0)
+
+
+def _kernel_ceiling(cpus_lo: int, cpus_hi: int, seconds: float = 12.0) -> dict:
+    """Measured single-box hardware ceiling for lo->hi scaling: the SAME
+    pure-compute kernel (no Ray, no shuffle, no scheduler) run in lo vs hi
+    parallel processes.  On one box the hi leg shares L3/memory bandwidth/
+    turbo headroom that a real hi-node cluster would NOT share (each node
+    brings its own), so kernel_eff bounds what ANY engine can score with
+    the two-parallelism-level substitute; engine efficiency normalized by
+    it isolates the engine's own overhead."""
+    import multiprocessing as mp
+
+    rates = {}
+    for n in (cpus_lo, cpus_hi):
+        with mp.Pool(n) as pool:
+            rates[n] = sum(pool.map(_kernel_probe_worker, [seconds] * n))
+    eff = (rates[cpus_hi] / rates[cpus_lo]) / (cpus_hi / cpus_lo)
+    return {"kernel_docs_per_sec_lo": round(rates[cpus_lo], 2),
+            "kernel_docs_per_sec_hi": round(rates[cpus_hi], 2),
+            "kernel_eff": round(eff, 3)}
+
+
 def _cpu_steal_pct(sample_s: float = 1.0) -> float:
     """Hypervisor steal fraction right now — records shared-VM noise so a
     degraded run is attributable (observed 4-9% varying over hours)."""
@@ -211,6 +253,7 @@ def run_scaling() -> dict:
     r_lo = lo["docs_per_sec"]
     r_hi = hi["docs_per_sec"]
     eff = (r_hi / r_lo) / (CPUS_HI / CPUS_LO)
+    ceiling = _kernel_ceiling(CPUS_LO, CPUS_HI)
     result = {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
@@ -230,6 +273,8 @@ def run_scaling() -> dict:
         "runs_lo": RUNS_LO,
         "runs_hi": RUNS_HI,
         "host_steal_pct": _cpu_steal_pct(),
+        **ceiling,
+        "engine_eff_vs_ceiling": round(eff / ceiling["kernel_eff"], 3),
     }
     bench_dir = pathlib.Path(__file__).parent / "BENCH"
     bench_dir.mkdir(exist_ok=True)
@@ -253,7 +298,23 @@ def run_scaling() -> dict:
         f"docs = {lo['n_docs']} (sf={lo['sf']}, repeat={SCALING_REPEAT}, "
         f"mix={MIX}, best of {RUNS_LO}(lo)/{RUNS_HI}(hi) runs per leg); "
         f"**scaling efficiency = {result['value']}** "
-        f"(requirement: >= 0.8)\n"
+        f"(requirement: >= 0.8)\n\n"
+        "## Hardware ceiling (measured each run)\n\n"
+        "The two-parallelism-level substitute runs both \"cluster sizes\" "
+        "on ONE box, so the hi leg shares L3/memory bandwidth/turbo "
+        "headroom that a real 4N-node cluster would not (each node brings "
+        "its own).  The probe runs the dominant compute kernel (opencv-"
+        f"path OCR, no Ray at all) in {CPUS_LO} vs {CPUS_HI} plain "
+        "processes:\n\n"
+        f"| | {CPUS_LO} procs | {CPUS_HI} procs |\n|---|---|---|\n"
+        f"| kernel docs/sec | {result['kernel_docs_per_sec_lo']} | "
+        f"{result['kernel_docs_per_sec_hi']} |\n\n"
+        f"**kernel ceiling = {result['kernel_eff']}** — the maximum ANY "
+        "engine can score on this box with this protocol.  Engine "
+        f"efficiency normalized by the ceiling = "
+        f"**{result['engine_eff_vs_ceiling']}**: the gap attributable to "
+        "the engine itself (scheduling, shuffle, stragglers) rather than "
+        "the shared-silicon artifact of the single-box substitute.\n"
     )
     return result
 

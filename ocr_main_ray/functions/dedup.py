@@ -220,6 +220,59 @@ def minhash_candidate_pairs(ds, num_perm: int = 128, bands: int = 16,
     return pairs.groupby(["a", "b"]).aggregate(Count(alias_name="n_bands"))
 
 
+def winnow_candidate_pairs(ds, k: int = 8, window: int = 16,
+                           min_shared: int = 2, concurrency=(1, 4),
+                           max_bucket_docs: int = MAX_BUCKET_DOCS):
+    """Shared-substring (copy/paste) near-dup retrieval over the winnowing
+    sketch: documents Dataset (doc_id, text) -> pairs (a < b, n_shared)
+    sharing >= ``min_shared`` selected k-gram minima.
+
+    Character-level sibling of :func:`minhash_candidate_pairs` (word-shingle
+    Jaccard): two docs sharing any >= (k + window - 1)-char run share a
+    selected minimum by the winnowing guarantee, so candidates surface via
+    the SAME shuffle shape — explode (minimum, doc_id), crc-coarse-bucket
+    the minima to O(cpus) groups, segment by minimum inside each group,
+    star-cap degenerate buckets — then a pair groupby counts co-selected
+    minima (n_shared filters boilerplate one-offs)."""
+    from .text import winnow_minima
+
+    nb = _coarse_buckets()
+
+    def explode(batch: pa.Table) -> pa.Table:
+        doc_l, fp_l = [], []
+        for did, txt in zip(batch.column("doc_id").to_pylist(),
+                            batch.column("text").to_pylist()):
+            for m in winnow_minima(txt or "", k, window):
+                doc_l.append(did)
+                fp_l.append(m)
+        fp = np.asarray(fp_l, dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(doc_l, pa.int64()),
+            "fp": pa.array(fp, pa.int64()),
+            "cb": pa.array((fp % nb).astype(np.int32), pa.int32()),
+        })
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        parts = [_bucket_pairs(seg, max_bucket_docs)
+                 for seg in _segments_by_key(group, "fp")]
+        parts = [p for p in parts if p.num_rows]
+        return (pa.concat_tables(parts) if parts else
+                pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64())}))
+
+    from ray.data.aggregate import Count
+
+    pairs = (ds.map_batches(explode, batch_format="pyarrow")
+             .groupby("cb").map_groups(bucket_pairs, batch_format="pyarrow")
+             .groupby(["a", "b"]).aggregate(Count(alias_name="n_shared")))
+    import pyarrow.compute as _pc
+
+    return pairs.map_batches(
+        lambda t: t.filter(_pc.greater_equal(t.column("n_shared"),
+                                             min_shared)),
+        batch_format="pyarrow")
+
+
 def verify_jaccard_pairs(pairs_df, texts: dict[int, str], ngram: int = 3,
                          threshold: float = 0.5):
     """Exact-Jaccard verification of candidate pairs against an in-memory

@@ -126,6 +126,26 @@ def bpe_token_count(text: str) -> int:
 # each window, fingerprint = crc32 of the selected minima sequence.
 # ---------------------------------------------------------------------------
 
+def winnow_minima(text: str, k: int = 8, window: int = 16) -> list[int]:
+    """The winnowing sketch itself: the DISTINCT selected k-gram minima
+    (sorted).  Two documents sharing a >= (k + window - 1)-char substring
+    share at least one selected minimum — the retrieval guarantee of
+    Schleimer et al. — so these are the keys for shared-substring
+    (copy/paste) near-dup retrieval.  ``fingerprint`` below collapses the
+    ordered minima sequence into one int and cannot retrieve."""
+    data = text.encode("utf-8", errors="replace")
+    if len(data) < k:
+        return [zlib.crc32(data)]
+    hashes = np.fromiter(
+        (zlib.crc32(data[i : i + k]) for i in range(len(data) - k + 1)),
+        dtype=np.int64,
+    )
+    if len(hashes) <= window:
+        return [int(hashes.min())]
+    w = np.lib.stride_tricks.sliding_window_view(hashes, window)
+    return sorted({int(m) for m in w.min(axis=1)})
+
+
 def fingerprint(text: str, k: int = 8, window: int = 16) -> int:
     data = text.encode("utf-8", errors="replace")
     if len(data) < k:

