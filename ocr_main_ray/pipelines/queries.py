@@ -1687,6 +1687,71 @@ def q_source_profiles(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# per-key rank window: dense_rank of each event's value within its user
+# (ties share a rank, no gaps).  Same hash-bucket co-location as the other
+# per-user windows; the rank itself is one vectorized factorize over the
+# (user, -value) sort within the bucket — integer output, hash-stable.
+# ---------------------------------------------------------------------------
+
+def _rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    g = g.sort_values(["user_id", "value", "event_id"],
+                      ascending=[True, False, True]).reset_index(drop=True)
+    # tie detection on the RAW doubles (exactly DuckDB's dense_rank tie
+    # semantics); a new distinct value within the user bumps the rank
+    new_u = g["user_id"].ne(g["user_id"].shift())
+    new_v = new_u | g["value"].ne(g["value"].shift())
+    rank = new_v.groupby(g["user_id"], sort=False).cumsum()
+    return pd.DataFrame({"event_id": g["event_id"], "user_id": g["user_id"],
+                         "value": g["value"],
+                         "value_rank": rank.astype("int64")})
+
+
+def q_user_value_rank(sf_dir: str):
+    nb = _session_buckets()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "value"])
+    ds = ds.map_batches(lambda t: _bucket_users(t, nb), batch_format="pyarrow")
+    return ds.groupby("ubucket").map_groups(_rank_bucket,
+                                            batch_format="pandas").to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# keyset (cursor) pagination: the scale-safe replacement for OFFSET —
+# "50 events after cursor (ts0, event_id0)" is a pushed-down range filter
+# plus an ASCENDING distributed top-k, independent of how deep the cursor
+# sits; OFFSET-based pages re-scan and re-sort everything before the page.
+# ---------------------------------------------------------------------------
+
+CURSOR_TS = np.datetime64("2024-01-15T12:00:00", "us")
+CURSOR_ID = 0
+
+
+def q_events_after_cursor(sf_dir: str):
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"],
+        filter=pds.field("ts") >= pa.scalar(CURSOR_TS),  # coarse pushdown
+    )
+
+    def after_cursor(t: pa.Table) -> pa.Table:
+        keep = pc.or_(
+            pc.greater(t.column("ts"), pa.scalar(CURSOR_TS)),
+            pc.and_(pc.equal(t.column("ts"), pa.scalar(CURSOR_TS)),
+                    pc.greater(t.column("event_id"),
+                               pa.scalar(CURSOR_ID, pa.int64()))))
+        return t.filter(keep)
+
+    def local_first(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(["ts", "event_id"]).head(50)
+
+    cand = (ds.map_batches(after_cursor, batch_format="pyarrow")
+            .map_batches(local_first, batch_format="pandas").to_pandas())
+    out = (cand.sort_values(["ts", "event_id"]).head(50)
+           .reset_index(drop=True))
+    out["ts"] = out["ts"].astype("datetime64[us]")
+    return out[["event_id", "ts", "user_id"]]
+
+
+# ---------------------------------------------------------------------------
 # shared-substring (copy/paste) near-dups via the winnowing sketch: the
 # character-level sibling of the MinHash word-shingle pipeline — catches
 # docs that embed a long common substring even when word-level Jaccard is
@@ -2078,6 +2143,8 @@ QUERIES = {
     "dup_rate_by_source": q_dup_rate_by_source,
     "docs_above_p90": q_docs_above_p90,
     "winnow_near_dups": q_winnow_near_dups,
+    "user_value_rank": q_user_value_rank,
+    "events_after_cursor": q_events_after_cursor,
 }
 
 ORACLE_SQL = {
@@ -2424,6 +2491,16 @@ ORACLE_SQL = {
     "docs_above_p90": (
         "SELECT doc_id, n_chars FROM documents WHERE n_chars > "
         "(SELECT quantile_disc(n_chars, 0.9) FROM documents) ORDER BY doc_id"
+    ),
+    "user_value_rank": (
+        "SELECT event_id, user_id, value, CAST(dense_rank() OVER ("
+        "PARTITION BY user_id ORDER BY value DESC) AS BIGINT) AS value_rank "
+        "FROM events"
+    ),
+    "events_after_cursor": (
+        "SELECT event_id, ts, user_id FROM events "
+        "WHERE (ts, event_id) > (TIMESTAMP '2024-01-15 12:00:00', 0) "
+        "ORDER BY ts, event_id LIMIT 50"
     ),
     # external validation of the dedup family's brute-force ground truth:
     # word-3-gram Jaccard in pure SQL (gram STRINGS; the Ray side's crc32
