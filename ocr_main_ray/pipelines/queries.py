@@ -1752,6 +1752,210 @@ def q_events_after_cursor(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# fixed-width histogram over a double column: partial bin-counts inside
+# map_batches (one row per bin per batch), then a tiny shuffled groupby.
+# floor(value/width) on IEEE doubles is order-independent -> hash-stable.
+# ---------------------------------------------------------------------------
+
+def _hist_partial(t: pa.Table) -> pa.Table:
+    bins = pc.cast(pc.floor(pc.divide(t.column("value"), 10.0)), pa.int64())
+    g = pa.table({"bin": bins}).group_by("bin").aggregate([("bin", "count")])
+    return g.rename_columns(["bin", "p_n"])
+
+
+def q_value_histogram(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    return (ds.map_batches(_hist_partial, batch_format="pyarrow")
+            .groupby("bin").aggregate(Sum("p_n", alias_name="n"))
+            .to_pandas().sort_values("bin").reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP grouping sets: ONE distributed fine-grained groupby (the partial/
+# combiner pattern), then the super-aggregate levels are derived from that
+# tiny fine table on the driver — the rollup never re-shuffles the fact
+# table, which is how grouping sets should be planned at 100 TB.
+# ---------------------------------------------------------------------------
+
+def _rollup_partial(t: pa.Table) -> pa.Table:
+    cents = pc.cast(pc.round(pc.multiply(t.column("o_totalprice"), 100.0)),
+                    pa.int64())
+    g = (pa.table({"o_orderpriority": t.column("o_orderpriority"),
+                   "o_orderstatus": t.column("o_orderstatus"),
+                   "cents": cents})
+         .group_by(["o_orderpriority", "o_orderstatus"])
+         .aggregate([("cents", "sum"), ("cents", "count")]))
+    return g.rename_columns(["o_orderpriority", "o_orderstatus", "p_cents", "p_n"])
+
+
+def q_orders_rollup(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderpriority", "o_orderstatus",
+                                  "o_totalprice"])
+    fine = (ds.map_batches(_rollup_partial, batch_format="pyarrow")
+            .groupby(["o_orderpriority", "o_orderstatus"])
+            .aggregate(Sum("p_cents", alias_name="revenue_cents"),
+                       Sum("p_n", alias_name="n_orders"))
+            .to_pandas())
+    lvl1 = (fine.groupby("o_orderpriority", as_index=False)
+            [["revenue_cents", "n_orders"]].sum())
+    lvl1["o_orderstatus"] = None
+    lvl0 = pd.DataFrame({"o_orderpriority": [None], "o_orderstatus": [None],
+                         "revenue_cents": [fine["revenue_cents"].sum()],
+                         "n_orders": [fine["n_orders"].sum()]})
+    out = pd.concat([fine, lvl1, lvl0], ignore_index=True)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["revenue_cents"] = out["revenue_cents"].astype("int64")
+    return pa.table({
+        "o_orderpriority": pa.array(out["o_orderpriority"], pa.string()),
+        "o_orderstatus": pa.array(out["o_orderstatus"], pa.string()),
+        "revenue_cents": pa.array(out["revenue_cents"], pa.int64()),
+        "n_orders": pa.array(out["n_orders"], pa.int64()),
+    })
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style segment-level dedup with document reassembly: split every doc
+# into 10-word segments, keep only each segment's FIRST global occurrence
+# (ordered by doc_id, pos), then rebuild documents from their surviving
+# segments.  Two hash shuffles, both on coarse O(cpus) buckets: (1) by
+# segment-hash to co-locate identical segments, (2) by doc_id to reassemble.
+# Docs whose every segment is boilerplate elsewhere disappear — exactly the
+# CCNet paragraph-dedup contract.
+# ---------------------------------------------------------------------------
+
+SEG_WORDS = 10
+
+
+def _segment_batch(batch: pa.Table, num_buckets: int) -> pa.Table:
+    import zlib
+
+    ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    o_id, o_pos, o_seg, o_b = [], [], [], []
+    for d, tx in zip(ids, texts):
+        ws = tx.split(" ")
+        for p in range(0, len(ws), SEG_WORDS):
+            seg = " ".join(ws[p:p + SEG_WORDS])
+            o_id.append(d)
+            o_pos.append(p // SEG_WORDS)
+            o_seg.append(seg)
+            o_b.append(zlib.crc32(seg.encode()) % num_buckets)
+    return pa.table({"doc_id": pa.array(o_id, pa.int64()),
+                     "pos": pa.array(o_pos, pa.int64()),
+                     "seg": pa.array(o_seg, pa.string()),
+                     "sbucket": pa.array(o_b, pa.int32())})
+
+
+def _seg_keep_first(g: pd.DataFrame, num_buckets: int) -> pd.DataFrame:
+    g = g.sort_values(["seg", "doc_id", "pos"])
+    keep = g.drop_duplicates("seg", keep="first")
+    out = keep[["doc_id", "pos", "seg"]].copy()
+    out["dbucket"] = (out["doc_id"] % num_buckets).astype("int32")
+    return out
+
+
+def _reassemble_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    g = g.sort_values(["doc_id", "pos"])
+    agg = g.groupby("doc_id", sort=True)["seg"].agg(" ".join)
+    return pd.DataFrame({"doc_id": agg.index.to_numpy(),
+                         "text": agg.to_numpy()})
+
+
+def q_segment_dedup(sf_dir: str):
+    nb = _session_buckets()
+    segs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda t: _segment_batch(t, nb), batch_format="pyarrow")
+    kept = segs.groupby("sbucket").map_groups(
+        lambda g: _seg_keep_first(g, nb), batch_format="pandas")
+    out = kept.groupby("dbucket").map_groups(_reassemble_bucket,
+                                             batch_format="pandas")
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# context-window chunking: split each doc into fixed 200-char windows for
+# training-context packing.  Vectorized across the batch per chunk index
+# (one pandas str.slice per index, no per-row loop); flat output keyed
+# (doc_id, chunk_id).
+# ---------------------------------------------------------------------------
+
+CHUNK_CHARS = 200
+
+
+def _chunk_batch(b: pd.DataFrame) -> pd.DataFrame:
+    lens = b["text"].str.len()
+    outs = []
+    max_chunks = int(np.ceil(lens.max() / CHUNK_CHARS)) if len(b) else 0
+    for i in range(max_chunks):
+        sel = lens > i * CHUNK_CHARS
+        if not sel.any():
+            break
+        outs.append(pd.DataFrame({
+            "doc_id": b.loc[sel, "doc_id"].to_numpy(),
+            "chunk_id": np.full(int(sel.sum()), i, dtype="int64"),
+            "chunk": b.loc[sel, "text"].str.slice(
+                i * CHUNK_CHARS, (i + 1) * CHUNK_CHARS).to_numpy(),
+        }))
+    if not outs:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "chunk_id": pd.Series([], dtype="int64"),
+                             "chunk": pd.Series([], dtype="object")})
+    return pd.concat(outs, ignore_index=True)
+
+
+def q_doc_chunks(sf_dir: str):
+    out = (_docs(sf_dir, ["doc_id", "text"])
+           .map_batches(_chunk_batch, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (token-budget binning) via a DISTRIBUTED PREFIX SUM:
+# pass 1 computes per-range-bucket token totals (P tiny rows to the driver,
+# prefix offsets from those), pass 2 assigns each doc its running-start
+# offset + local cumsum inside its bucket.  No global sort, no driver-side
+# row loop — the classic two-pass scan shape that holds at 10^12 docs.
+# A doc's pack is floor(tokens_before_it / budget): greedy contiguous
+# packing in doc_id order, exactly the window-cumsum SQL semantics.
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET = 512
+
+
+def q_sequence_pack(sf_dir: str):
+    P = _session_buckets()
+    n = _docs(sf_dir, ["doc_id"]).max("doc_id") + 1
+
+    def tok(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(),
+            "tokens": b["text"].str.split(" ").str.len().astype("int64"),
+            "rbucket": (b["doc_id"] * P // n).astype("int32"),
+        })
+
+    toks = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        tok, batch_format="pandas")
+    sums = (toks.groupby("rbucket").aggregate(Sum("tokens", alias_name="btok"))
+            .to_pandas().sort_values("rbucket"))
+    offsets = dict(zip(sums["rbucket"],
+                       sums["btok"].cumsum().shift(fill_value=0).astype("int64")))
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        start = offsets[int(g["rbucket"].iloc[0])] \
+            + g["tokens"].cumsum() - g["tokens"]
+        return pd.DataFrame({"doc_id": g["doc_id"].to_numpy(),
+                             "tokens": g["tokens"].to_numpy(),
+                             "pack_id": (start // PACK_BUDGET)
+                             .astype("int64").to_numpy()})
+
+    out = toks.groupby("rbucket").map_groups(assign, batch_format="pandas")
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # shared-substring (copy/paste) near-dups via the winnowing sketch: the
 # character-level sibling of the MinHash word-shingle pipeline — catches
 # docs that embed a long common substring even when word-level Jaccard is
@@ -2145,6 +2349,11 @@ QUERIES = {
     "winnow_near_dups": q_winnow_near_dups,
     "user_value_rank": q_user_value_rank,
     "events_after_cursor": q_events_after_cursor,
+    "value_histogram": q_value_histogram,
+    "orders_rollup": q_orders_rollup,
+    "segment_dedup": q_segment_dedup,
+    "doc_chunks": q_doc_chunks,
+    "sequence_pack": q_sequence_pack,
 }
 
 ORACLE_SQL = {
@@ -2501,6 +2710,41 @@ ORACLE_SQL = {
         "SELECT event_id, ts, user_id FROM events "
         "WHERE (ts, event_id) > (TIMESTAMP '2024-01-15 12:00:00', 0) "
         "ORDER BY ts, event_id LIMIT 50"
+    ),
+    "value_histogram": (
+        "SELECT CAST(floor(value / 10) AS BIGINT) AS bin, "
+        "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1"
+    ),
+    "orders_rollup": (
+        "SELECT o_orderpriority, o_orderstatus, "
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+        "AS revenue_cents, CAST(count(*) AS BIGINT) AS n_orders "
+        "FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)"
+    ),
+    "segment_dedup": (
+        "WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w, "
+        "unnest(range(len(string_split(text, ' ')))) AS ord FROM documents), "
+        "segs AS (SELECT doc_id, ord // 10 AS pos, "
+        "string_agg(w, ' ' ORDER BY ord) AS seg FROM words "
+        "GROUP BY doc_id, ord // 10), "
+        "ranked AS (SELECT doc_id, pos, seg, row_number() OVER "
+        "(PARTITION BY seg ORDER BY doc_id, pos) AS rn FROM segs) "
+        "SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text "
+        "FROM ranked WHERE rn = 1 GROUP BY doc_id"
+    ),
+    "doc_chunks": (
+        "WITH c AS (SELECT doc_id, text, unnest(range(CAST(ceil("
+        "length(text) / 200.0) AS BIGINT))) AS chunk_id FROM documents) "
+        "SELECT doc_id, chunk_id, substr(text, CAST(chunk_id * 200 + 1 AS INT)"
+        ", 200) AS chunk FROM c"
+    ),
+    "sequence_pack": (
+        "WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) "
+        "AS BIGINT) AS tokens FROM documents), "
+        "r AS (SELECT doc_id, tokens, sum(tokens) OVER (ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM t) "
+        "SELECT doc_id, tokens, "
+        "CAST(run - tokens AS BIGINT) // 512 AS pack_id FROM r"
     ),
     # external validation of the dedup family's brute-force ground truth:
     # word-3-gram Jaccard in pure SQL (gram STRINGS; the Ray side's crc32
