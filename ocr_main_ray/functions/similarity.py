@@ -341,3 +341,188 @@ def train_ivf_from_dataset(ds, n_lists: int = 16, sample_size: int = 4096,
     m = np.stack([np.asarray(v, dtype=np.float64)
                   for v in sampled.column(col).to_pylist()[:sample_size]])
     return IVFIndex(m, n_lists=n_lists, seed=seed)
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means (Lloyd's) and SemDeDup-style semantic dedup.
+# ---------------------------------------------------------------------------
+
+def _systematic_sample(ds, sample_size: int, col: str):
+    """Bounded deterministic vec_id-mod sample (same shape as the IVF
+    trainer): the driver never holds more than ``sample_size`` vectors."""
+    n = ds.count()
+    step = max(1, n // sample_size)
+
+    def sample_batch(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id")
+        rem = pc.subtract(ids, pc.multiply(pc.divide(ids, step), step))
+        return t.filter(pc.equal(rem, 0)).select(["vec_id", col])
+
+    sampled = pa.concat_tables(
+        ds.map_batches(sample_batch, batch_format="pyarrow")
+        .iter_batches(batch_size=sample_size, batch_format="pyarrow"))
+    sampled = sampled.sort_by("vec_id")
+    return np.stack([np.asarray(v, dtype=np.float64)
+                     for v in sampled.column(col).to_pylist()[:sample_size]])
+
+
+class _KMeansPartial:
+    """One Lloyd iteration's map side: assign each vector to its nearest
+    centroid (cosine, centroids broadcast via ray.put, fetched once per
+    actor) and emit ONE partial row per centroid per batch: (c, n,
+    sum-vector bytes, bstart).  bstart = min vec_id of the batch gives the
+    driver a stable reduction order, so float summation is deterministic
+    run-to-run."""
+
+    def __init__(self, cent_ref):
+        import ray
+
+        self.c = ray.get(cent_ref) if not isinstance(cent_ref, np.ndarray) \
+            else cent_ref
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table({"c": pa.array([], pa.int32()),
+                          "n": pa.array([], pa.int64()),
+                          "vsum": pa.array([], pa.large_binary()),
+                          "bstart": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        m = normalize_rows(batch_embeddings(batch))
+        assign = (m @ self.c.T).argmax(axis=1)
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        bstart = int(ids.min())
+        cs, ns, sums = [], [], []
+        for c in np.unique(assign):
+            sel = m[assign == c]
+            cs.append(int(c))
+            ns.append(int(len(sel)))
+            sums.append(sel.sum(axis=0).tobytes())
+        return pa.table({"c": pa.array(cs, pa.int32()),
+                         "n": pa.array(ns, pa.int64()),
+                         "vsum": pa.array(sums, pa.large_binary()),
+                         "bstart": pa.array([bstart] * len(cs), pa.int64())})
+
+
+def kmeans_fit(ds, k: int = 8, iters: int = 5, col: str = "embedding",
+               sample_size: int = 4096, concurrency=(1, 4)) -> np.ndarray:
+    """Distributed Lloyd's on the unit sphere: each iteration is ONE
+    map_batches pass emitting k-row partials (the combiner pattern — the
+    shuffle payload is k * n_blocks tiny rows, never the vectors), reduced
+    on the driver in bstart order for run-to-run determinism.  Init is the
+    first k vectors of a bounded systematic sample.  Empty clusters keep
+    their previous centroid.  Scale: per-iteration cost is one streaming
+    pass; the centroid matrix (k x d) is broadcast via ray.put."""
+    import ray
+
+    init = _systematic_sample(ds, sample_size, col)
+    k = min(k, len(init))
+    centroids = normalize_rows(init[:k]).copy()
+    for _ in range(iters):
+        ref = ray.put(centroids)
+        partials = ds.map_batches(
+            _KMeansPartial, fn_constructor_kwargs={"cent_ref": ref},
+            batch_format="pyarrow", concurrency=concurrency, num_cpus=1,
+        ).to_pandas().sort_values(["c", "bstart"])
+        new = centroids.copy()
+        for c, grp in partials.groupby("c", sort=True):
+            vs = np.zeros(centroids.shape[1])
+            for buf in grp["vsum"]:
+                vs = vs + np.frombuffer(buf, dtype=np.float64)
+            n = int(grp["n"].sum())
+            if n:
+                new[int(c)] = vs / n
+        centroids = normalize_rows(new)
+    return centroids
+
+
+def kmeans_assign(ds, centroids: np.ndarray, col: str = "embedding"):
+    """Append (cluster:int32, centroid_sim:float64) per vector."""
+    import ray
+
+    ref = ray.put(centroids)
+
+    class Assign:
+        def __init__(self):
+            self.c = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                t = batch.append_column("cluster", pa.array([], pa.int32()))
+                return t.append_column("centroid_sim",
+                                       pa.array([], pa.float64()))
+            m = normalize_rows(batch_embeddings(batch, col))
+            sims = m @ self.c.T
+            a = sims.argmax(axis=1)
+            t = batch.append_column(
+                "cluster", pa.array(a.astype(np.int32), pa.int32()))
+            return t.append_column(
+                "centroid_sim",
+                pa.array(sims[np.arange(len(a)), a], pa.float64()))
+
+    return ds.map_batches(Assign, batch_format="pyarrow",
+                          concurrency=(1, 4), num_cpus=1)
+
+
+# a cluster bigger than this would be O(n^2) in one task; chunk the
+# triangular comparison instead of giving up (dedup must stay exact)
+MAX_SEMDEDUP_CLUSTER = 16384
+
+
+def _semdedup_cluster(group: pa.Table, threshold: float) -> pa.Table:
+    """Within one k-means cluster: drop every vector that has an
+    EARLIER-id vector at cosine >= threshold (SemDeDup's keep-one-per-
+    duplicate-neighborhood rule, made deterministic by the id order).
+    Vectorized: one triangular mask over the cluster's sim matrix; for
+    oversized clusters the matrix is built in row chunks."""
+    ids_all, m_all = _unpack_block(group.select(["vec_id", "nemb"]))
+    order = np.argsort(ids_all)
+    ids, m = ids_all[order], m_all[order]
+    n = len(ids)
+    if n == 0:
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "cluster": pa.array([], pa.int32())})
+    cluster = group.column("cluster")[0].as_py()
+    dropped = np.zeros(n, dtype=bool)
+    chunk = min(n, MAX_SEMDEDUP_CLUSTER)
+    for lo in range(0, n, chunk):
+        hi = min(n, lo + chunk)
+        sims = m[lo:hi] @ m.T                      # (hi-lo, n)
+        # j is dominated by ANY i < j (kept or not): deterministic and
+        # order-independent, cross-checked against brute force in tests
+        col_idx = np.arange(n)[None, :]
+        row_idx = np.arange(lo, hi)[:, None]
+        mask = (sims >= threshold) & (row_idx < col_idx)
+        dropped |= mask.any(axis=0)
+    keep = ~dropped
+    return pa.table({"vec_id": pa.array(ids[keep], pa.int64()),
+                     "cluster": pa.array(np.full(int(keep.sum()), cluster,
+                                                 dtype=np.int32), pa.int32())})
+
+
+def semantic_dedup(ds, k: int = 8, iters: int = 5, threshold: float = 0.95,
+                   col: str = "embedding", concurrency=(1, 4)):
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, public): k-means
+    cluster the embeddings, then WITHIN each cluster drop vectors with an
+    earlier-id near-duplicate at cosine >= threshold.  The cluster id is
+    the partition key — the all-pairs never crosses clusters, so the
+    quadratic term is bounded per cluster, and the shuffle moves each
+    vector exactly once.  Returns the SURVIVORS (vec_id, cluster)."""
+    centroids = kmeans_fit(ds, k=k, iters=iters, col=col,
+                           concurrency=concurrency)
+    assigned = kmeans_assign(ds, centroids, col=col)
+
+    def pack(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int32()),
+                             "nemb": pa.array([], pa.large_binary())})
+        m = normalize_rows(batch_embeddings(batch, col))
+        return pa.table({
+            "vec_id": batch.column("vec_id").cast(pa.int64()),
+            "cluster": batch.column("cluster"),
+            "nemb": pa.array([r.tobytes() for r in m], pa.large_binary()),
+        })
+
+    packed = assigned.map_batches(pack, batch_format="pyarrow")
+    return packed.groupby("cluster").map_groups(
+        lambda g: _semdedup_cluster(g, threshold), batch_format="pyarrow")

@@ -1956,6 +1956,40 @@ def q_sequence_pack(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# distributed k-means over the embedding column (Lloyd's, one streaming
+# pass per iteration, k-row partials — the combiner pattern) and the
+# SemDeDup-style semantic near-dup removal built on top of it: cluster id
+# is the partition key, all-pairs never crosses clusters.
+# ---------------------------------------------------------------------------
+
+def _embs(sf_dir: str):
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+
+
+def q_embedding_kmeans(sf_dir: str):
+    from ..functions.similarity import kmeans_assign, kmeans_fit
+
+    ds = _embs(sf_dir)
+    cents = kmeans_fit(ds, k=8, iters=5)
+    out = (kmeans_assign(ds, cents)
+           .map_batches(lambda t: t.select(["vec_id", "cluster"]),
+                        batch_format="pyarrow").to_pandas())
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def q_semantic_dedup(sf_dir: str):
+    """Survivors of SemDeDup at cosine >= 0.45 (the corpus's planted
+    near-dup level, see q_embedding_near_dups).  Rows-only: the k-means
+    partition makes membership clustering-dependent by construction."""
+    from ..functions.similarity import semantic_dedup
+
+    out = semantic_dedup(_embs(sf_dir), k=8, iters=5,
+                         threshold=0.45).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # shared-substring (copy/paste) near-dups via the winnowing sketch: the
 # character-level sibling of the MinHash word-shingle pipeline — catches
 # docs that embed a long common substring even when word-level Jaccard is
@@ -2354,6 +2388,8 @@ QUERIES = {
     "segment_dedup": q_segment_dedup,
     "doc_chunks": q_doc_chunks,
     "sequence_pack": q_sequence_pack,
+    "embedding_kmeans": q_embedding_kmeans,
+    "semantic_dedup": q_semantic_dedup,
 }
 
 ORACLE_SQL = {

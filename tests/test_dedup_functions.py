@@ -282,3 +282,81 @@ def test_winnow_candidate_pairs_planted(ray_session):
     got = set(zip(out["a"], out["b"]))
     assert (1, 2) in got
     assert all(p == (1, 2) or (3 not in p and 4 not in p) for p in got)
+
+
+# ---------------------------------------------------------------------------
+# distributed k-means + SemDeDup
+# ---------------------------------------------------------------------------
+
+def _toy_embeddings(n=120, dim=16, seed=7):
+    rng = np.random.RandomState(seed)
+    centers = rng.normal(size=(4, dim))
+    rows, ids = [], []
+    for i in range(n):
+        c = centers[i % 4]
+        rows.append(c + 0.05 * rng.normal(size=dim))
+        ids.append(i)
+    # planted near-dups: 5 pairs of almost-identical vectors
+    for j in range(5):
+        rows.append(rows[j] + 1e-4)
+        ids.append(n + j)
+    return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                     "embedding": pa.array([list(map(float, r))
+                                            for r in rows],
+                                           pa.list_(pa.float32()))})
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kmeans_deterministic_and_separates():
+    from ocr_main_ray.functions.similarity import (kmeans_assign, kmeans_fit,
+                                                   normalize_rows)
+
+    t = _toy_embeddings()
+    ds = rd.from_arrow(t)
+    c1 = kmeans_fit(ds, k=4, iters=5)
+    c2 = kmeans_fit(rd.from_arrow(t), k=4, iters=5)
+    assert np.array_equal(c1, c2)  # bitwise deterministic run-to-run
+    out = kmeans_assign(ds, c1).to_pandas().sort_values("vec_id")
+    # vectors generated from the same center must share a cluster
+    m = normalize_rows(np.stack([np.asarray(v, dtype=np.float64)
+                                 for v in t.column("embedding").to_pylist()]))
+    lab = out["cluster"].to_numpy()[:120]  # ids 0..119; near-dup copies after
+    for g in range(4):
+        members = lab[np.arange(120) % 4 == g]
+        assert len(set(members.tolist())) == 1
+    assert out["centroid_sim"].min() > 0.9
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_semantic_dedup_matches_brute_force():
+    from ocr_main_ray.functions.similarity import (kmeans_assign, kmeans_fit,
+                                                   normalize_rows,
+                                                   semantic_dedup)
+
+    t = _toy_embeddings()
+    ds = rd.from_arrow(t)
+    thr = 0.999
+    kept = semantic_dedup(ds, k=4, iters=5, threshold=thr).to_pandas()
+    kept_ids = set(kept["vec_id"].tolist())
+
+    # brute force, same rule, same clustering: drop j if any i<j in the
+    # SAME cluster with cos >= thr
+    cents = kmeans_fit(ds, k=4, iters=5)
+    assigned = kmeans_assign(ds, cents).to_pandas().sort_values("vec_id")
+    m = normalize_rows(np.stack([np.asarray(v, dtype=np.float64)
+                                 for v in t.column("embedding").to_pylist()]))
+    ids = t.column("vec_id").to_numpy()
+    order = np.argsort(ids)
+    ids, m = ids[order], m[order]
+    clu = assigned["cluster"].to_numpy()
+    sims = m @ m.T
+    expect = set()
+    for j in range(len(ids)):
+        dominated = any(sims[i, j] >= thr and clu[i] == clu[j]
+                        for i in range(j))
+        if not dominated:
+            expect.add(int(ids[j]))
+    assert kept_ids == expect
+    # the 5 planted near-identical copies were dropped
+    assert all(120 + j not in kept_ids for j in range(5))
+    assert 4 <= len(kept_ids) <= len(ids) - 5
