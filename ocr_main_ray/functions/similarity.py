@@ -366,41 +366,37 @@ def _systematic_sample(ds, sample_size: int, col: str):
                      for v in sampled.column(col).to_pylist()[:sample_size]])
 
 
-class _KMeansPartial:
+def _kmeans_partial(batch: pa.Table, cent_ref) -> pa.Table:
     """One Lloyd iteration's map side: assign each vector to its nearest
-    centroid (cosine, centroids broadcast via ray.put, fetched once per
-    actor) and emit ONE partial row per centroid per batch: (c, n,
-    sum-vector bytes, bstart).  bstart = min vec_id of the batch gives the
-    driver a stable reduction order, so float summation is deterministic
-    run-to-run."""
+    centroid (cosine; centroids broadcast via ray.put, the per-task
+    ray.get is a zero-copy shared-memory read) and emit ONE partial row
+    per centroid per batch: (c, n, sum-vector bytes, bstart).  bstart =
+    min vec_id of the batch gives the driver a stable reduction order, so
+    float summation is deterministic run-to-run.  A plain task function —
+    no actor pool to spin up per iteration; the broadcast matrix is tiny."""
+    import ray
 
-    def __init__(self, cent_ref):
-        import ray
-
-        self.c = ray.get(cent_ref) if not isinstance(cent_ref, np.ndarray) \
-            else cent_ref
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        empty = pa.table({"c": pa.array([], pa.int32()),
-                          "n": pa.array([], pa.int64()),
-                          "vsum": pa.array([], pa.large_binary()),
-                          "bstart": pa.array([], pa.int64())})
-        if batch.num_rows == 0:
-            return empty
-        m = normalize_rows(batch_embeddings(batch))
-        assign = (m @ self.c.T).argmax(axis=1)
-        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        bstart = int(ids.min())
-        cs, ns, sums = [], [], []
-        for c in np.unique(assign):
-            sel = m[assign == c]
-            cs.append(int(c))
-            ns.append(int(len(sel)))
-            sums.append(sel.sum(axis=0).tobytes())
-        return pa.table({"c": pa.array(cs, pa.int32()),
-                         "n": pa.array(ns, pa.int64()),
-                         "vsum": pa.array(sums, pa.large_binary()),
-                         "bstart": pa.array([bstart] * len(cs), pa.int64())})
+    if batch.num_rows == 0:
+        return pa.table({"c": pa.array([], pa.int32()),
+                         "n": pa.array([], pa.int64()),
+                         "vsum": pa.array([], pa.large_binary()),
+                         "bstart": pa.array([], pa.int64())})
+    cents = ray.get(cent_ref) if not isinstance(cent_ref, np.ndarray) \
+        else cent_ref
+    m = normalize_rows(batch_embeddings(batch))
+    assign = (m @ cents.T).argmax(axis=1)
+    ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+    bstart = int(ids.min())
+    cs, ns, sums = [], [], []
+    for c in np.unique(assign):
+        sel = m[assign == c]
+        cs.append(int(c))
+        ns.append(int(len(sel)))
+        sums.append(sel.sum(axis=0).tobytes())
+    return pa.table({"c": pa.array(cs, pa.int32()),
+                     "n": pa.array(ns, pa.int64()),
+                     "vsum": pa.array(sums, pa.large_binary()),
+                     "bstart": pa.array([bstart] * len(cs), pa.int64())})
 
 
 def kmeans_fit(ds, k: int = 8, iters: int = 5, col: str = "embedding",
@@ -420,8 +416,8 @@ def kmeans_fit(ds, k: int = 8, iters: int = 5, col: str = "embedding",
     for _ in range(iters):
         ref = ray.put(centroids)
         partials = ds.map_batches(
-            _KMeansPartial, fn_constructor_kwargs={"cent_ref": ref},
-            batch_format="pyarrow", concurrency=concurrency, num_cpus=1,
+            _kmeans_partial, fn_kwargs={"cent_ref": ref},
+            batch_format="pyarrow",
         ).to_pandas().sort_values(["c", "bstart"])
         new = centroids.copy()
         for c, grp in partials.groupby("c", sort=True):
@@ -435,32 +431,33 @@ def kmeans_fit(ds, k: int = 8, iters: int = 5, col: str = "embedding",
     return centroids
 
 
+def _kmeans_assign_batch(batch: pa.Table, cent_ref,
+                         col: str = "embedding") -> pa.Table:
+    import ray
+
+    if batch.num_rows == 0:
+        t = batch.append_column("cluster", pa.array([], pa.int32()))
+        return t.append_column("centroid_sim", pa.array([], pa.float64()))
+    cents = ray.get(cent_ref) if not isinstance(cent_ref, np.ndarray) \
+        else cent_ref
+    m = normalize_rows(batch_embeddings(batch, col))
+    sims = m @ cents.T
+    a = sims.argmax(axis=1)
+    t = batch.append_column(
+        "cluster", pa.array(a.astype(np.int32), pa.int32()))
+    return t.append_column(
+        "centroid_sim", pa.array(sims[np.arange(len(a)), a], pa.float64()))
+
+
 def kmeans_assign(ds, centroids: np.ndarray, col: str = "embedding"):
-    """Append (cluster:int32, centroid_sim:float64) per vector."""
+    """Append (cluster:int32, centroid_sim:float64) per vector.  Plain
+    task-based map — the broadcast read per task is zero-copy."""
     import ray
 
     ref = ray.put(centroids)
-
-    class Assign:
-        def __init__(self):
-            self.c = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            if batch.num_rows == 0:
-                t = batch.append_column("cluster", pa.array([], pa.int32()))
-                return t.append_column("centroid_sim",
-                                       pa.array([], pa.float64()))
-            m = normalize_rows(batch_embeddings(batch, col))
-            sims = m @ self.c.T
-            a = sims.argmax(axis=1)
-            t = batch.append_column(
-                "cluster", pa.array(a.astype(np.int32), pa.int32()))
-            return t.append_column(
-                "centroid_sim",
-                pa.array(sims[np.arange(len(a)), a], pa.float64()))
-
-    return ds.map_batches(Assign, batch_format="pyarrow",
-                          concurrency=(1, 4), num_cpus=1)
+    return ds.map_batches(_kmeans_assign_batch,
+                          fn_kwargs={"cent_ref": ref, "col": col},
+                          batch_format="pyarrow")
 
 
 # a cluster bigger than this would be O(n^2) in one task; chunk the
