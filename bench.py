@@ -130,7 +130,8 @@ def run_bench() -> dict:
         from ocr_main_ray.pipelines import queries as q
 
         for name in ("pricing_summary", "events_by_type", "revenue_by_segment",
-                     "summary_by_lang", "dedup_exact", "docs_topk_chars"):
+                     "summary_by_lang", "dedup_exact", "docs_topk_chars",
+                     "segment_dedup", "sequence_pack"):
             t0 = time.perf_counter()
             res = q.QUERIES[name](SF_DIR)
             if hasattr(res, "count") and not hasattr(res, "__len__"):
