@@ -1956,6 +1956,30 @@ def q_sequence_pack(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# deterministic train/val/test split by CONTENT hash (md5 of the text, not
+# the doc id): exact duplicates always land in the same split, so the split
+# itself can't leak train text into eval.  Pure scan-side map — no shuffle,
+# embarrassingly parallel at any scale.  80/10/10.
+# ---------------------------------------------------------------------------
+
+def _split_batch(b: pd.DataFrame) -> pd.DataFrame:
+    buckets = np.fromiter(
+        (int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 100
+         for t in b["text"]), dtype=np.int64, count=len(b))
+    split = np.where(buckets < 80, "train",
+                     np.where(buckets < 90, "val", "test"))
+    return pd.DataFrame({"doc_id": b["doc_id"].to_numpy(),
+                         "split": split})
+
+
+def q_train_val_split(sf_dir: str):
+    out = (_docs(sf_dir, ["doc_id", "text"])
+           .map_batches(_split_batch, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # distributed k-means over the embedding column (Lloyd's, one streaming
 # pass per iteration, k-row partials — the combiner pattern) and the
 # SemDeDup-style semantic near-dup removal built on top of it: cluster id
@@ -2390,6 +2414,7 @@ QUERIES = {
     "sequence_pack": q_sequence_pack,
     "embedding_kmeans": q_embedding_kmeans,
     "semantic_dedup": q_semantic_dedup,
+    "train_val_split": q_train_val_split,
 }
 
 ORACLE_SQL = {
@@ -2773,6 +2798,12 @@ ORACLE_SQL = {
         "length(text) / 200.0) AS BIGINT))) AS chunk_id FROM documents) "
         "SELECT doc_id, chunk_id, substr(text, CAST(chunk_id * 200 + 1 AS INT)"
         ", 200) AS chunk FROM c"
+    ),
+    "train_val_split": (
+        "SELECT doc_id, CASE WHEN b < 80 THEN 'train' "
+        "WHEN b < 90 THEN 'val' ELSE 'test' END AS split FROM "
+        "(SELECT doc_id, CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) "
+        "% 100 AS b FROM documents)"
     ),
     "sequence_pack": (
         "WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) "
