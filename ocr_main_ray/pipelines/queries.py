@@ -1964,6 +1964,69 @@ def q_sequence_pack(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# weekly cohort retention: cohort = a user's first active week; one row per
+# (cohort_week, activity_week) with the distinct-user count.  Same user-hash
+# bucket co-location as the session windows; within a bucket everything is
+# vectorized pandas (transform-min cohort, drop-duplicates pairs, partial
+# counts), so the final shuffle moves only (cohort, week, partial_n) rows.
+# ---------------------------------------------------------------------------
+
+def _retention_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    # Monday-aligned week start, matching DuckDB date_trunc('week', ts)
+    week = (g["ts"].dt.normalize()
+            - pd.to_timedelta(g["ts"].dt.weekday, unit="D"))
+    uw = pd.DataFrame({"user_id": g["user_id"].to_numpy(),
+                       "week": week.to_numpy()}).drop_duplicates()
+    cohort = uw.groupby("user_id")["week"].transform("min")
+    out = (pd.DataFrame({"cohort_week": cohort.to_numpy(),
+                         "activity_week": uw["week"].to_numpy()})
+           .groupby(["cohort_week", "activity_week"], as_index=False)
+           .size().rename(columns={"size": "p_n"}))
+    out["p_n"] = out["p_n"].astype("int64")
+    return out
+
+
+def q_cohort_retention(sf_dir: str):
+    nb = _session_buckets()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    ds = ds.map_batches(lambda t: _bucket_users(t, nb), batch_format="pyarrow")
+    partials = ds.groupby("ubucket").map_groups(_retention_bucket,
+                                                batch_format="pandas")
+    out = (partials.groupby(["cohort_week", "activity_week"])
+           .aggregate(Sum("p_n", alias_name="n_users")).to_pandas())
+    out["cohort_week"] = out["cohort_week"].astype("datetime64[us]")
+    out["activity_week"] = out["activity_week"].astype("datetime64[us]")
+    return (out.sort_values(["cohort_week", "activity_week"])
+            .reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# percent_rank window per user: (rank_with_gaps - 1) / (n - 1) from exact
+# integer ranks — the division is the only float op, so it is bit-identical
+# to the oracle's percent_rank.  Single-event users get 0.0 (SQL contract).
+# ---------------------------------------------------------------------------
+
+def _pct_rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    r = g.groupby("user_id")["value"].rank(method="min", ascending=False)
+    n = g.groupby("user_id")["value"].transform("count")
+    pct = np.where(n > 1, (r - 1) / (n - 1), 0.0)
+    return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
+                         "user_id": g["user_id"].to_numpy(),
+                         "pct": pct})
+
+
+def q_user_value_pct_rank(sf_dir: str):
+    nb = _session_buckets()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "value"])
+    ds = ds.map_batches(lambda t: _bucket_users(t, nb), batch_format="pyarrow")
+    out = ds.groupby("ubucket").map_groups(_pct_rank_bucket,
+                                           batch_format="pandas").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # deterministic train/val/test split by CONTENT hash (md5 of the text, not
 # the doc id): exact duplicates always land in the same split, so the split
 # itself can't leak train text into eval.  Pure scan-side map — no shuffle,
@@ -2423,6 +2486,8 @@ QUERIES = {
     "embedding_kmeans": q_embedding_kmeans,
     "semantic_dedup": q_semantic_dedup,
     "train_val_split": q_train_val_split,
+    "cohort_retention": q_cohort_retention,
+    "user_value_pct_rank": q_user_value_pct_rank,
 }
 
 ORACLE_SQL = {
@@ -2806,6 +2871,19 @@ ORACLE_SQL = {
         "length(text) / 200.0) AS BIGINT))) AS chunk_id FROM documents) "
         "SELECT doc_id, chunk_id, substr(text, CAST(chunk_id * 200 + 1 AS INT)"
         ", 200) AS chunk FROM c"
+    ),
+    "cohort_retention": (
+        "WITH uw AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week "
+        "FROM events), coh AS (SELECT user_id, min(week) AS cohort_week "
+        "FROM uw GROUP BY user_id) "
+        "SELECT CAST(c.cohort_week AS TIMESTAMP) AS cohort_week, "
+        "CAST(u.week AS TIMESTAMP) AS activity_week, "
+        "CAST(count(*) AS BIGINT) AS n_users "
+        "FROM uw u JOIN coh c USING (user_id) GROUP BY 1, 2"
+    ),
+    "user_value_pct_rank": (
+        "SELECT event_id, user_id, percent_rank() OVER "
+        "(PARTITION BY user_id ORDER BY value DESC) AS pct FROM events"
     ),
     "train_val_split": (
         "SELECT doc_id, CASE WHEN b < 80 THEN 'train' "

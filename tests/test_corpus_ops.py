@@ -85,3 +85,92 @@ def test_repetition_batch_ratio_values():
     assert out.loc[1, "dup_ratio"] == 0.0
     assert out.loc[2, "n_grams"] == 0 and out.loc[2, "dup_ratio"] == 0.0
     assert out["n_grams"].dtype == np.int64
+
+
+# ---------------------------------------------------------------------------
+# segment dedup / chunking / packing kernels (pure-pandas units)
+# ---------------------------------------------------------------------------
+
+def test_segment_batch_roundtrip_and_tail():
+    import pyarrow as pa
+    from ocr_main_ray.pipelines.queries import _segment_batch, SEG_WORDS
+
+    words = [f"w{i}" for i in range(SEG_WORDS * 2 + 3)]  # ragged tail
+    t = pa.table({"doc_id": pa.array([7], pa.int64()),
+                  "text": pa.array([" ".join(words)], pa.string())})
+    segs = _segment_batch(t, num_buckets=8).to_pandas()
+    assert list(segs["pos"]) == [0, 1, 2]
+    assert " ".join(segs["seg"]) == " ".join(words)  # lossless resegmentation
+    assert (segs["sbucket"] >= 0).all() and (segs["sbucket"] < 8).all()
+
+
+def test_seg_keep_first_prefers_lowest_doc_then_pos():
+    from ocr_main_ray.pipelines.queries import _seg_keep_first
+
+    g = pd.DataFrame({"doc_id": [5, 2, 2], "pos": [0, 3, 1],
+                      "seg": ["dup seg", "dup seg", "dup seg"],
+                      "sbucket": [0, 0, 0]})
+    out = _seg_keep_first(g, num_buckets=4)
+    assert len(out) == 1
+    assert out.iloc[0]["doc_id"] == 2 and out.iloc[0]["pos"] == 1
+
+
+def test_chunk_batch_covers_text_exactly():
+    from ocr_main_ray.pipelines.queries import CHUNK_CHARS, _chunk_batch
+
+    txts = ["a" * (CHUNK_CHARS * 2 + 5), "b" * 3, "c" * CHUNK_CHARS]
+    b = pd.DataFrame({"doc_id": [0, 1, 2], "text": txts})
+    out = _chunk_batch(b)
+    for d, tx in enumerate(txts):
+        mine = out[out.doc_id == d].sort_values("chunk_id")
+        assert "".join(mine["chunk"]) == tx          # lossless cover
+        assert (mine["chunk"].str.len() <= CHUNK_CHARS).all()
+        assert list(mine["chunk_id"]) == list(range(len(mine)))
+
+
+def test_chunk_batch_empty_frame_typed():
+    from ocr_main_ray.pipelines.queries import _chunk_batch
+
+    out = _chunk_batch(pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                     "text": pd.Series([], dtype="object")}))
+    assert len(out) == 0
+    assert out["doc_id"].dtype == "int64" and out["chunk_id"].dtype == "int64"
+
+
+def test_split_batch_deterministic_and_dup_consistent():
+    from ocr_main_ray.pipelines.queries import _split_batch
+
+    b = pd.DataFrame({"doc_id": [1, 2, 3], "text": ["xyz", "xyz", "other"]})
+    out = _split_batch(b)
+    # identical text -> identical split (the leakage-safety property)
+    assert out.iloc[0]["split"] == out.iloc[1]["split"]
+    assert list(out["split"]) == list(_split_batch(b)["split"])  # stable
+
+
+def test_pct_rank_bucket_matches_sql_semantics():
+    from ocr_main_ray.pipelines.queries import _pct_rank_bucket
+
+    g = pd.DataFrame({"event_id": [0, 1, 2, 3, 4],
+                      "user_id": [1, 1, 1, 2, 3],
+                      "value": [10.0, 10.0, 5.0, 7.0, 7.0],
+                      "ubucket": [0] * 5})
+    out = _pct_rank_bucket(g).set_index("event_id")
+    # user 1: two ties at rank 1 -> pct 0; value 5 at rank 3 -> (3-1)/(3-1)=1
+    assert out.loc[0, "pct"] == 0.0 and out.loc[1, "pct"] == 0.0
+    assert out.loc[2, "pct"] == 1.0
+    # single-event users -> 0.0
+    assert out.loc[3, "pct"] == 0.0 and out.loc[4, "pct"] == 0.0
+
+
+def test_retention_bucket_counts_first_week_cohort():
+    from ocr_main_ray.pipelines.queries import _retention_bucket
+
+    ts = pd.to_datetime(["2024-01-01 10:00", "2024-01-02 09:00",  # same week
+                         "2024-01-08 12:00",                      # next week
+                         "2024-01-08 15:00"])                     # user 2 joins wk2
+    g = pd.DataFrame({"user_id": [1, 1, 1, 2], "ts": ts, "ubucket": [0] * 4})
+    out = _retention_bucket(g).set_index(["cohort_week", "activity_week"])
+    w1, w2 = pd.Timestamp("2024-01-01"), pd.Timestamp("2024-01-08")
+    assert out.loc[(w1, w1), "p_n"] == 1   # user 1 active in cohort week
+    assert out.loc[(w1, w2), "p_n"] == 1   # user 1 retained into week 2
+    assert out.loc[(w2, w2), "p_n"] == 1   # user 2's own cohort
