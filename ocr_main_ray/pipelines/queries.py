@@ -1964,6 +1964,69 @@ def q_sequence_pack(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# BM25 lexical retrieval (Okapi, Lucene's idf = ln(1+(N-df+.5)/(df+.5))):
+# the keyword-search sibling of q_embedding_knn.  Pass 1 streams per-batch
+# partials for the corpus stats (N, total length, per-term df — a handful
+# of ints, the combiner pattern); the driver folds them and derives the
+# idf constants.  Pass 2 re-streams the same lineage to score every doc
+# (term counts via one vectorized explode+pivot per batch, float ops in a
+# FIXED order so the DuckDB oracle matches bit-for-bit) and keeps a local
+# top-k per batch; the driver merges k*n_blocks candidates — no global
+# sort.  At 100 TB both passes are single streaming scans.
+# ---------------------------------------------------------------------------
+
+BM25_TERMS = ("merge", "join", "window")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_K = 10
+
+
+def _bm25_tf(b: pd.DataFrame) -> pd.DataFrame:
+    words = b["text"].str.split(" ")
+    out = pd.DataFrame({"doc_id": b["doc_id"].to_numpy(),
+                        "dl": words.str.len().astype("int64").to_numpy()})
+    ex = pd.DataFrame({"doc_id": b["doc_id"].to_numpy(),
+                       "w": words.to_numpy()}).explode("w")
+    sel = ex[ex["w"].isin(BM25_TERMS)]
+    piv = (sel.groupby(["doc_id", "w"]).size().unstack(fill_value=0)
+           .reindex(columns=list(BM25_TERMS), fill_value=0))
+    out = out.merge(piv, left_on="doc_id", right_index=True, how="left")
+    for t in BM25_TERMS:
+        out[f"tf_{t}"] = out[t].fillna(0).astype("int64") \
+            if t in out.columns else np.int64(0)
+        out[f"has_{t}"] = (out[f"tf_{t}"] > 0).astype("int64")
+    return out[["doc_id", "dl"]
+               + [f"tf_{t}" for t in BM25_TERMS]
+               + [f"has_{t}" for t in BM25_TERMS]]
+
+
+def q_bm25_topk(sf_dir: str):
+    tf = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _bm25_tf, batch_format="pandas")
+    aggs = [Sum("dl", alias_name="dl_sum"), Count(alias_name="n")]
+    aggs += [Sum(f"has_{t}", alias_name=f"df_{t}") for t in BM25_TERMS]
+    st = tf.aggregate(*aggs)
+    n, avgdl = st["n"], st["dl_sum"] / st["n"]
+    idf = {t: math.log(1 + (n - st[f"df_{t}"] + 0.5)
+                       / (st[f"df_{t}"] + 0.5)) for t in BM25_TERMS}
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        dl = b["dl"].to_numpy(dtype=np.float64)
+        s = np.zeros(len(b))
+        for t in BM25_TERMS:  # fixed term order == the oracle's + assoc
+            tfv = b[f"tf_{t}"].to_numpy(dtype=np.float64)
+            s = s + idf[t] * (tfv * (BM25_K1 + 1)) / (
+                tfv + BM25_K1 * (1 - BM25_B + BM25_B * dl / avgdl))
+        out = pd.DataFrame({"doc_id": b["doc_id"].to_numpy(), "score": s})
+        return out.sort_values(["score", "doc_id"],
+                               ascending=[False, True]).head(BM25_K)
+
+    cand = tf.map_batches(score, batch_format="pandas").to_pandas()
+    return (cand.sort_values(["score", "doc_id"], ascending=[False, True])
+            .head(BM25_K).reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
 # weekly cohort retention: cohort = a user's first active week; one row per
 # (cohort_week, activity_week) with the distinct-user count.  Same user-hash
 # bucket co-location as the session windows; within a bucket everything is
@@ -2488,6 +2551,7 @@ QUERIES = {
     "train_val_split": q_train_val_split,
     "cohort_retention": q_cohort_retention,
     "user_value_pct_rank": q_user_value_pct_rank,
+    "bm25_topk": q_bm25_topk,
 }
 
 ORACLE_SQL = {
@@ -2871,6 +2935,38 @@ ORACLE_SQL = {
         "length(text) / 200.0) AS BIGINT))) AS chunk_id FROM documents) "
         "SELECT doc_id, chunk_id, substr(text, CAST(chunk_id * 200 + 1 AS INT)"
         ", 200) AS chunk FROM c"
+    ),
+    "bm25_topk": (
+        # float expressions mirror the Ray side's op order exactly:
+        # idf*(tf*(1.2+1))/(tf + 1.2*(1 - 0.75 + 0.75*dl/avgdl)), terms
+        # summed left-to-right; DuckDB ln() == libm log (verified bitwise)
+        "WITH tf AS (SELECT doc_id, "
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS dl, "
+        "CAST(len(list_filter(string_split(text, ' '), x -> x = 'merge')) "
+        "AS BIGINT) AS tf_merge, "
+        "CAST(len(list_filter(string_split(text, ' '), x -> x = 'join')) "
+        "AS BIGINT) AS tf_join, "
+        "CAST(len(list_filter(string_split(text, ' '), x -> x = 'window')) "
+        "AS BIGINT) AS tf_window FROM documents), "
+        "st AS (SELECT count(*) AS n, "
+        "CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl, "
+        "CAST(sum(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS df_merge, "
+        "CAST(sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS df_join, "
+        "CAST(sum(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS df_window FROM tf) "
+        "SELECT doc_id, "
+        "ln(1 + (n - df_merge + 0.5e0) / (df_merge + 0.5e0)) * "
+        "(tf_merge * (1.2e0 + 1)) / "
+        "(tf_merge + 1.2e0 * (1 - 0.75e0 + 0.75e0 * dl / avgdl)) + "
+        "ln(1 + (n - df_join + 0.5e0) / (df_join + 0.5e0)) * "
+        "(tf_join * (1.2e0 + 1)) / "
+        "(tf_join + 1.2e0 * (1 - 0.75e0 + 0.75e0 * dl / avgdl)) + "
+        "ln(1 + (n - df_window + 0.5e0) / (df_window + 0.5e0)) * "
+        "(tf_window * (1.2e0 + 1)) / "
+        "(tf_window + 1.2e0 * (1 - 0.75e0 + 0.75e0 * dl / avgdl)) AS score "
+        "FROM tf, st ORDER BY score DESC, doc_id LIMIT 10"
     ),
     "cohort_retention": (
         "WITH uw AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week "
