@@ -1964,6 +1964,20 @@ def q_sequence_pack(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# DSIR importance weights: how target-like (lang='en') each doc is under
+# hashed bag-of-words language models.  Rows-only: the hashed-bin model is
+# not SQL-expressible; the math is pinned by tests/test_dsir.py.
+# ---------------------------------------------------------------------------
+
+def q_dsir_weights(sf_dir: str):
+    from ..functions.dsir import dsir_weights
+
+    out = dsir_weights(
+        _docs(sf_dir, ["doc_id", "lang", "text"])).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # BM25 lexical retrieval (Okapi, Lucene's idf = ln(1+(N-df+.5)/(df+.5))):
 # the keyword-search sibling of q_embedding_knn.  Pass 1 streams per-batch
 # partials for the corpus stats (N, total length, per-term df — a handful
@@ -2552,6 +2566,7 @@ QUERIES = {
     "cohort_retention": q_cohort_retention,
     "user_value_pct_rank": q_user_value_pct_rank,
     "bm25_topk": q_bm25_topk,
+    "dsir_weights": q_dsir_weights,
 }
 
 ORACLE_SQL = {

@@ -174,3 +174,16 @@ def test_retention_bucket_counts_first_week_cohort():
     assert out.loc[(w1, w1), "p_n"] == 1   # user 1 active in cohort week
     assert out.loc[(w1, w2), "p_n"] == 1   # user 1 retained into week 2
     assert out.loc[(w2, w2), "p_n"] == 1   # user 2's own cohort
+
+
+def test_bm25_tf_counts_and_presence():
+    from ocr_main_ray.pipelines.queries import BM25_TERMS, _bm25_tf
+
+    b = pd.DataFrame({"doc_id": [0, 1],
+                      "text": ["merge merge join other", "plain words only"]})
+    out = _bm25_tf(b).set_index("doc_id")
+    assert out.loc[0, "tf_merge"] == 2 and out.loc[0, "tf_join"] == 1
+    assert out.loc[0, "tf_window"] == 0
+    assert out.loc[1, [f"tf_{t}" for t in BM25_TERMS]].sum() == 0
+    assert out.loc[0, "dl"] == 4 and out.loc[1, "dl"] == 3
+    assert out.loc[0, "has_merge"] == 1 and out.loc[1, "has_merge"] == 0
