@@ -1964,6 +1964,40 @@ def q_sequence_pack(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# weighted sampling without replacement (Efraimidis-Spirakis A-ES), made
+# deterministic: the "random" u is a content hash, the key is kept in log
+# space (ln(u)/w — same ranking as u^(1/w), no pow) and the weight is
+# n_chars, so longer docs are proportionally likelier.  Distributed top-k
+# by key per batch + driver merge — the canonical one-pass distributed
+# weighted reservoir.  ln(u)/w floats mirror the oracle op-for-op.
+# ---------------------------------------------------------------------------
+
+WSAMPLE_K = 20
+_U_DENOM = 4294967296.0  # 2^32
+
+
+def _wsample_batch(b: pd.DataFrame) -> pd.DataFrame:
+    # math.log, not np.log: numpy's SIMD log is 1 ulp off libm on some
+    # inputs; DuckDB's ln() is libm (the md5 loop is per-row anyway)
+    lnu = np.fromiter(
+        (math.log((int(hashlib.md5(t.encode()).hexdigest()[:8], 16) + 1)
+                  / _U_DENOM) for t in b["text"]),
+        dtype=np.float64, count=len(b))
+    pri = lnu / b["n_chars"].to_numpy(dtype=np.float64)
+    out = pd.DataFrame({"doc_id": b["doc_id"].to_numpy(), "priority": pri})
+    return out.sort_values(["priority", "doc_id"],
+                           ascending=[False, True]).head(WSAMPLE_K)
+
+
+def q_weighted_sample(sf_dir: str):
+    cand = (_docs(sf_dir, ["doc_id", "text", "n_chars"])
+            .map_batches(_wsample_batch, batch_format="pandas").to_pandas())
+    return (cand.sort_values(["priority", "doc_id"],
+                             ascending=[False, True])
+            .head(WSAMPLE_K).reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
 # DSIR importance weights: how target-like (lang='en') each doc is under
 # hashed bag-of-words language models.  Rows-only: the hashed-bin model is
 # not SQL-expressible; the math is pinned by tests/test_dsir.py.
@@ -2567,6 +2601,7 @@ QUERIES = {
     "user_value_pct_rank": q_user_value_pct_rank,
     "bm25_topk": q_bm25_topk,
     "dsir_weights": q_dsir_weights,
+    "weighted_sample": q_weighted_sample,
 }
 
 ORACLE_SQL = {
@@ -2950,6 +2985,11 @@ ORACLE_SQL = {
         "length(text) / 200.0) AS BIGINT))) AS chunk_id FROM documents) "
         "SELECT doc_id, chunk_id, substr(text, CAST(chunk_id * 200 + 1 AS INT)"
         ", 200) AS chunk FROM c"
+    ),
+    "weighted_sample": (
+        "SELECT doc_id, ln((CAST(('0x' || substr(md5(text), 1, 8)) "
+        "AS BIGINT) + 1) / 4294967296e0) / n_chars AS priority "
+        "FROM documents ORDER BY priority DESC, doc_id LIMIT 20"
     ),
     "bm25_topk": (
         # float expressions mirror the Ray side's op order exactly:
