@@ -2390,7 +2390,9 @@ def _q3_li_partial(t: pa.Table) -> pa.Table:
                     pc.subtract(pa.scalar(1.0), t.column("l_discount"))),
         100.0)
     g = (pa.table({"l_orderkey": t.column("l_orderkey"),
-                   "cents": pc.cast(pc.round(rev), pa.int64())})
+                   # half_towards_infinity = DuckDB's tie-away-from-zero
+                   "cents": pc.cast(pc.round(
+                       rev, round_mode="half_towards_infinity"), pa.int64())})
          .group_by("l_orderkey").aggregate([("cents", "sum")]))
     return g.rename_columns(["l_orderkey", "p_cents"])
 
@@ -2512,6 +2514,228 @@ def q_decontaminate(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+# ---------------------------------------------------------------------------
+# correlated-subquery decorrelation: orders priced above their customer's
+# average.  The classical plan — aggregate the correlated side once
+# (per-customer sum/count of cents), broadcast the small aggregate, then a
+# single filter pass over the fact table.  The comparison is exact integer
+# math (price_cents * n_orders > sum_cents), so no float-average ordering
+# effects can flip a borderline row between engine and oracle.
+# ---------------------------------------------------------------------------
+
+def _order_cents_partials(batch: pa.Table) -> pa.Table:
+    cents = pc.cast(pc.round(pc.multiply(batch.column("o_totalprice"), 100.0)),
+                    pa.int64())
+    t = pa.table({"o_custkey": batch.column("o_custkey"), "cents": cents})
+    g = t.group_by("o_custkey").aggregate([("cents", "sum"), ("cents", "count")])
+    return g.rename_columns(["o_custkey", "p_cents", "p_n"])
+
+
+def q_orders_above_cust_avg(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    agg = (ds.map_batches(_order_cents_partials, batch_format="pyarrow")
+           .groupby("o_custkey")
+           .aggregate(Sum("p_cents", alias_name="s"), Sum("p_n", alias_name="n"))
+           .to_pandas())  # one row per customer — small by construction
+    stats_ref = ray.put({
+        int(k): (int(s), int(n))
+        for k, s, n in zip(agg["o_custkey"], agg["s"], agg["n"])
+    })
+
+    class _AboveAvg:
+        def __init__(self, ref):
+            self.stats = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = batch.column("o_custkey").to_numpy()
+            cents = pc.cast(
+                pc.round(pc.multiply(batch.column("o_totalprice"), 100.0)),
+                pa.int64()).to_numpy()
+            sums = np.empty(len(keys), dtype=np.int64)
+            ns = np.empty(len(keys), dtype=np.int64)
+            for i, k in enumerate(keys):
+                sums[i], ns[i] = self.stats[int(k)]
+            keep = cents * ns > sums
+            return batch.select(["o_orderkey", "o_custkey"]).filter(
+                pa.array(keep))
+
+    out = ds.map_batches(_AboveAvg, fn_constructor_kwargs={"ref": stats_ref},
+                         batch_format="pyarrow", concurrency=(1, 4))
+    return out.to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 analogue: large-volume orders.  Partial per-batch sum of
+# l_quantity by orderkey -> small shuffled groupby -> HAVING filter leaves a
+# tiny winner set (~1% of orders at threshold 250) that is broadcast into a
+# single filter-join pass over orders.  Neither full table ever leaves its
+# scan shape; only partials and winners move.
+# ---------------------------------------------------------------------------
+
+BIG_ORDER_QTY = 250
+
+
+def q_big_orders_report(sf_dir: str):
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_quantity"])
+
+    def _qty_partials(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("l_orderkey").aggregate([("l_quantity", "sum")])
+        return g.rename_columns(["l_orderkey", "p_qty"])
+
+    totals = (li.map_batches(_qty_partials, batch_format="pyarrow")
+              .groupby("l_orderkey")
+              .aggregate(Sum("p_qty", alias_name="total_qty")))
+    winners = totals.filter(
+        expr=f"total_qty > {BIG_ORDER_QTY}").to_pandas()  # tiny by selectivity
+    qty_of = ray.put({int(k): int(v) for k, v in
+                      zip(winners["l_orderkey"], winners["total_qty"])})
+
+    class _WinnerJoin:
+        def __init__(self, ref):
+            self.qty = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = batch.column("o_orderkey").to_numpy()
+            mask = np.fromiter((int(k) in self.qty for k in keys),
+                               dtype=bool, count=len(keys))
+            hit = batch.filter(pa.array(mask))
+            cents = pc.cast(
+                pc.round(pc.multiply(hit.column("o_totalprice"), 100.0)),
+                pa.int64())
+            tq = pa.array([self.qty[int(k)]
+                           for k in hit.column("o_orderkey").to_numpy()],
+                          pa.int64())
+            return pa.table({
+                "o_orderkey": hit.column("o_orderkey"),
+                "o_custkey": hit.column("o_custkey"),
+                "price_cents": cents,
+                "total_qty": tq,
+            })
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    out = orders.map_batches(_WinnerJoin, fn_constructor_kwargs={"ref": qty_of},
+                             batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
+    out = out.sort_values(["total_qty", "o_orderkey"],
+                          ascending=[False, True]).head(20)
+    return out.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 analogue: revenue lost to returned items, top 20 customers.
+# lineitem is filtered to l_returnflag='R' at the scan, revenue cents are
+# pre-aggregated per customer inside each batch via a broadcast
+# orderkey->custkey map (orders is the SMALL side of this star schema at
+# 1/40 of lineitem), then one tiny groupby + broadcast customer/nation
+# decoration and a driver-side top-k over <= #customers rows.
+# ---------------------------------------------------------------------------
+
+def q_returned_revenue_topk(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    orders = pq.read_table(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderkey", "o_custkey"])
+    cust_ref = ray.put(dict(zip(orders.column("o_orderkey").to_pylist(),
+                                orders.column("o_custkey").to_pylist())))
+
+    class _ReturnedRevenue:
+        def __init__(self, ref):
+            self.cust_of = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            rev = pc.multiply(
+                pc.multiply(batch.column("l_extendedprice"),
+                            pc.subtract(pa.scalar(1.0), batch.column("l_discount"))),
+                pa.scalar(100.0))
+            # DuckDB round(DOUBLE) ties away from zero; pyarrow defaults to
+            # half_to_even — price*(1-disc)*100 DOES land on exact .5
+            # doubles (unlike the raw *100 price columns elsewhere)
+            cents = pc.cast(
+                pc.round(rev, round_mode="half_towards_infinity"), pa.int64())
+            cust = pa.array([self.cust_of[k]
+                             for k in batch.column("l_orderkey").to_pylist()],
+                            pa.int64())
+            t = pa.table({"c_custkey": cust, "cents": cents})
+            g = t.group_by("c_custkey").aggregate([("cents", "sum")])
+            return g.rename_columns(["c_custkey", "p_cents"])
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pds.field("l_returnflag") == "R")
+    per_cust = (li.map_batches(
+        _ReturnedRevenue, fn_constructor_kwargs={"ref": cust_ref},
+        batch_format="pyarrow", concurrency=(1, 4))
+        .groupby("c_custkey")
+        .aggregate(Sum("p_cents", alias_name="revenue_cents"))
+        .to_pandas())  # <= one row per customer
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name", "c_nationkey"])
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_name"])
+    out = (per_cust.merge(cust, on="c_custkey")
+           .merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+           [["c_custkey", "c_name", "n_name", "revenue_cents"]])
+    out = out.sort_values(["revenue_cents", "c_custkey"],
+                          ascending=[False, True]).head(20)
+    return out.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# funnel conversion (view -> later purchase): expressible as pure per-user
+# min/max aggregates — min(ts | view) and max(ts | purchase) — so it needs
+# NO co-located event log: per-batch partials with int64 sentinel encoding,
+# one small groupby(user), then a counted fold of indicator partials.
+# ---------------------------------------------------------------------------
+
+_TS_MAX_SENT = np.iinfo(np.int64).max
+_TS_MIN_SENT = np.iinfo(np.int64).min
+
+
+def _funnel_partials(batch: pa.Table) -> pa.Table:
+    ts = pc.cast(batch.column("ts"), pa.int64())
+    t = pa.table({"user_id": batch.column("user_id"),
+                  "ts_us": ts, "event_type": batch.column("event_type")})
+    v = (t.filter(pc.equal(t.column("event_type"), "view"))
+         .group_by("user_id").aggregate([("ts_us", "min")])
+         .rename_columns(["user_id", "fv"]))
+    p = (t.filter(pc.equal(t.column("event_type"), "purchase"))
+         .group_by("user_id").aggregate([("ts_us", "max")])
+         .rename_columns(["user_id", "lp"]))
+    return pa.concat_tables([
+        v.append_column("lp", pa.array(
+            np.full(len(v), _TS_MIN_SENT, dtype=np.int64))),
+        pa.table({"user_id": p.column("user_id"),
+                  "fv": pa.array(np.full(len(p), _TS_MAX_SENT, dtype=np.int64)),
+                  "lp": p.column("lp")}),
+    ])
+
+
+def q_funnel_conversion(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    per_user = (ds.map_batches(_funnel_partials, batch_format="pyarrow")
+                .groupby("user_id")
+                .aggregate(Min("fv", alias_name="first_view"),
+                           Max("lp", alias_name="last_purchase")))
+
+    def _counts(batch: pa.Table) -> pa.Table:
+        fv = batch.column("first_view").to_numpy()
+        lp = batch.column("last_purchase").to_numpy()
+        viewed = fv != _TS_MAX_SENT
+        converted = viewed & (lp != _TS_MIN_SENT) & (lp > fv)
+        return pa.table({"pv": pa.array([int(viewed.sum())], pa.int64()),
+                         "pc": pa.array([int(converted.sum())], pa.int64())})
+
+    folded = per_user.map_batches(_counts, batch_format="pyarrow").to_pandas()
+    return pa.table({
+        "n_viewers": pa.array([int(folded["pv"].sum())], pa.int64()),
+        "n_converted": pa.array([int(folded["pc"].sum())], pa.int64()),
+    })
+
+
 QUERIES = {
     "doc_count": q_doc_count,
     "doc_chars_sum": q_doc_chars_sum,
@@ -2580,6 +2804,10 @@ QUERIES = {
     "top_bigrams": q_top_bigrams,
     "source_profiles": q_source_profiles,
     "decontaminate": q_decontaminate,
+    "orders_above_cust_avg": q_orders_above_cust_avg,
+    "big_orders_report": q_big_orders_report,
+    "returned_revenue_topk": q_returned_revenue_topk,
+    "funnel_conversion": q_funnel_conversion,
     "shipping_priority": q_shipping_priority,
     "repetition_ratio": q_repetition_ratio,
     "lang_rebalance": q_lang_rebalance,
@@ -2902,6 +3130,44 @@ ORACLE_SQL = {
         "tr AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 47 <> 0) "
         "SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_shared "
         "FROM tr JOIN tg USING (gram) GROUP BY tr.doc_id ORDER BY tr.doc_id"
+    ),
+    "orders_above_cust_avg": (
+        "WITH a AS (SELECT o_custkey, "
+        "sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS s, "
+        "count(*) AS n FROM orders GROUP BY o_custkey) "
+        "SELECT o.o_orderkey, o.o_custkey FROM orders o "
+        "JOIN a USING (o_custkey) "
+        "WHERE CAST(round(o.o_totalprice * 100) AS BIGINT) * a.n > a.s "
+        "ORDER BY o.o_orderkey"
+    ),
+    "big_orders_report": (
+        "WITH q AS (SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS "
+        "total_qty FROM lineitem GROUP BY l_orderkey "
+        "HAVING sum(l_quantity) > 250) "
+        "SELECT o.o_orderkey, o.o_custkey, "
+        "CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_cents, "
+        "q.total_qty FROM orders o JOIN q ON o.o_orderkey = q.l_orderkey "
+        "ORDER BY q.total_qty DESC, o.o_orderkey LIMIT 20"
+    ),
+    "returned_revenue_topk": (
+        "SELECT c.c_custkey, c.c_name, n.n_name, "
+        "CAST(sum(CAST(round(l_extendedprice * (1e0 - l_discount) * 100) "
+        "AS BIGINT)) AS BIGINT) AS revenue_cents "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "JOIN customer c ON o.o_custkey = c.c_custkey "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "WHERE l.l_returnflag = 'R' "
+        "GROUP BY c.c_custkey, c.c_name, n.n_name "
+        "ORDER BY revenue_cents DESC, c.c_custkey LIMIT 20"
+    ),
+    "funnel_conversion": (
+        "WITH s AS (SELECT user_id, "
+        "min(CASE WHEN event_type = 'view' THEN ts END) AS first_view, "
+        "max(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase "
+        "FROM events GROUP BY user_id) "
+        "SELECT CAST(count(first_view) AS BIGINT) AS n_viewers, "
+        "CAST(count(CASE WHEN last_purchase > first_view THEN 1 END) "
+        "AS BIGINT) AS n_converted FROM s"
     ),
     "shipping_priority": (
         "SELECT l_orderkey, "
