@@ -2736,6 +2736,149 @@ def q_funnel_conversion(sf_dir: str):
     })
 
 
+# ---------------------------------------------------------------------------
+# PII scrubbing: redact email- and US-phone-shaped spans from document text.
+# Pure scan-side Arrow regex kernels (count on the ORIGINAL text, then two
+# global replaces — email first, phone second, same order as the oracle), so
+# the stage is shuffle-free and streams at any corpus size.  Both engines run
+# RE2, so the pattern strings are shared verbatim with the oracle SQL.
+# ---------------------------------------------------------------------------
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+
+
+def pii_scrub_batch(batch: pa.Table) -> pa.Table:
+    txt = batch.column("text")
+    n = pc.add(pc.count_substring_regex(txt, PII_EMAIL),
+               pc.count_substring_regex(txt, PII_PHONE))
+    red = pc.replace_substring_regex(txt, PII_EMAIL, "<EMAIL>")
+    red = pc.replace_substring_regex(red, PII_PHONE, "<PHONE>")
+    return pa.table({"doc_id": batch.column("doc_id"),
+                     "n_pii": pc.cast(n, pa.int64()),
+                     "text_clean": red})
+
+
+def q_pii_scrub(sf_dir: str):
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(pii_scrub_batch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# stratified per-group sampling: a fixed-size uniform-without-replacement
+# sample PER LANGUAGE, deterministic via md5(doc_id) ordering (the same
+# hash-as-random-tape idiom as train_val_split).  Grouped top-N shape: each
+# batch pre-prunes to its local top-K per lang, so the shuffle carries at
+# most K * n_langs * n_blocks rows, never the corpus.
+# ---------------------------------------------------------------------------
+
+STRAT_K = 20
+
+
+def _strat_partial(batch: pd.DataFrame) -> pd.DataFrame:
+    keys = [hashlib.md5(str(int(d)).encode()).hexdigest()
+            for d in batch["doc_id"]]
+    out = batch.assign(hkey=keys).sort_values(["lang", "hkey", "doc_id"])
+    return out.groupby("lang", as_index=False).head(STRAT_K)
+
+
+def q_stratified_sample(sf_dir: str):
+    ds = _docs(sf_dir, ["doc_id", "lang"])
+    cand = ds.map_batches(_strat_partial, batch_format="pandas")
+    final = cand.groupby("lang").map_groups(
+        lambda g: g.sort_values(["hkey", "doc_id"]).head(STRAT_K),
+        batch_format="pandas")
+    out = final.to_pandas()[["doc_id", "lang"]]
+    return out.sort_values(["lang", "doc_id"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# CUBE grouping sets over (status, priority): ONE fine-grained distributed
+# aggregate; the three coarser cuts are derived from the fine cells on the
+# driver (|statuses| x |priorities| rows — bounded by key cardinality, never
+# by data volume).  Same derive-don't-reshuffle plan as q_orders_rollup.
+# ---------------------------------------------------------------------------
+
+def q_orders_cube(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderpriority", "o_orderstatus",
+                                  "o_totalprice"])
+    fine = (ds.map_batches(_rollup_partial, batch_format="pyarrow")
+            .groupby(["o_orderpriority", "o_orderstatus"])
+            .aggregate(Sum("p_cents", alias_name="revenue_cents"),
+                       Sum("p_n", alias_name="n_orders"))
+            .to_pandas())
+    by_prio = (fine.groupby("o_orderpriority", as_index=False)
+               [["revenue_cents", "n_orders"]].sum())
+    by_prio["o_orderstatus"] = None
+    by_status = (fine.groupby("o_orderstatus", as_index=False)
+                 [["revenue_cents", "n_orders"]].sum())
+    by_status["o_orderpriority"] = None
+    total = pd.DataFrame({"o_orderpriority": [None], "o_orderstatus": [None],
+                          "revenue_cents": [fine["revenue_cents"].sum()],
+                          "n_orders": [fine["n_orders"].sum()]})
+    out = pd.concat([fine, by_prio, by_status, total], ignore_index=True)
+    return pa.table({
+        "o_orderpriority": pa.array(out["o_orderpriority"], pa.string()),
+        "o_orderstatus": pa.array(out["o_orderstatus"], pa.string()),
+        "revenue_cents": pa.array(out["revenue_cents"].astype("int64"),
+                                  pa.int64()),
+        "n_orders": pa.array(out["n_orders"].astype("int64"), pa.int64()),
+    })
+
+
+# ---------------------------------------------------------------------------
+# grouped string aggregation (collect-list family): per nation, the customer
+# count plus a comma-joined sample of the 5 alphabetically-first customer
+# names.  The list side is the grouped top-N shape (per-batch head(5) bounds
+# the shuffle); the count side is an ordinary partial sum — so the string
+# payload that moves is 5 names per nation per block, never all names.
+# ---------------------------------------------------------------------------
+
+NAME_AGG_K = 5
+
+
+def q_nation_customer_names(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    nmap_ref = ray.put(dict(zip(nation.column("n_nationkey").to_pylist(),
+                                nation.column("n_name").to_pylist())))
+
+    class _NamePartial:
+        def __init__(self, ref):
+            self.nmap = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            b = batch.assign(
+                n_name=[self.nmap[k] for k in batch["c_nationkey"]])
+            head = (b.sort_values(["n_name", "c_name", "c_custkey"])
+                    .groupby("n_name", as_index=False).head(NAME_AGG_K))
+            counts = b.groupby("n_name", as_index=False).agg(
+                p_n=("c_custkey", "size"))
+            head = head[["n_name", "c_name"]].assign(p_n=0)
+            counts = counts.assign(c_name=None)
+            return pd.concat([head, counts[["n_name", "c_name", "p_n"]]],
+                             ignore_index=True)
+
+    ds = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name", "c_nationkey"])
+    parts = ds.map_batches(
+        _NamePartial, fn_constructor_kwargs={"ref": nmap_ref},
+        batch_format="pandas", concurrency=(1, 4)).to_pandas()
+
+    def _fold(g: pd.DataFrame) -> pd.Series:
+        names = sorted(n for n in g["c_name"] if n is not None)[:NAME_AGG_K]
+        return pd.Series({"n_customers": int(g["p_n"].sum()),
+                          "sample_names": ",".join(names)})
+
+    out = (parts.groupby("n_name").apply(_fold, include_groups=False)
+           .reset_index().sort_values("n_name").reset_index(drop=True))
+    out["n_customers"] = out["n_customers"].astype("int64")
+    return out
+
+
 QUERIES = {
     "doc_count": q_doc_count,
     "doc_chars_sum": q_doc_chars_sum,
@@ -2805,6 +2948,10 @@ QUERIES = {
     "source_profiles": q_source_profiles,
     "decontaminate": q_decontaminate,
     "orders_above_cust_avg": q_orders_above_cust_avg,
+    "pii_scrub": q_pii_scrub,
+    "stratified_sample": q_stratified_sample,
+    "orders_cube": q_orders_cube,
+    "nation_customer_names": q_nation_customer_names,
     "big_orders_report": q_big_orders_report,
     "returned_revenue_topk": q_returned_revenue_topk,
     "funnel_conversion": q_funnel_conversion,
@@ -3130,6 +3277,35 @@ ORACLE_SQL = {
         "tr AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 47 <> 0) "
         "SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_shared "
         "FROM tr JOIN tg USING (gram) GROUP BY tr.doc_id ORDER BY tr.doc_id"
+    ),
+    "pii_scrub": (
+        f"SELECT doc_id, "
+        f"CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) "
+        f"+ len(regexp_extract_all(text, '{PII_PHONE}')) AS BIGINT) AS n_pii, "
+        f"regexp_replace(regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'), "
+        f"'{PII_PHONE}', '<PHONE>', 'g') AS text_clean "
+        f"FROM documents ORDER BY doc_id"
+    ),
+    "stratified_sample": (
+        f"SELECT doc_id, lang FROM ("
+        f"SELECT doc_id, lang, row_number() OVER (PARTITION BY lang "
+        f"ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn "
+        f"FROM documents) WHERE rn <= {STRAT_K} ORDER BY lang, doc_id"
+    ),
+    "orders_cube": (
+        "SELECT o_orderpriority, o_orderstatus, "
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+        "AS revenue_cents, CAST(count(*) AS BIGINT) AS n_orders "
+        "FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)"
+    ),
+    "nation_customer_names": (
+        f"WITH r AS (SELECT n.n_name, c.c_name, row_number() OVER ("
+        f"PARTITION BY n.n_name ORDER BY c.c_name, c.c_custkey) AS rn "
+        f"FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey) "
+        f"SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers, "
+        f"string_agg(CASE WHEN rn <= {NAME_AGG_K} THEN c_name END, ',' "
+        f"ORDER BY c_name) AS sample_names "
+        f"FROM r GROUP BY n_name ORDER BY n_name"
     ),
     "orders_above_cust_avg": (
         "WITH a AS (SELECT o_custkey, "

@@ -187,3 +187,47 @@ def test_bm25_tf_counts_and_presence():
     assert out.loc[1, [f"tf_{t}" for t in BM25_TERMS]].sum() == 0
     assert out.loc[0, "dl"] == 4 and out.loc[1, "dl"] == 3
     assert out.loc[0, "has_merge"] == 1 and out.loc[1, "has_merge"] == 0
+
+
+def test_pii_scrub_redacts_planted_spans():
+    import pyarrow as pa
+    from ocr_main_ray.pipelines.queries import pii_scrub_batch
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            "contact alice.smith+x@example.co.uk or call 555-867-5309 now",
+            "reach me at 415 555 0133 and 212.555.0101 thanks",
+            "no personal data here",
+        ]),
+    })
+    out = pii_scrub_batch(t)
+    clean = out.column("text_clean").to_pylist()
+    npii = out.column("n_pii").to_pylist()
+    assert clean[0] == "contact <EMAIL> or call <PHONE> now"
+    assert npii[0] == 2
+    assert clean[1] == "reach me at <PHONE> and <PHONE> thanks"
+    assert npii[1] == 2
+    assert clean[2] == "no personal data here" and npii[2] == 0
+
+
+def test_funnel_partials_sentinel_semantics():
+    import numpy as np
+    import pyarrow as pa
+    from ocr_main_ray.pipelines.queries import (
+        _TS_MAX_SENT, _TS_MIN_SENT, _funnel_partials)
+
+    ts = pa.array(np.array([100, 200, 50, 300], dtype="int64"),
+                  pa.timestamp("us"))
+    t = pa.table({
+        "user_id": pa.array([1, 1, 2, 2], pa.int64()),
+        "ts": ts,
+        "event_type": pa.array(["view", "purchase", "purchase", "view"]),
+    })
+    out = _funnel_partials(t).to_pandas().set_index("user_id")
+    views = out[out["lp"] == _TS_MIN_SENT]
+    purchases = out[out["fv"] == _TS_MAX_SENT]
+    # user 1: viewed at 100, purchased at 200 (converted)
+    assert views.loc[1, "fv"] == 100 and purchases.loc[1, "lp"] == 200
+    # user 2: purchase at 50 BEFORE its view at 300 -> max purchase < min view
+    assert views.loc[2, "fv"] == 300 and purchases.loc[2, "lp"] == 50
