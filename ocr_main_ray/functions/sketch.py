@@ -67,3 +67,99 @@ def hll_estimate(reg_ids: np.ndarray, rhos: np.ndarray) -> float:
     if est <= 2.5 * HLL_M and zeros > 0:
         est = HLL_M * math.log(HLL_M / zeros)  # linear counting, small range
     return float(est)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005): mergeable heavy-hitter
+# frequency estimation.  Like the HLL above, the distributed shape is
+# partial-sketch-per-batch -> additive merge (groupby(slot).sum) -> driver
+# fold: shuffle volume is O(CMS_D * CMS_W) per batch regardless of input
+# size, and the estimate err is one-sided (never under-counts), bounded by
+# eps*N with eps = e/CMS_W at failure prob e^-CMS_D.
+# ---------------------------------------------------------------------------
+
+_M64 = (1 << 64) - 1  # mask products back into uint64 range
+CMS_D = 4                  # rows (independent hash functions)
+CMS_W = 1024               # buckets per row -> eps ~ 2.7e-3
+
+
+def _string_hash64(words: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit hash of a string object array (pandas siphash
+    with its fixed default key — stable across processes and hosts)."""
+    import pandas as pd
+
+    return pd.util.hash_array(np.asarray(words, dtype=object),
+                              categorize=False)
+
+
+def cms_partial(words: np.ndarray, counts: np.ndarray) -> pa.Table:
+    """One batch's pre-counted (word, count) pairs -> nonzero (slot, cnt)
+    rows of the local d x w sketch (slot = row * CMS_W + bucket)."""
+    base = _string_hash64(words)
+    cnts = np.asarray(counts, dtype=np.int64)
+    sk = np.zeros(CMS_D * CMS_W, dtype=np.int64)
+    for i in range(CMS_D):
+        h = _splitmix64((base ^ np.uint64((0xA076_1D64_78BD_642F * (i + 1)) & _M64))
+                        .view(np.int64))
+        slot = i * CMS_W + (h % np.uint64(CMS_W)).astype(np.int64)
+        np.add.at(sk, slot, cnts)
+    nz = np.nonzero(sk)[0]
+    return pa.table({"slot": pa.array(nz, pa.int64()),
+                     "cnt": pa.array(sk[nz], pa.int64())})
+
+
+def cms_query(slot_ids: np.ndarray, cnts: np.ndarray,
+              words: np.ndarray) -> np.ndarray:
+    """Fold merged (slot, sum-cnt) rows and point-query the given words:
+    estimate = min over the d rows (classic CMS upper bound)."""
+    sk = np.zeros(CMS_D * CMS_W, dtype=np.int64)
+    sk[np.asarray(slot_ids, dtype=np.int64)] = np.asarray(cnts, dtype=np.int64)
+    base = _string_hash64(words)
+    est = np.full(len(words), np.iinfo(np.int64).max, dtype=np.int64)
+    for i in range(CMS_D):
+        h = _splitmix64((base ^ np.uint64((0xA076_1D64_78BD_642F * (i + 1)) & _M64))
+                        .view(np.int64))
+        slot = i * CMS_W + (h % np.uint64(CMS_W)).astype(np.int64)
+        est = np.minimum(est, sk[slot])
+    return est
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: broadcastable membership pre-filter for semi joins.  Built
+# once from the (bounded) key side, shipped via ray.put as a bit array of
+# m = 16*n bits with k = 8 probes (FP rate ~ 5.7e-4); batches test all keys
+# vectorized.  A Bloom PASS is only a candidate — callers must verify
+# against the exact key set (also broadcast) so results stay exact; the
+# filter's job is to make the verify side cheap by discarding ~99.9 % of
+# misses with bit probes instead of binary searches.
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS_PER_KEY = 16
+BLOOM_K = 8
+
+
+def bloom_build(keys: np.ndarray) -> np.ndarray:
+    """Pack the key set into a uint64 bit array (power-of-two sized)."""
+    n = max(int(len(keys)), 1)
+    m = 1 << int(np.ceil(np.log2(max(n * BLOOM_BITS_PER_KEY, 64))))
+    bits = np.zeros(m // 64, dtype=np.uint64)
+    h = _splitmix64(np.ascontiguousarray(keys, dtype=np.int64))
+    for i in range(BLOOM_K):
+        hi = _splitmix64((h ^ np.uint64((0x9E37_79B9_7F4A_7C15 * (i + 1)) & _M64))
+                         .view(np.int64)) % np.uint64(m)
+        np.bitwise_or.at(bits, (hi >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (hi & np.uint64(63)))
+    return bits
+
+
+def bloom_test(bits: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Vectorized membership probe; True = candidate (may be FP)."""
+    m = np.uint64(len(bits) * 64)
+    h = _splitmix64(np.ascontiguousarray(keys, dtype=np.int64))
+    out = np.ones(len(keys), dtype=bool)
+    for i in range(BLOOM_K):
+        hi = _splitmix64((h ^ np.uint64((0x9E37_79B9_7F4A_7C15 * (i + 1)) & _M64))
+                         .view(np.int64)) % m
+        word = bits[(hi >> np.uint64(6)).astype(np.int64)]
+        out &= (word >> (hi & np.uint64(63))) & np.uint64(1) != 0
+    return out

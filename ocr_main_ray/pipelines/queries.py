@@ -2879,6 +2879,194 @@ def q_nation_customer_names(sf_dir: str):
     return out
 
 
+# ---------------------------------------------------------------------------
+# Bloom-accelerated semi join: lineitem ⋉ (large parts).  The key side is
+# packed once into a broadcast Bloom bit array (16 bits/key, FP ~6e-5) that
+# discards ~all non-members with bit probes; survivors are verified against
+# the exact sorted key set (also broadcast), so the result is EXACT — the
+# Bloom's job is to make the searchsorted verify touch only true-ish hits.
+# At 100 TB this is the standard pre-filter that keeps a fact-scan semi
+# join CPU-bound on the cheap probe instead of the binary search.
+# ---------------------------------------------------------------------------
+
+BIG_PART_SIZE = 48
+
+
+class _BloomSemi:
+    def __init__(self, bloom_ref, keys_ref):
+        from ocr_main_ray.functions.sketch import bloom_test
+
+        self.bloom = ray.get(bloom_ref)
+        self.keys = ray.get(keys_ref)  # sorted, for the exact verify
+        self._test = bloom_test
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pk = batch.column("l_partkey").to_numpy()
+        cand = self._test(self.bloom, pk)
+        hit = np.zeros(len(pk), dtype=bool)
+        if cand.any() and len(self.keys):
+            sub = pk[cand]
+            idx = np.searchsorted(self.keys, sub)
+            idx[idx == len(self.keys)] = 0
+            hit[np.nonzero(cand)[0]] = self.keys[idx] == sub
+        qty = batch.column("l_quantity").to_numpy()
+        t = pa.table({
+            "l_returnflag": batch.column("l_returnflag").filter(pa.array(hit)),
+            "qty": pa.array(qty[hit].astype(np.int64), pa.int64()),
+        })
+        g = t.group_by("l_returnflag").aggregate([("qty", "sum"),
+                                                  ("qty", "count")])
+        return g.rename_columns(["l_returnflag", "p_qty", "p_n"])
+
+
+def q_bloom_semi_join(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from ocr_main_ray.functions.sketch import bloom_build
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_size"])
+    keys = np.sort(part.filter(
+        pc.greater_equal(part.column("p_size"), BIG_PART_SIZE))
+        .column("p_partkey").to_numpy())
+    bloom_ref, keys_ref = ray.put(bloom_build(keys)), ray.put(keys)
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_returnflag", "l_quantity"])
+    out = (ds.map_batches(
+        _BloomSemi,
+        fn_constructor_kwargs={"bloom_ref": bloom_ref, "keys_ref": keys_ref},
+        batch_format="pyarrow", concurrency=(1, 4))
+        .groupby("l_returnflag")
+        .aggregate(Sum("p_n", alias_name="n_items"),
+                   Sum("p_qty", alias_name="total_qty"))
+        .to_pandas())
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# full-outer reconciliation over the nation spine: per-nation customer count
+# vs supplier count, zero-filled on either missing side.  Both inputs reduce
+# to per-nationkey partial counts (bounded by |nation|); the outer merge and
+# name decoration happen on the driver over <= |nation| rows.
+# ---------------------------------------------------------------------------
+
+def _nationkey_counts(ds, key: str):
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(key).aggregate([(key, "count")])
+        return g.rename_columns(["nk", "pn"])
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("nk").aggregate(Sum("pn", alias_name="n")).to_pandas())
+
+
+def q_nation_cust_supp(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    cust = _nationkey_counts(
+        rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_nationkey"]),
+        "c_nationkey")
+    supp = _nationkey_counts(
+        rd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_nationkey"]),
+        "s_nationkey")
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"]).to_pandas()
+    out = (nation.merge(cust, left_on="n_nationkey", right_on="nk", how="left")
+           .merge(supp, left_on="n_nationkey", right_on="nk", how="left",
+                  suffixes=("_c", "_s")))
+    return pa.table({
+        "n_name": pa.array(out["n_name"], pa.string()),
+        "n_customers": pa.array(out["n_c"].fillna(0).astype("int64"), pa.int64()),
+        "n_suppliers": pa.array(out["n_s"].fillna(0).astype("int64"), pa.int64()),
+    })
+
+
+# ---------------------------------------------------------------------------
+# grouped weighted average: mean line price per brand weighted by quantity.
+# Exact integer sums (cents * qty, qty) via the partial/combiner pattern,
+# then ONE double division per group on the driver — the same hash-stable
+# float idiom as doc_chars_avg, so the oracle matches bit-for-bit.
+# ---------------------------------------------------------------------------
+
+class _BrandWeighted:
+    def __init__(self, brand_ref):
+        self.brand_of = ray.get(brand_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            batch.column("l_extendedprice"), 100.0)), pa.int64()).to_numpy()
+        qty = batch.column("l_quantity").to_numpy().astype(np.int64)
+        brands = [self.brand_of[k]
+                  for k in batch.column("l_partkey").to_pylist()]
+        t = pa.table({"p_brand": pa.array(brands, pa.string()),
+                      "wsum": pa.array(cents * qty, pa.int64()),
+                      "w": pa.array(qty, pa.int64())})
+        g = t.group_by("p_brand").aggregate([("wsum", "sum"), ("w", "sum")])
+        return g.rename_columns(["p_brand", "p_wsum", "p_w"])
+
+
+def q_brand_weighted_price(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    brand_ref = ray.put(dict(zip(part.column("p_partkey").to_pylist(),
+                                 part.column("p_brand").to_pylist())))
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_extendedprice",
+                                  "l_quantity"])
+    agg = (ds.map_batches(
+        _BrandWeighted, fn_constructor_kwargs={"brand_ref": brand_ref},
+        batch_format="pyarrow", concurrency=(1, 4))
+        .groupby("p_brand")
+        .aggregate(Sum("p_wsum", alias_name="wsum"),
+                   Sum("p_w", alias_name="total_qty"))
+        .to_pandas())
+    agg["wavg_price_cents"] = agg["wsum"] / agg["total_qty"]
+    out = agg[["p_brand", "wavg_price_cents", "total_qty"]]
+    return out.sort_values("p_brand").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min heavy hitters (functions/sketch.py): approximate word counts
+# with O(D*W) shuffle volume per batch, independent of corpus size.  The
+# candidate words come from per-batch local top-k partials (bounded), their
+# counts from the merged sketch (one-sided error: never under-counts).
+# Rows-only: sketch internals are not SQL; tests/test_sketch.py pins the
+# overestimate bound and exact-on-skewed-stream behavior.
+# ---------------------------------------------------------------------------
+
+CMS_CAND_K = 50
+
+
+def q_cms_top_words(sf_dir: str):
+    from ocr_main_ray.functions.sketch import cms_partial, cms_query
+
+    ds = _docs(sf_dir, ["text"])
+
+    def sketch_part(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch["text"].str.split().explode().dropna().value_counts()
+        t = cms_partial(vc.index.to_numpy(dtype=object),
+                        vc.to_numpy(dtype="int64"))
+        return t.to_pandas()
+
+    merged = (ds.map_batches(sketch_part, batch_format="pandas")
+              .groupby("slot").aggregate(Sum("cnt", alias_name="cnt"))
+              .to_pandas())  # <= CMS_D * CMS_W rows
+
+    def cand_part(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = (batch["text"].str.split().explode().dropna()
+              .value_counts().head(CMS_CAND_K))
+        return pd.DataFrame({"w": vc.index.to_numpy(dtype=object)})
+
+    cands = (ds.map_batches(cand_part, batch_format="pandas")
+             .to_pandas()["w"].drop_duplicates().to_numpy(dtype=object))
+    est = cms_query(merged["slot"].to_numpy(), merged["cnt"].to_numpy(), cands)
+    out = (pd.DataFrame({"word": cands, "est_count": est.astype("int64")})
+           .sort_values(["est_count", "word"], ascending=[False, True])
+           .head(20))
+    return out.reset_index(drop=True)
+
+
 QUERIES = {
     "doc_count": q_doc_count,
     "doc_chars_sum": q_doc_chars_sum,
@@ -2949,6 +3137,10 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "orders_above_cust_avg": q_orders_above_cust_avg,
     "pii_scrub": q_pii_scrub,
+    "bloom_semi_join": q_bloom_semi_join,
+    "nation_cust_supp": q_nation_cust_supp,
+    "brand_weighted_price": q_brand_weighted_price,
+    "cms_top_words": q_cms_top_words,
     "stratified_sample": q_stratified_sample,
     "orders_cube": q_orders_cube,
     "nation_customer_names": q_nation_customer_names,
@@ -3277,6 +3469,32 @@ ORACLE_SQL = {
         "tr AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 47 <> 0) "
         "SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_shared "
         "FROM tr JOIN tg USING (gram) GROUP BY tr.doc_id ORDER BY tr.doc_id"
+    ),
+    "bloom_semi_join": (
+        f"SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items, "
+        f"CAST(sum(l_quantity) AS BIGINT) AS total_qty FROM lineitem "
+        f"WHERE l_partkey IN (SELECT p_partkey FROM part "
+        f"WHERE p_size >= {BIG_PART_SIZE}) "
+        f"GROUP BY l_returnflag ORDER BY l_returnflag"
+    ),
+    "nation_cust_supp": (
+        "SELECT n.n_name, CAST(coalesce(c.n, 0) AS BIGINT) AS n_customers, "
+        "CAST(coalesce(s.n, 0) AS BIGINT) AS n_suppliers FROM nation n "
+        "LEFT JOIN (SELECT c_nationkey, count(*) AS n FROM customer "
+        "GROUP BY c_nationkey) c ON n.n_nationkey = c.c_nationkey "
+        "LEFT JOIN (SELECT s_nationkey, count(*) AS n FROM supplier "
+        "GROUP BY s_nationkey) s ON n.n_nationkey = s.s_nationkey "
+        "ORDER BY n.n_name"
+    ),
+    "brand_weighted_price": (
+        "SELECT p_brand, "
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) "
+        "* CAST(l_quantity AS BIGINT)) AS BIGINT) "
+        "/ CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) "
+        "AS wavg_price_cents, "
+        "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty "
+        "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+        "GROUP BY p_brand ORDER BY p_brand"
     ),
     "pii_scrub": (
         f"SELECT doc_id, "

@@ -65,3 +65,71 @@ def test_query_matches_exact_within_tolerance():
     approx = q_approx_distinct_custkeys(SF_DIR).column(
         "approx_n_custkeys")[0].as_py()
     assert abs(approx - exact) / exact < 0.05
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+def test_cms_never_undercounts_and_bounds_overcount():
+    import numpy as np
+
+    from ocr_main_ray.functions.sketch import (
+        CMS_D, CMS_W, cms_partial, cms_query)
+
+    rng = np.random.default_rng(7)
+    # zipf-ish stream: 2000 distinct words, heavy head
+    words = np.array([f"w{i}" for i in range(2000)], dtype=object)
+    counts = (10000 / (np.arange(2000) + 1)).astype("int64") + 1
+    # split into 4 "batches" and merge additively (the distributed shape)
+    import pandas as pd
+    parts = []
+    for sl in np.array_split(np.arange(2000), 4):
+        parts.append(cms_partial(words[sl], counts[sl]).to_pandas())
+    merged = (pd.concat(parts).groupby("slot", as_index=False)["cnt"].sum())
+    est = cms_query(merged["slot"].to_numpy(), merged["cnt"].to_numpy(), words)
+    assert (est >= counts).all()                       # one-sided error
+    n_total = counts.sum()
+    eps = np.e / CMS_W
+    # classic bound: err <= eps * N with prob 1 - e^-D; allow every word
+    # here since the stream is tiny relative to the sketch
+    assert (est - counts <= eps * n_total).all()
+    # the heavy head stays within 5% relative error at this load factor
+    assert (est[:20] - counts[:20] <= 0.05 * counts[:20]).all()
+
+
+def test_cms_partial_is_bounded():
+    import numpy as np
+
+    from ocr_main_ray.functions.sketch import CMS_D, CMS_W, cms_partial
+
+    words = np.array([f"tok{i}" for i in range(50_000)], dtype=object)
+    t = cms_partial(words, np.ones(50_000, dtype=np.int64))
+    assert t.num_rows <= CMS_D * CMS_W
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+def test_bloom_no_false_negatives_and_low_fp():
+    import numpy as np
+
+    from ocr_main_ray.functions.sketch import bloom_build, bloom_test
+
+    keys = np.arange(0, 200_000, 3, dtype=np.int64)
+    bits = bloom_build(keys)
+    assert bloom_test(bits, keys).all()                # zero false negatives
+    misses = np.arange(1, 200_000, 3, dtype=np.int64)  # disjoint residue
+    fp = bloom_test(bits, misses).mean()
+    assert fp < 0.01
+
+
+def test_bloom_empty_keyset():
+    import numpy as np
+
+    from ocr_main_ray.functions.sketch import bloom_build, bloom_test
+
+    bits = bloom_build(np.array([], dtype=np.int64))
+    probe = bloom_test(bits, np.arange(100, dtype=np.int64))
+    assert probe.sum() <= 2  # essentially nothing passes an empty filter
