@@ -3067,6 +3067,129 @@ def q_cms_top_words(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+# ---------------------------------------------------------------------------
+# distributed Pearson correlation via exact moment sums: one scan computes
+# integer partials (n, Σx, Σy, Σxy, Σx², Σy²) in cents; the correlation is
+# assembled on the driver with an arithmetic expression the oracle mirrors
+# term-for-term (every int is CAST to DOUBLE before any float op, sqrt is
+# IEEE-correctly-rounded), so the float output is bit-identical.  This is
+# the canonical one-pass distributed statistic — no co-location, no shuffle
+# beyond six int64 rows per block.
+# ---------------------------------------------------------------------------
+
+def _corr_partials(batch: pd.DataFrame) -> pd.DataFrame:
+    x = (batch["value"] * 100).round().astype("int64")  # cents
+    y = (batch["props"].str.extract(r'"k":\s*(-?\d+)', expand=False)
+         .astype("int64"))
+    return pd.DataFrame({
+        "n": [len(x)], "sx": [x.sum()], "sy": [y.sum()],
+        "sxy": [(x * y).sum()], "sxx": [(x * x).sum()], "syy": [(y * y).sum()],
+    }).astype("int64")
+
+
+def q_corr_value_props(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["value", "props"])
+    p = (ds.map_batches(_corr_partials, batch_format="pandas")
+         .to_pandas().sum())
+    n, sx, sy = float(p["n"]), float(p["sx"]), float(p["sy"])
+    sxy, sxx, syy = float(p["sxy"]), float(p["sxx"]), float(p["syy"])
+    corr = (n * sxy - sx * sy) / (
+        math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    return pa.table({"corr_value_k": pa.array([corr], pa.float64()),
+                     "n_events": pa.array([int(p["n"])], pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# per-group median absolute deviation (robust spread): two exact nearest-rank
+# percentile passes over integer cents — pass 1 folds a per-(type, cents)
+# histogram to get each group's median, pass 2 re-histograms |x - median|.
+# Both exchanges carry (group, distinct-value) partial counts, never rows.
+# ---------------------------------------------------------------------------
+
+def _grouped_hist_partial(batch: pd.DataFrame, col: str, out: str) -> pd.DataFrame:
+    g = batch.groupby(["event_type", col], as_index=False).size()
+    return g.rename(columns={col: out, "size": "pn"})
+
+
+def _hist_median(hist: pd.DataFrame, val: str) -> dict:
+    med = {}
+    for et, g in hist.groupby("event_type"):
+        g = g.sort_values(val)
+        cum = g["pn"].cumsum()
+        rank = (int(cum.iloc[-1]) + 1) // 2  # nearest-rank (quantile_disc .5)
+        med[et] = int(g[val].iloc[int(np.searchsorted(cum, rank))])
+    return med
+
+
+def q_events_value_mad(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def cents(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.assign(c=(batch["value"] * 100).round().astype("int64"))
+        return _grouped_hist_partial(b, "c", "cents")
+
+    h1 = (ds.map_batches(cents, batch_format="pandas")
+          .groupby(["event_type", "cents"])
+          .aggregate(Sum("pn", alias_name="pn")).to_pandas())
+    med = _hist_median(h1, "cents")
+    med_ref = ray.put(med)
+
+    class _AbsDev:
+        def __init__(self, ref):
+            self.med = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            c = (batch["value"] * 100).round().astype("int64")
+            m = batch["event_type"].map(self.med).astype("int64")
+            b = pd.DataFrame({"event_type": batch["event_type"],
+                              "d": (c - m).abs()})
+            return _grouped_hist_partial(b, "d", "dev")
+
+    h2 = (ds.map_batches(_AbsDev, fn_constructor_kwargs={"ref": med_ref},
+                         batch_format="pandas", concurrency=(1, 4))
+          .groupby(["event_type", "dev"])
+          .aggregate(Sum("pn", alias_name="pn")).to_pandas())
+    mad = _hist_median(h2, "dev")
+    out = pd.DataFrame({
+        "event_type": sorted(mad),
+        "median_cents": [med[t] for t in sorted(mad)],
+        "mad_cents": [mad[t] for t in sorted(mad)],
+    })
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "median_cents": pa.array(out["median_cents"], pa.int64()),
+        "mad_cents": pa.array(out["mad_cents"], pa.int64()),
+    })
+
+
+# ---------------------------------------------------------------------------
+# grouped mode (most frequent value per key, deterministic tiebreak): the
+# two-level aggregate — (key, value) partial counts -> groupby-sum -> argmax
+# per key with lowest-value tiebreak.  The exchange carries one row per
+# distinct (user, type) pair, bounded by |users| x |event types|.
+# ---------------------------------------------------------------------------
+
+def q_user_top_event_type(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(["user_id", "event_type"], as_index=False).size()
+        return g.rename(columns={"size": "pn"})
+
+    counts = (ds.map_batches(partial, batch_format="pandas")
+              .groupby(["user_id", "event_type"])
+              .aggregate(Sum("pn", alias_name="n")).to_pandas())
+    counts = counts.sort_values(["user_id", "n", "event_type"],
+                                ascending=[True, False, True])
+    out = counts.groupby("user_id", as_index=False).head(1)
+    out = out.rename(columns={"event_type": "top_type", "n": "n_events"})
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 QUERIES = {
     "doc_count": q_doc_count,
     "doc_chars_sum": q_doc_chars_sum,
@@ -3138,6 +3261,9 @@ QUERIES = {
     "orders_above_cust_avg": q_orders_above_cust_avg,
     "pii_scrub": q_pii_scrub,
     "bloom_semi_join": q_bloom_semi_join,
+    "corr_value_props": q_corr_value_props,
+    "events_value_mad": q_events_value_mad,
+    "user_top_event_type": q_user_top_event_type,
     "nation_cust_supp": q_nation_cust_supp,
     "brand_weighted_price": q_brand_weighted_price,
     "cms_top_words": q_cms_top_words,
@@ -3469,6 +3595,45 @@ ORACLE_SQL = {
         "tr AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 47 <> 0) "
         "SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_shared "
         "FROM tr JOIN tg USING (gram) GROUP BY tr.doc_id ORDER BY tr.doc_id"
+    ),
+    "corr_value_props": (
+        # mirror the engine's exact-moment formula term-for-term in DOUBLE
+        # (DuckDB's corr() uses a different incremental algorithm -> not
+        # bit-comparable; this expression IS)
+        "WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+        "sum(CAST(round(value * 100) AS BIGINT)) AS sx, "
+        "sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sy, "
+        "sum(CAST(round(value * 100) AS BIGINT) "
+        "* CAST(json_extract(props, '$.k') AS BIGINT)) AS sxy, "
+        "sum(CAST(round(value * 100) AS BIGINT) "
+        "* CAST(round(value * 100) AS BIGINT)) AS sxx, "
+        "sum(CAST(json_extract(props, '$.k') AS BIGINT) "
+        "* CAST(json_extract(props, '$.k') AS BIGINT)) AS syy FROM events) "
+        "SELECT (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) "
+        "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) "
+        "/ (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
+        "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) "
+        "* sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) "
+        "- CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_value_k, "
+        "n AS n_events FROM m"
+    ),
+    "events_value_mad": (
+        "WITH c AS (SELECT event_type, "
+        "CAST(round(value * 100) AS BIGINT) AS cents FROM events), "
+        "med AS (SELECT event_type, CAST(quantile_disc(cents, 0.5) AS BIGINT) "
+        "AS median_cents FROM c GROUP BY event_type) "
+        "SELECT c.event_type, any_value(med.median_cents) AS median_cents, "
+        "CAST(quantile_disc(abs(c.cents - med.median_cents), 0.5) AS BIGINT) "
+        "AS mad_cents FROM c JOIN med USING (event_type) "
+        "GROUP BY c.event_type ORDER BY c.event_type"
+    ),
+    "user_top_event_type": (
+        "WITH g AS (SELECT user_id, event_type, count(*) AS n FROM events "
+        "GROUP BY user_id, event_type), "
+        "r AS (SELECT user_id, event_type, n, row_number() OVER ("
+        "PARTITION BY user_id ORDER BY n DESC, event_type) AS rn FROM g) "
+        "SELECT user_id, event_type AS top_type, CAST(n AS BIGINT) AS "
+        "n_events FROM r WHERE rn = 1 ORDER BY user_id"
     ),
     "bloom_semi_join": (
         f"SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items, "
