@@ -2537,26 +2537,26 @@ def q_orders_above_cust_avg(sf_dir: str):
     agg = (ds.map_batches(_order_cents_partials, batch_format="pyarrow")
            .groupby("o_custkey")
            .aggregate(Sum("p_cents", alias_name="s"), Sum("p_n", alias_name="n"))
-           .to_pandas())  # one row per customer — small by construction
-    stats_ref = ray.put({
-        int(k): (int(s), int(n))
-        for k, s, n in zip(agg["o_custkey"], agg["s"], agg["n"])
-    })
+           .to_pandas()
+           .sort_values("o_custkey"))  # one row per customer (dimension
+    # cardinality — the same broadcast class as the customer-table joins)
+    stats_ref = ray.put((agg["o_custkey"].to_numpy(dtype=np.int64),
+                         agg["s"].to_numpy(dtype=np.int64),
+                         agg["n"].to_numpy(dtype=np.int64)))
 
     class _AboveAvg:
         def __init__(self, ref):
-            self.stats = ray.get(ref)
+            self.keys, self.sums, self.ns = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             keys = batch.column("o_custkey").to_numpy()
             cents = pc.cast(
                 pc.round(pc.multiply(batch.column("o_totalprice"), 100.0)),
                 pa.int64()).to_numpy()
-            sums = np.empty(len(keys), dtype=np.int64)
-            ns = np.empty(len(keys), dtype=np.int64)
-            for i, k in enumerate(keys):
-                sums[i], ns[i] = self.stats[int(k)]
-            keep = cents * ns > sums
+            # every custkey has a stats row by construction (the aggregate
+            # came from this same table) -> one vectorized searchsorted
+            pos = np.searchsorted(self.keys, keys)
+            keep = cents * self.ns[pos] > self.sums[pos]
             return batch.select(["o_orderkey", "o_custkey"]).filter(
                 pa.array(keep))
 
@@ -2584,40 +2584,41 @@ def q_big_orders_report(sf_dir: str):
         g = batch.group_by("l_orderkey").aggregate([("l_quantity", "sum")])
         return g.rename_columns(["l_orderkey", "p_qty"])
 
-    totals = (li.map_batches(_qty_partials, batch_format="pyarrow")
-              .groupby("l_orderkey")
-              .aggregate(Sum("p_qty", alias_name="total_qty")))
-    winners = totals.filter(
-        expr=f"total_qty > {BIG_ORDER_QTY}").to_pandas()  # tiny by selectivity
-    qty_of = ray.put({int(k): int(v) for k, v in
-                      zip(winners["l_orderkey"], winners["total_qty"])})
+    from ..config import cluster_cpus
+    from ..rayops import fit_for_join
 
-    class _WinnerJoin:
-        def __init__(self, ref):
-            self.qty = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            keys = batch.column("o_orderkey").to_numpy()
-            mask = np.fromiter((int(k) in self.qty for k in keys),
-                               dtype=bool, count=len(keys))
-            hit = batch.filter(pa.array(mask))
-            cents = pc.cast(
-                pc.round(pc.multiply(hit.column("o_totalprice"), 100.0)),
-                pa.int64())
-            tq = pa.array([self.qty[int(k)]
-                           for k in hit.column("o_orderkey").to_numpy()],
-                          pa.int64())
-            return pa.table({
-                "o_orderkey": hit.column("o_orderkey"),
-                "o_custkey": hit.column("o_custkey"),
-                "price_cents": cents,
-                "total_qty": tq,
-            })
-
+    nparts = max(2, min(16, cluster_cpus() // 2))
+    win_schema = pa.schema([("o_orderkey", pa.int64()),
+                            ("total_qty", pa.int64())])
+    # HAVING filter leaves ~1% of orders — still linear in the fact table,
+    # so winners stay a DATASET and meet orders in a hash-partitioned join
+    # (never a driver set)
+    winners = fit_for_join(
+        li.map_batches(_qty_partials, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("p_qty", alias_name="total_qty"))
+        .filter(expr=f"total_qty > {BIG_ORDER_QTY}")
+        .map_batches(lambda t: t.rename_columns(["o_orderkey", "total_qty"]),
+                     batch_format="pyarrow"),
+        win_schema)
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_orderkey", "o_custkey", "o_totalprice"])
-    out = orders.map_batches(_WinnerJoin, fn_constructor_kwargs={"ref": qty_of},
-                             batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
+    joined = winners.join(orders, join_type="inner", num_partitions=nparts,
+                          on=("o_orderkey",), right_on=("o_orderkey",))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t.column("o_totalprice"), 100.0)),
+                        pa.int64())
+        t = pa.table({"o_orderkey": t.column("o_orderkey"),
+                      "o_custkey": t.column("o_custkey"),
+                      "price_cents": cents,
+                      "total_qty": t.column("total_qty")})
+        idx = pc.sort_indices(t, sort_keys=[("total_qty", "descending"),
+                                            ("o_orderkey", "ascending")])
+        return t.take(idx[:20])
+
+    # distributed top-k: local head(20) per block, driver merges k*n_blocks
+    out = joined.map_batches(local_topk, batch_format="pyarrow").to_pandas()
     out = out.sort_values(["total_qty", "o_orderkey"],
                           ascending=[False, True]).head(20)
     return out.reset_index(drop=True)
@@ -2625,52 +2626,59 @@ def q_big_orders_report(sf_dir: str):
 
 # ---------------------------------------------------------------------------
 # TPC-H Q10 analogue: revenue lost to returned items, top 20 customers.
-# lineitem is filtered to l_returnflag='R' at the scan, revenue cents are
-# pre-aggregated per customer inside each batch via a broadcast
-# orderkey->custkey map (orders is the SMALL side of this star schema at
-# 1/40 of lineitem), then one tiny groupby + broadcast customer/nation
-# decoration and a driver-side top-k over <= #customers rows.
+# Orders is a FACT table (1:4 with lineitem), so no side is broadcast:
+# lineitem is filtered to l_returnflag='R' at the scan and pre-aggregated
+# to one revenue row per orderkey BEFORE the single hash-partitioned join
+# with the (orderkey, custkey) projection of orders — the exchange carries
+# per-order partials, never line items (same plan as shipping_priority).
+# The per-customer re-aggregate is bounded by |customers| (dimension
+# cardinality), so only that final table reaches the driver for top-k.
 # ---------------------------------------------------------------------------
 
+def _returned_rev_partial(batch: pa.Table) -> pa.Table:
+    rev = pc.multiply(
+        pc.multiply(batch.column("l_extendedprice"),
+                    pc.subtract(pa.scalar(1.0), batch.column("l_discount"))),
+        pa.scalar(100.0))
+    # DuckDB round(DOUBLE) ties away from zero; pyarrow defaults to
+    # half_to_even — price*(1-disc)*100 DOES land on exact .5 doubles
+    # (unlike the raw *100 price columns elsewhere)
+    cents = pc.cast(pc.round(rev, round_mode="half_towards_infinity"),
+                    pa.int64())
+    g = (pa.table({"o_orderkey": batch.column("l_orderkey"), "cents": cents})
+         .group_by("o_orderkey").aggregate([("cents", "sum")]))
+    return g.rename_columns(["o_orderkey", "p_cents"])
+
+
 def q_returned_revenue_topk(sf_dir: str):
-    import pyarrow.parquet as pq
+    from ..config import cluster_cpus
+    from ..rayops import fit_for_join
 
-    orders = pq.read_table(f"{sf_dir}/orders.parquet",
-                           columns=["o_orderkey", "o_custkey"])
-    cust_ref = ray.put(dict(zip(orders.column("o_orderkey").to_pylist(),
-                                orders.column("o_custkey").to_pylist())))
-
-    class _ReturnedRevenue:
-        def __init__(self, ref):
-            self.cust_of = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            rev = pc.multiply(
-                pc.multiply(batch.column("l_extendedprice"),
-                            pc.subtract(pa.scalar(1.0), batch.column("l_discount"))),
-                pa.scalar(100.0))
-            # DuckDB round(DOUBLE) ties away from zero; pyarrow defaults to
-            # half_to_even — price*(1-disc)*100 DOES land on exact .5
-            # doubles (unlike the raw *100 price columns elsewhere)
-            cents = pc.cast(
-                pc.round(rev, round_mode="half_towards_infinity"), pa.int64())
-            cust = pa.array([self.cust_of[k]
-                             for k in batch.column("l_orderkey").to_pylist()],
-                            pa.int64())
-            t = pa.table({"c_custkey": cust, "cents": cents})
-            g = t.group_by("c_custkey").aggregate([("cents", "sum")])
-            return g.rename_columns(["c_custkey", "p_cents"])
-
+    nparts = max(2, min(16, cluster_cpus() // 2))
+    rev_schema = pa.schema([("o_orderkey", pa.int64()),
+                            ("rev_cents", pa.int64())])
     li = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
         filter=pds.field("l_returnflag") == "R")
-    per_cust = (li.map_batches(
-        _ReturnedRevenue, fn_constructor_kwargs={"ref": cust_ref},
-        batch_format="pyarrow", concurrency=(1, 4))
-        .groupby("c_custkey")
-        .aggregate(Sum("p_cents", alias_name="revenue_cents"))
-        .to_pandas())  # <= one row per customer
+    per_order = fit_for_join(  # empty blocks poison Dataset.join
+        li.map_batches(_returned_rev_partial, batch_format="pyarrow")
+        .groupby("o_orderkey").aggregate(Sum("p_cents", alias_name="rev_cents")),
+        rev_schema)
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    joined = per_order.join(orders, join_type="inner",
+                            num_partitions=nparts, on=("o_orderkey",),
+                            right_on=("o_orderkey",))
+
+    def cust_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_custkey").aggregate([("rev_cents", "sum")])
+        return g.rename_columns(["c_custkey", "p_cents"])
+
+    per_cust = (joined.map_batches(cust_partial, batch_format="pyarrow")
+                .groupby("c_custkey")
+                .aggregate(Sum("p_cents", alias_name="revenue_cents"))
+                .to_pandas())  # <= one row per customer
     cust = pd.read_parquet(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey", "c_name", "c_nationkey"])
     nation = pd.read_parquet(f"{sf_dir}/nation.parquet",
@@ -2989,15 +2997,16 @@ def q_nation_cust_supp(sf_dir: str):
 
 class _BrandWeighted:
     def __init__(self, brand_ref):
-        self.brand_of = ray.get(brand_ref)
+        # sorted partkey array + parallel brand array: the broadcast
+        # dimension lookup is one vectorized searchsorted per batch
+        self.keys, self.brands = ray.get(brand_ref)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cents = pc.cast(pc.round(pc.multiply(
             batch.column("l_extendedprice"), 100.0)), pa.int64()).to_numpy()
         qty = batch.column("l_quantity").to_numpy().astype(np.int64)
-        brands = [self.brand_of[k]
-                  for k in batch.column("l_partkey").to_pylist()]
-        t = pa.table({"p_brand": pa.array(brands, pa.string()),
+        pos = np.searchsorted(self.keys, batch.column("l_partkey").to_numpy())
+        t = pa.table({"p_brand": pa.array(self.brands[pos], pa.string()),
                       "wsum": pa.array(cents * qty, pa.int64()),
                       "w": pa.array(qty, pa.int64())})
         g = t.group_by("p_brand").aggregate([("wsum", "sum"), ("w", "sum")])
@@ -3009,8 +3018,11 @@ def q_brand_weighted_price(sf_dir: str):
 
     part = pq.read_table(f"{sf_dir}/part.parquet",
                          columns=["p_partkey", "p_brand"])
-    brand_ref = ray.put(dict(zip(part.column("p_partkey").to_pylist(),
-                                 part.column("p_brand").to_pylist())))
+    pk = part.column("p_partkey").to_numpy()
+    order = np.argsort(pk)
+    brand_ref = ray.put((pk[order],
+                         part.column("p_brand").to_numpy(
+                             zero_copy_only=False)[order]))
     ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                          columns=["l_partkey", "l_extendedprice",
                                   "l_quantity"])
@@ -3190,6 +3202,97 @@ def q_user_top_event_type(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+# ---------------------------------------------------------------------------
+# daily error-rate monitoring: conditional-count partials per day (n_errors,
+# n_total as two int sums), one tiny groupby, one double division per day —
+# the ops-dashboard aggregate every crawl pipeline runs nightly.
+# ---------------------------------------------------------------------------
+
+def _error_rate_partial(batch: pa.Table) -> pa.Table:
+    day = pc.floor_temporal(batch.column("ts"), unit="day")
+    is_err = pc.cast(pc.equal(batch.column("event_type"), "error"),
+                     pa.int64())
+    t = pa.table({"day": day, "err": is_err,
+                  "one": pa.array(np.ones(len(batch), dtype=np.int64))})
+    g = t.group_by("day").aggregate([("err", "sum"), ("one", "sum")])
+    return g.rename_columns(["day", "p_err", "p_n"])
+
+
+def q_events_error_rate_daily(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"])
+    out = (ds.map_batches(_error_rate_partial, batch_format="pyarrow")
+           .groupby("day")
+           .aggregate(Sum("p_err", alias_name="n_errors"),
+                      Sum("p_n", alias_name="n_events"))
+           .to_pandas())  # one row per day — bounded by the time range
+    out["error_rate"] = out["n_errors"] / out["n_events"]
+    out["day"] = out["day"].astype("datetime64[us]")  # oracle emits timestamp[us]
+    out = out.sort_values("day").reset_index(drop=True)
+    out["n_errors"] = out["n_errors"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    return out[["day", "n_errors", "n_events", "error_rate"]]
+
+
+# ---------------------------------------------------------------------------
+# per-document z-score of length: global exact moments (n, Σx, Σx²) in one
+# scan, then a second scan standardizes every row with a float expression
+# the oracle mirrors term-for-term — the two-pass distributed standardizer
+# (the corr_value_props pattern applied row-wise).
+# ---------------------------------------------------------------------------
+
+def q_doc_length_zscore(sf_dir: str):
+    ds = _docs(sf_dir, ["doc_id", "n_chars"])
+
+    def moments(batch: pa.Table) -> pa.Table:
+        x = batch.column("n_chars").to_numpy().astype(np.int64)
+        return pa.table({"n": pa.array([len(x)], pa.int64()),
+                         "sx": pa.array([int(x.sum())], pa.int64()),
+                         "sxx": pa.array([int((x * x).sum())], pa.int64())})
+
+    m = ds.map_batches(moments, batch_format="pyarrow").to_pandas().sum()
+    n, sx, sxx = float(m["n"]), float(m["sx"]), float(m["sxx"])
+    mean = sx / n
+    sd = math.sqrt(sxx / n - (sx / n) * (sx / n))
+
+    def standardize(batch: pa.Table) -> pa.Table:
+        # two floats ride the task closure — nothing to broadcast
+        z = pc.divide(pc.subtract(pc.cast(batch.column("n_chars"),
+                                          pa.float64()), mean), sd)
+        return pa.table({"doc_id": batch.column("doc_id"), "z_len": z})
+
+    return ds.map_batches(standardize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# month-over-month revenue growth: distributed monthly aggregate (bounded by
+# the time range), then the lag/delta window over <= |months| rows on the
+# driver — the same derive-don't-reshuffle treatment as the CUBE cuts.
+# ---------------------------------------------------------------------------
+
+def q_orders_monthly_growth(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mon = pc.floor_temporal(batch.column("o_orderdate"), unit="month")
+        cents = pc.cast(pc.round(pc.multiply(batch.column("o_totalprice"),
+                                             100.0)), pa.int64())
+        g = (pa.table({"month": mon, "cents": cents})
+             .group_by("month").aggregate([("cents", "sum")]))
+        return g.rename_columns(["month", "p_cents"])
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("month").aggregate(Sum("p_cents", alias_name="revenue_cents"))
+           .to_pandas().sort_values("month").reset_index(drop=True))
+    out["month"] = out["month"].astype("datetime64[us]")  # oracle timestamp[us]
+    out["revenue_cents"] = out["revenue_cents"].astype("int64")
+    prev = out["revenue_cents"].shift(1)
+    out["delta_cents"] = (out["revenue_cents"] - prev).fillna(0).astype("int64")
+    out.loc[0, "delta_cents"] = 0
+    return out[["month", "revenue_cents", "delta_cents"]]
+
+
 QUERIES = {
     "doc_count": q_doc_count,
     "doc_chars_sum": q_doc_chars_sum,
@@ -3262,6 +3365,9 @@ QUERIES = {
     "pii_scrub": q_pii_scrub,
     "bloom_semi_join": q_bloom_semi_join,
     "corr_value_props": q_corr_value_props,
+    "events_error_rate_daily": q_events_error_rate_daily,
+    "doc_length_zscore": q_doc_length_zscore,
+    "orders_monthly_growth": q_orders_monthly_growth,
     "events_value_mad": q_events_value_mad,
     "user_top_event_type": q_user_top_event_type,
     "nation_cust_supp": q_nation_cust_supp,
@@ -3595,6 +3701,37 @@ ORACLE_SQL = {
         "tr AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 47 <> 0) "
         "SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_shared "
         "FROM tr JOIN tg USING (gram) GROUP BY tr.doc_id ORDER BY tr.doc_id"
+    ),
+    "events_error_rate_daily": (
+        # date_trunc('day'/'month') returns DATE in DuckDB; the engine keeps
+        # the column a timestamp (pc.floor_temporal) -> cast the oracle
+        "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, "
+        "CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) "
+        "AS n_errors, CAST(count(*) AS BIGINT) AS n_events, "
+        "CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) "
+        "/ CAST(count(*) AS BIGINT) AS error_rate "
+        "FROM events GROUP BY date_trunc('day', ts) ORDER BY day"
+    ),
+    "doc_length_zscore": (
+        # mirror the engine's two-pass standardizer term-for-term in DOUBLE
+        "WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(n_chars) AS BIGINT) AS sx, "
+        "CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx FROM documents) "
+        "SELECT doc_id, (CAST(n_chars AS DOUBLE) "
+        "- CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) "
+        "/ sqrt(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) "
+        "- (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) "
+        "* (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) AS z_len "
+        "FROM documents, m ORDER BY doc_id"
+    ),
+    "orders_monthly_growth": (
+        "WITH m AS (SELECT date_trunc('month', o_orderdate) AS month, "
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+        "AS revenue_cents FROM orders GROUP BY date_trunc('month', o_orderdate)) "
+        "SELECT CAST(month AS TIMESTAMP) AS month, revenue_cents, "
+        "CAST(coalesce(revenue_cents - lag(revenue_cents) "
+        "OVER (ORDER BY month), 0) AS BIGINT) AS delta_cents "
+        "FROM m ORDER BY month"
     ),
     "corr_value_props": (
         # mirror the engine's exact-moment formula term-for-term in DOUBLE
