@@ -33,7 +33,12 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 REPEAT = int(os.environ.get("OCR_BENCH_REPEAT", "6"))
 MIX = os.environ.get("GRAFT_BENCH_MIX", "ocr-heavy")
-CACHE_ROOT = pathlib.Path("/tmp/ocr_main_ray_bench")
+# tmpfs when available: the timed legs re-read the synthesized corpus and
+# write ~1 GB of parquet output; keeping both off /dev/vda removes disk I/O
+# variance from the scaling measurement (observed ±10% wall on the hi leg).
+_SHM = pathlib.Path("/dev/shm")
+CACHE_ROOT = ((_SHM / "ocr_main_ray_bench") if _SHM.is_dir()
+              else pathlib.Path("/tmp/ocr_main_ray_bench"))
 N_INPUT_FILES = 32
 
 

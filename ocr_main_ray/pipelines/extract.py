@@ -24,6 +24,7 @@ everything else -> "basic".  Confidence is constant 0.0 (A7), tables_json is
 """
 from __future__ import annotations
 
+import os
 import time
 
 import pyarrow as pa
@@ -294,7 +295,9 @@ def extract_run(ds: "ray.data.Dataset", config: PipelineConfig | None = None,
     pool_cpus = cluster_cpus()
     if dedup:
         # metadata-only split: finer dispatch tasks, no extra shuffle
-        staged = staged.repartition(pool_cpus * 6)
+        # (blocks-per-cpu is env-tunable for granularity sweeps)
+        per_cpu = int(os.environ.get("OCR_DISPATCH_BLOCKS_PER_CPU", "10"))
+        staged = staged.repartition(pool_cpus * per_cpu)
     if dispatch_mode == "tasks":
         def dispatch(batch: pa.Table) -> pa.Table:
             return ExtractDispatch(config)(batch)

@@ -3293,6 +3293,292 @@ def q_orders_monthly_growth(sf_dir: str):
     return out[["month", "revenue_cents", "delta_cents"]]
 
 
+# ---------------------------------------------------------------------------
+# 7-day moving average of daily revenue: distributed daily aggregate (bounded
+# by the time range), rolling int-sum/int-count window derived on the driver
+# — exact integer window sums divided once, so the float matches the oracle's
+# CAST(sum OVER w AS DOUBLE)/count term-for-term.
+# ---------------------------------------------------------------------------
+
+def q_events_value_7day_ma(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch.column("ts"), unit="day")
+        cents = pc.cast(pc.round(pc.multiply(batch.column("value"), 100.0)),
+                        pa.int64())
+        g = (pa.table({"day": day, "cents": cents})
+             .group_by("day").aggregate([("cents", "sum")]))
+        return g.rename_columns(["day", "p_cents"])
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("day").aggregate(Sum("p_cents", alias_name="day_cents"))
+           .to_pandas().sort_values("day").reset_index(drop=True))
+    out["day"] = out["day"].astype("datetime64[us]")  # oracle timestamp[us]
+    out["day_cents"] = out["day_cents"].astype("int64")
+    c = out["day_cents"].to_numpy()
+    csum = np.concatenate(([0], np.cumsum(c)))
+    idx = np.arange(len(c))
+    lo = np.maximum(0, idx - 6)
+    wsum = csum[idx + 1] - csum[lo]
+    wn = idx + 1 - lo
+    out["ma7_cents"] = wsum.astype(np.float64) / wn.astype(np.float64)
+    return out[["day", "day_cents", "ma7_cents"]]
+
+
+# ---------------------------------------------------------------------------
+# per-user last event (argmax by (ts, event_id)): per-batch vectorized
+# lexsort keep-last partials (one row per user per block), final argmax over
+# the bounded (users x blocks) partial table on the driver — the exchange
+# carries candidates, never the event log.
+# ---------------------------------------------------------------------------
+
+def _last_event_partial(batch: pa.Table) -> pa.Table:
+    u = batch.column("user_id").to_numpy()
+    ts = batch.column("ts").cast(pa.int64()).to_numpy()
+    eid = batch.column("event_id").to_numpy()
+    order = np.lexsort((eid, ts, u))  # user asc, then ts, then event_id
+    last = np.concatenate((u[order][1:] != u[order][:-1], [True]))
+    keep = order[last]
+    return batch.take(pa.array(keep))
+
+
+def q_user_last_event(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+    cand = (ds.map_batches(_last_event_partial, batch_format="pyarrow")
+            .to_pandas())  # <= |users| x |blocks| rows
+    cand = cand.sort_values(["user_id", "ts", "event_id"])
+    out = cand.groupby("user_id", as_index=False).tail(1)
+    out = out.sort_values("user_id").reset_index(drop=True)
+    out["last_value"] = out["value"]
+    out["ts"] = out["ts"].astype("datetime64[us]")
+    return out[["user_id", "ts", "last_value"]]
+
+
+# ---------------------------------------------------------------------------
+# winsorized aggregate: clamp value-cents to the exact global [p05, p95]
+# (nearest-rank picks from the same bounded cents histogram the percentile
+# query folds), then per-type clamped sums — the outlier-robust rollup every
+# metrics pipeline wants.  Two scans, no row ever shuffles.
+# ---------------------------------------------------------------------------
+
+def q_events_value_winsorized(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    hist = (ds.map_batches(_cents_hist_partial, batch_format="pyarrow")
+            .groupby("cents").aggregate(Sum("pn", alias_name="n"))
+            .to_pandas().sort_values("cents").reset_index(drop=True))
+    cum = hist["n"].cumsum().to_numpy()
+    total = int(cum[-1])
+
+    def pick(q: float) -> int:
+        rank = min(total, max(1, math.ceil(q * total)))
+        return int(hist["cents"].iloc[int(np.searchsorted(cum, rank))])
+
+    lo, hi = pick(0.05), pick(0.95)
+
+    def clamp_partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(batch.column("value"), 100.0)),
+                        pa.int64()).to_numpy()
+        w = np.clip(cents, lo, hi)
+        g = (pa.table({"event_type": batch.column("event_type"),
+                       "w": pa.array(w, pa.int64())})
+             .group_by("event_type").aggregate([("w", "sum"), ("w", "count")]))
+        return g.rename_columns(["event_type", "p_sum", "p_n"])
+
+    ds2 = rd.read_parquet(f"{sf_dir}/events.parquet",
+                          columns=["event_type", "value"])
+    out = (ds2.map_batches(clamp_partial, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("p_sum", alias_name="winsorized_cents"),
+                      Sum("p_n", alias_name="n_events"))
+           .to_pandas().sort_values("event_type").reset_index(drop=True))
+    out["winsorized_cents"] = out["winsorized_cents"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# self range join: pairs of events by the same user within one hour.  Events
+# co-locate per user via the hash-bucket shuffle (same exchange as
+# sessionization), then the WHOLE bucket is counted with two vectorized
+# searchsorteds — the per-user segments are made globally monotonic by
+# re-basing each segment on a (span + window) stride, so no per-user Python
+# loop survives (a bucket can hold 1/B of all users at 100x scale).
+# ---------------------------------------------------------------------------
+
+_PAIR_WINDOW_US = 3_600_000_000  # 1 hour
+
+
+def _pair_count_bucket(group: pd.DataFrame) -> pd.DataFrame:
+    g = group.sort_values(["user_id", "ts"], kind="mergesort")
+    u = g["user_id"].to_numpy()
+    t = g["ts"].astype("int64").to_numpy()
+    if len(u) == 0:
+        return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                             "n_pairs": pd.Series([], dtype="int64")})
+    seg_start = np.concatenate(([True], u[1:] != u[:-1]))
+    seg_id = np.cumsum(seg_start) - 1
+    t_rel = t - t[np.flatnonzero(seg_start)][seg_id]
+    stride = (t_rel.max() if len(t_rel) else 0) + _PAIR_WINDOW_US + 1
+    tt = seg_id * stride + t_rel  # monotonic; segments > window apart
+    n_after = (np.searchsorted(tt, tt + _PAIR_WINDOW_US, side="right")
+               - np.arange(len(tt)) - 1)
+    out = pd.DataFrame({"user_id": u, "n_pairs": n_after})
+    out = out.groupby("user_id", as_index=False)["n_pairs"].sum()
+    return out[out["n_pairs"] > 0].astype({"n_pairs": "int64"})
+
+
+def q_user_event_pairs_1h(sf_dir: str):
+    nb = _session_buckets()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+    ds = ds.map_batches(lambda t: _bucket_users(t, nb), batch_format="pyarrow")
+    out = (ds.groupby("ubucket")
+           .map_groups(_pair_count_bucket, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5 analogue (local-supplier revenue by nation): the classic 5-table
+# join where customer and supplier nationkeys must MATCH.  customer and
+# supplier are dimensions here -> broadcast sorted-key lookup arrays
+# (ray.put once); lineitem carries its supplier nation into per-(orderkey,
+# nation) revenue partials, which meet the date-filtered orders projection
+# (decorated with the customer nation the same way) in ONE hash-partitioned
+# join; the equality filter and final nation rollup run on join output
+# bounded by |orders in window| x |nations per order|.  At TPC-H scale
+# customer stops being broadcastable — swap the decoration for a second
+# hash join on custkey; the plan shape otherwise survives.
+# ---------------------------------------------------------------------------
+
+def q_local_supplier_revenue(sf_dir: str):
+    import pyarrow.parquet as pq
+    from ..config import cluster_cpus
+    from ..rayops import fit_for_join
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    ck = cust.column("c_custkey").to_numpy()
+    co = np.argsort(ck)
+    cust_ref = ray.put((ck[co], cust.column("c_nationkey").to_numpy()[co]))
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    sk = sup.column("s_suppkey").to_numpy()
+    so = np.argsort(sk)
+    sup_ref = ray.put((sk[so], sup.column("s_nationkey").to_numpy()[so]))
+
+    class _LinePartial:
+        def __init__(self, ref):
+            self.keys, self.nat = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            rev = pc.multiply(pc.multiply(
+                batch.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), batch.column("l_discount"))),
+                pa.scalar(100.0))
+            cents = pc.cast(pc.round(rev, round_mode="half_towards_infinity"),
+                            pa.int64())
+            pos = np.searchsorted(self.keys,
+                                  batch.column("l_suppkey").to_numpy())
+            g = (pa.table({"o_orderkey": batch.column("l_orderkey"),
+                           "s_nat": pa.array(self.nat[pos], pa.int64()),
+                           "cents": cents})
+                 .group_by(["o_orderkey", "s_nat"])
+                 .aggregate([("cents", "sum")]))
+            return g.rename_columns(["o_orderkey", "s_nat", "rev_cents"])
+
+    class _OrderNat:
+        def __init__(self, ref):
+            self.keys, self.nat = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            pos = np.searchsorted(self.keys,
+                                  batch.column("o_custkey").to_numpy())
+            return pa.table({
+                "o_orderkey": batch.column("o_orderkey"),
+                "c_nat": pa.array(self.nat[pos], pa.int64())})
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_suppkey",
+                                  "l_extendedprice", "l_discount"])
+    lhs_schema = pa.schema([("o_orderkey", pa.int64()),
+                            ("s_nat", pa.int64()),
+                            ("rev_cents", pa.int64())])
+    lhs = fit_for_join(
+        li.map_batches(_LinePartial, fn_constructor_kwargs={"ref": sup_ref},
+                       batch_format="pyarrow", concurrency=(1, 4)),
+        lhs_schema)
+    lo = pd.Timestamp("1995-01-01")
+    hi = pd.Timestamp("1996-01-01")
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"],
+        filter=((pds.field("o_orderdate") >= lo)
+                & (pds.field("o_orderdate") < hi)))
+    rhs = orders.map_batches(_OrderNat, fn_constructor_kwargs={"ref": cust_ref},
+                             batch_format="pyarrow", concurrency=(1, 4))
+    nparts = max(2, min(16, cluster_cpus() // 2))
+    joined = lhs.join(rhs, join_type="inner", num_partitions=nparts,
+                      on=("o_orderkey",), right_on=("o_orderkey",))
+
+    def local_fold(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.equal(t.column("s_nat"), t.column("c_nat")))
+        g = (pa.table({"nationkey": keep.column("s_nat"),
+                       "cents": keep.column("rev_cents")})
+             .group_by("nationkey").aggregate([("cents", "sum")]))
+        return g.rename_columns(["nationkey", "p_cents"])
+
+    per_nat = (joined.map_batches(local_fold, batch_format="pyarrow")
+               .groupby("nationkey")
+               .aggregate(Sum("p_cents", alias_name="revenue_cents"))
+               .to_pandas())  # <= |nations| rows
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_name"])
+    out = per_nat.merge(nation, left_on="nationkey", right_on="n_nationkey")
+    out = out.rename(columns={"n_name": "nation"})
+    out["revenue_cents"] = out["revenue_cents"].astype("int64")
+    out = out.sort_values(["revenue_cents", "nation"],
+                          ascending=[False, True]).reset_index(drop=True)
+    return out[["nation", "revenue_cents"]]
+
+
+# ---------------------------------------------------------------------------
+# interpolated percentiles (quantile_cont semantics): the same bounded cents
+# histogram as the nearest-rank query, folded with the h=(n-1)q linear
+# interpolation between adjacent order statistics — exact distributed
+# percentile_cont with no global sort.
+# ---------------------------------------------------------------------------
+
+def q_events_value_percentiles_cont(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    hist = (ds.map_batches(_cents_hist_partial, batch_format="pyarrow")
+            .groupby("cents").aggregate(Sum("pn", alias_name="n"))
+            .to_pandas().sort_values("cents").reset_index(drop=True))
+    cum = hist["n"].cumsum().to_numpy()
+    total = int(cum[-1])
+    vals = hist["cents"].to_numpy()
+
+    def order_stat(i: int) -> float:  # 0-indexed i-th smallest, as double
+        return float(vals[int(np.searchsorted(cum, i + 1))])
+
+    def pick(q: float) -> float:
+        h = (total - 1) * q
+        lo = math.floor(h)
+        frac = h - lo
+        x_lo = order_stat(lo)
+        if frac == 0.0:
+            return x_lo
+        return x_lo + (order_stat(min(lo + 1, total - 1)) - x_lo) * frac
+
+    return pa.table({
+        "p25_cents": pa.array([pick(0.25)], pa.float64()),
+        "p50_cents": pa.array([pick(0.5)], pa.float64()),
+        "p75_cents": pa.array([pick(0.75)], pa.float64()),
+        "n_events": pa.array([total], pa.int64()),
+    })
+
+
 QUERIES = {
     "doc_count": q_doc_count,
     "doc_chars_sum": q_doc_chars_sum,
@@ -3368,6 +3654,12 @@ QUERIES = {
     "events_error_rate_daily": q_events_error_rate_daily,
     "doc_length_zscore": q_doc_length_zscore,
     "orders_monthly_growth": q_orders_monthly_growth,
+    "events_value_7day_ma": q_events_value_7day_ma,
+    "user_last_event": q_user_last_event,
+    "events_value_winsorized": q_events_value_winsorized,
+    "user_event_pairs_1h": q_user_event_pairs_1h,
+    "local_supplier_revenue": q_local_supplier_revenue,
+    "events_value_percentiles_cont": q_events_value_percentiles_cont,
     "events_value_mad": q_events_value_mad,
     "user_top_event_type": q_user_top_event_type,
     "nation_cust_supp": q_nation_cust_supp,
@@ -3732,6 +4024,58 @@ ORACLE_SQL = {
         "CAST(coalesce(revenue_cents - lag(revenue_cents) "
         "OVER (ORDER BY month), 0) AS BIGINT) AS delta_cents "
         "FROM m ORDER BY month"
+    ),
+    "events_value_7day_ma": (
+        "WITH d AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, "
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS day_cents "
+        "FROM events GROUP BY 1) "
+        "SELECT day, day_cents, "
+        "CAST(sum(day_cents) OVER w AS DOUBLE) "
+        "/ CAST(count(*) OVER w AS DOUBLE) AS ma7_cents "
+        "FROM d WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING "
+        "AND CURRENT ROW) ORDER BY day"
+    ),
+    "user_last_event": (
+        "SELECT user_id, ts, value AS last_value FROM ("
+        "SELECT user_id, ts, value, row_number() OVER ("
+        "PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
+        "FROM events) WHERE rn = 1 ORDER BY user_id"
+    ),
+    "user_event_pairs_1h": (
+        "SELECT e1.user_id, CAST(count(*) AS BIGINT) AS n_pairs "
+        "FROM events e1 JOIN events e2 USING (user_id) "
+        "WHERE e2.ts >= e1.ts AND e2.ts <= e1.ts + INTERVAL 1 HOUR "
+        "AND (e2.ts > e1.ts OR e2.event_id > e1.event_id) "
+        "GROUP BY e1.user_id ORDER BY e1.user_id"
+    ),
+    "local_supplier_revenue": (
+        "SELECT n.n_name AS nation, "
+        "CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) "
+        "AS BIGINT)) AS BIGINT) AS revenue_cents "
+        "FROM customer c, orders o, lineitem l, supplier s, nation n "
+        "WHERE c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey "
+        "AND l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey "
+        "AND s.s_nationkey = n.n_nationkey "
+        "AND o.o_orderdate >= TIMESTAMP '1995-01-01' "
+        "AND o.o_orderdate < TIMESTAMP '1996-01-01' "
+        "GROUP BY n.n_name ORDER BY revenue_cents DESC, nation"
+    ),
+    "events_value_percentiles_cont": (
+        "SELECT quantile_cont(CAST(round(value * 100) AS BIGINT), 0.25) AS p25_cents, "
+        "quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5) AS p50_cents, "
+        "quantile_cont(CAST(round(value * 100) AS BIGINT), 0.75) AS p75_cents, "
+        "count(*) AS n_events FROM events"
+    ),
+    "events_value_winsorized": (
+        "WITH b AS (SELECT "
+        "quantile_disc(CAST(round(value * 100) AS BIGINT), 0.05) AS lo, "
+        "quantile_disc(CAST(round(value * 100) AS BIGINT), 0.95) AS hi "
+        "FROM events) "
+        "SELECT event_type, "
+        "CAST(sum(least(greatest(CAST(round(value * 100) AS BIGINT), b.lo), "
+        "b.hi)) AS BIGINT) AS winsorized_cents, "
+        "CAST(count(*) AS BIGINT) AS n_events "
+        "FROM events, b GROUP BY event_type ORDER BY event_type"
     ),
     "corr_value_props": (
         # mirror the engine's exact-moment formula term-for-term in DOUBLE
