@@ -3579,6 +3579,428 @@ def q_events_value_percentiles_cont(sf_dir: str):
     })
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q14 analogue (promo revenue share): part is a dimension -> broadcast
+# sorted (partkey -> is_promo) arrays; the date-windowed lineitem scan folds
+# to ONE (promo_cents, total_cents) partial row per batch.  The share is a
+# single division of two exact integer sums, so the double is bit-stable.
+# ---------------------------------------------------------------------------
+
+def q_promo_revenue_share(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    pk = part.column("p_partkey").to_numpy()
+    po = np.argsort(pk)
+    promo = pc.equal(part.column("p_type"), "PROMO").to_numpy(
+        zero_copy_only=False)
+    ref = ray.put((pk[po], promo[po]))
+
+    class _PromoPartial:
+        def __init__(self, ref):
+            self.keys, self.promo = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            rev = pc.multiply(pc.multiply(
+                batch.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), batch.column("l_discount"))),
+                pa.scalar(100.0))
+            cents = pc.cast(pc.round(rev, round_mode="half_towards_infinity"),
+                            pa.int64()).to_numpy()
+            pos = np.searchsorted(self.keys,
+                                  batch.column("l_partkey").to_numpy())
+            is_promo = self.promo[pos]
+            return pa.table({
+                "p_promo": pa.array([int(cents[is_promo].sum())], pa.int64()),
+                "p_total": pa.array([int(cents.sum())], pa.int64())})
+
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1996-02-01")
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+        filter=((pds.field("l_shipdate") >= lo)
+                & (pds.field("l_shipdate") < hi)))
+    agg = (li.map_batches(_PromoPartial, fn_constructor_kwargs={"ref": ref},
+                          batch_format="pyarrow", concurrency=(1, 4))
+           .aggregate(Sum("p_promo", alias_name="promo"),
+                      Sum("p_total", alias_name="total")))
+    promo_c, total_c = int(agg["promo"]), int(agg["total"])
+    return pa.table({
+        "promo_cents": pa.array([promo_c], pa.int64()),
+        "total_cents": pa.array([total_c], pa.int64()),
+        "promo_share": pa.array([promo_c / total_c], pa.float64())})
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 analogue (top supplier by windowed revenue): per-supplier revenue
+# partials inside map_batches -> one small groupby (bounded by |suppliers|);
+# the max-filter and the name join run on that bounded table driver-side.
+# Ties keep every argmax supplier, exactly like the reference SQL.
+# ---------------------------------------------------------------------------
+
+def q_top_supplier_revenue(sf_dir: str):
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1996-04-01")
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+        filter=((pds.field("l_shipdate") >= lo)
+                & (pds.field("l_shipdate") < hi)))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount"))),
+            pa.scalar(100.0))
+        cents = pc.cast(pc.round(rev, round_mode="half_towards_infinity"),
+                        pa.int64())
+        g = (pa.table({"l_suppkey": batch.column("l_suppkey"),
+                       "cents": cents})
+             .group_by("l_suppkey").aggregate([("cents", "sum")]))
+        return g.rename_columns(["l_suppkey", "p_cents"])
+
+    rev = (li.map_batches(partial, batch_format="pyarrow")
+           .groupby("l_suppkey")
+           .aggregate(Sum("p_cents", alias_name="total_revenue_cents"))
+           .to_pandas())  # <= |suppliers| rows
+    best = rev[rev["total_revenue_cents"] == rev["total_revenue_cents"].max()]
+    sup = pd.read_parquet(f"{sf_dir}/supplier.parquet",
+                          columns=["s_suppkey", "s_name"])
+    out = best.merge(sup, left_on="l_suppkey", right_on="s_suppkey")
+    out["total_revenue_cents"] = out["total_revenue_cents"].astype("int64")
+    out = out.sort_values("s_suppkey").reset_index(drop=True)
+    return out[["s_suppkey", "s_name", "total_revenue_cents"]]
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 analogue (bilateral nation-pair shipping volume): supplier and
+# customer nationkeys decorate each side via broadcast sorted-key arrays
+# (both filtered to the two nations of interest BEFORE the exchange), so the
+# hash join moves only (orderkey, nation, year, cents) partials from the two
+# pruned slices.  Final rollup is 2 pair-directions x years.
+# ---------------------------------------------------------------------------
+
+def q_nation_pair_volume(sf_dir: str):
+    import pyarrow.parquet as pq
+    from ..config import cluster_cpus
+    from ..rayops import fit_for_join
+
+    nat_a, nat_b = 1, 2  # NATION_1 <-> NATION_2, both directions
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    sk = sup.column("s_suppkey").to_numpy()
+    so = np.argsort(sk)
+    sup_ref = ray.put((sk[so], sup.column("s_nationkey").to_numpy()[so]))
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    ck = cust.column("c_custkey").to_numpy()
+    co = np.argsort(ck)
+    cust_ref = ray.put((ck[co], cust.column("c_nationkey").to_numpy()[co]))
+
+    class _LineSide:
+        def __init__(self, ref):
+            self.keys, self.nat = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            pos = np.searchsorted(self.keys,
+                                  batch.column("l_suppkey").to_numpy())
+            s_nat = self.nat[pos]
+            keep = (s_nat == nat_a) | (s_nat == nat_b)
+            rev = pc.multiply(pc.multiply(
+                batch.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), batch.column("l_discount"))),
+                pa.scalar(100.0))
+            cents = pc.cast(pc.round(rev, round_mode="half_towards_infinity"),
+                            pa.int64()).to_numpy()[keep]
+            year = pc.year(batch.column("l_shipdate")).to_numpy()[keep]
+            ok = batch.column("l_orderkey").to_numpy()[keep]
+            g = (pa.table({"o_orderkey": pa.array(ok, pa.int64()),
+                           "s_nat": pa.array(s_nat[keep], pa.int64()),
+                           "l_year": pa.array(year, pa.int64()),
+                           "cents": pa.array(cents, pa.int64())})
+                 .group_by(["o_orderkey", "s_nat", "l_year"])
+                 .aggregate([("cents", "sum")]))
+            return g.rename_columns(["o_orderkey", "s_nat", "l_year",
+                                     "p_cents"])
+
+    class _OrderSide:
+        def __init__(self, ref):
+            self.keys, self.nat = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            pos = np.searchsorted(self.keys,
+                                  batch.column("o_custkey").to_numpy())
+            c_nat = self.nat[pos]
+            keep = (c_nat == nat_a) | (c_nat == nat_b)
+            return pa.table({
+                "o_orderkey": pa.array(
+                    batch.column("o_orderkey").to_numpy()[keep], pa.int64()),
+                "c_nat": pa.array(c_nat[keep], pa.int64())})
+
+    lo, hi = pd.Timestamp("1995-01-01"), pd.Timestamp("1997-01-01")
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+        filter=((pds.field("l_shipdate") >= lo)
+                & (pds.field("l_shipdate") < hi)))
+    lhs = fit_for_join(
+        li.map_batches(_LineSide, fn_constructor_kwargs={"ref": sup_ref},
+                       batch_format="pyarrow", concurrency=(1, 4)),
+        pa.schema([("o_orderkey", pa.int64()), ("s_nat", pa.int64()),
+                   ("l_year", pa.int64()), ("p_cents", pa.int64())]))
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    rhs = fit_for_join(
+        orders.map_batches(_OrderSide, fn_constructor_kwargs={"ref": cust_ref},
+                           batch_format="pyarrow", concurrency=(1, 4)),
+        pa.schema([("o_orderkey", pa.int64()), ("c_nat", pa.int64())]))
+    if lhs.count() == 0 or rhs.count() == 0:
+        # a fully-empty join side crashes Dataset.join even when typed;
+        # the pruned slice CAN be empty (no suppliers in either nation)
+        return pa.table({"supp_nation": pa.array([], pa.string()),
+                         "cust_nation": pa.array([], pa.string()),
+                         "l_year": pa.array([], pa.int64()),
+                         "revenue_cents": pa.array([], pa.int64())})
+    nparts = max(2, min(16, cluster_cpus() // 2))
+    joined = lhs.join(rhs, join_type="inner", num_partitions=nparts,
+                      on=("o_orderkey",), right_on=("o_orderkey",))
+
+    def fold(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.not_equal(t.column("s_nat"), t.column("c_nat")))
+        g = (keep.select(["s_nat", "c_nat", "l_year", "p_cents"])
+             .group_by(["s_nat", "c_nat", "l_year"])
+             .aggregate([("p_cents", "sum")]))
+        return g.rename_columns(["s_nat", "c_nat", "l_year", "pp_cents"])
+
+    per = (joined.map_batches(fold, batch_format="pyarrow")
+           .groupby(["s_nat", "c_nat", "l_year"])
+           .aggregate(Sum("pp_cents", alias_name="revenue_cents"))
+           .to_pandas())  # <= 2 directions x years
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_name"])
+    nm = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    per["supp_nation"] = per["s_nat"].map(nm)
+    per["cust_nation"] = per["c_nat"].map(nm)
+    per["revenue_cents"] = per["revenue_cents"].astype("int64")
+    per = per.sort_values(["supp_nation", "cust_nation", "l_year"])
+    return per[["supp_nation", "cust_nation", "l_year",
+                "revenue_cents"]].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 analogue (supplier-nation market share inside a customer region):
+# lineitem folds per-order (target_cents, total_cents) partials — the target
+# flag comes from the broadcast supplier lookup — and meets the
+# region-filtered, year-decorated orders projection in one hash join.  The
+# share per year is one division of two exact integer sums.
+# ---------------------------------------------------------------------------
+
+def q_region_market_share(sf_dir: str):
+    import pyarrow.parquet as pq
+    from ..config import cluster_cpus
+    from ..rayops import fit_for_join
+
+    target_nat = 2   # NATION_2's share ...
+    region = 2       # ... of the ASIA customer market
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    sk = sup.column("s_suppkey").to_numpy()
+    so = np.argsort(sk)
+    sup_ref = ray.put((sk[so], sup.column("s_nationkey").to_numpy()[so]))
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_regionkey"])
+    reg_of = np.zeros(
+        int(nation.column("n_nationkey").to_numpy().max()) + 1, np.int64)
+    reg_of[nation.column("n_nationkey").to_numpy()] = (
+        nation.column("n_regionkey").to_numpy())
+    ck = cust.column("c_custkey").to_numpy()
+    co = np.argsort(ck)
+    cust_ref = ray.put((ck[co], reg_of[cust.column("c_nationkey").to_numpy()][co]))
+
+    class _LinePartial:
+        def __init__(self, ref):
+            self.keys, self.nat = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            rev = pc.multiply(pc.multiply(
+                batch.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), batch.column("l_discount"))),
+                pa.scalar(100.0))
+            cents = pc.cast(pc.round(rev, round_mode="half_towards_infinity"),
+                            pa.int64()).to_numpy()
+            pos = np.searchsorted(self.keys,
+                                  batch.column("l_suppkey").to_numpy())
+            tgt = np.where(self.nat[pos] == target_nat, cents, 0)
+            g = (pa.table({"o_orderkey": batch.column("l_orderkey"),
+                           "t": pa.array(tgt, pa.int64()),
+                           "c": pa.array(cents, pa.int64())})
+                 .group_by("o_orderkey")
+                 .aggregate([("t", "sum"), ("c", "sum")]))
+            return g.rename_columns(["o_orderkey", "p_target", "p_total"])
+
+    class _OrderSide:
+        def __init__(self, ref):
+            self.keys, self.reg = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            pos = np.searchsorted(self.keys,
+                                  batch.column("o_custkey").to_numpy())
+            keep = self.reg[pos] == region
+            return pa.table({
+                "o_orderkey": pa.array(
+                    batch.column("o_orderkey").to_numpy()[keep], pa.int64()),
+                "o_year": pa.array(
+                    pc.year(batch.column("o_orderdate")).to_numpy()[keep],
+                    pa.int64())})
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_suppkey",
+                                  "l_extendedprice", "l_discount"])
+    lhs = fit_for_join(
+        li.map_batches(_LinePartial, fn_constructor_kwargs={"ref": sup_ref},
+                       batch_format="pyarrow", concurrency=(1, 4)),
+        pa.schema([("o_orderkey", pa.int64()), ("p_target", pa.int64()),
+                   ("p_total", pa.int64())]))
+    lo, hi = pd.Timestamp("1995-01-01"), pd.Timestamp("1997-01-01")
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=((pds.field("o_orderdate") >= lo)
+                & (pds.field("o_orderdate") < hi)))
+    rhs = fit_for_join(
+        orders.map_batches(_OrderSide, fn_constructor_kwargs={"ref": cust_ref},
+                           batch_format="pyarrow", concurrency=(1, 4)),
+        pa.schema([("o_orderkey", pa.int64()), ("o_year", pa.int64())]))
+    if rhs.count() == 0:  # no customers in the region at this scale
+        return pa.table({"o_year": pa.array([], pa.int64()),
+                         "target_cents": pa.array([], pa.int64()),
+                         "total_cents": pa.array([], pa.int64()),
+                         "mkt_share": pa.array([], pa.float64())})
+    nparts = max(2, min(16, cluster_cpus() // 2))
+    joined = lhs.join(rhs, join_type="inner", num_partitions=nparts,
+                      on=("o_orderkey",), right_on=("o_orderkey",))
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = (t.select(["o_year", "p_target", "p_total"])
+             .group_by("o_year")
+             .aggregate([("p_target", "sum"), ("p_total", "sum")]))
+        return g.rename_columns(["o_year", "pp_target", "pp_total"])
+
+    out = (joined.map_batches(fold, batch_format="pyarrow")
+           .groupby("o_year")
+           .aggregate(Sum("pp_target", alias_name="target_cents"),
+                      Sum("pp_total", alias_name="total_cents"))
+           .to_pandas().sort_values("o_year").reset_index(drop=True))
+    out["target_cents"] = out["target_cents"].astype("int64")
+    out["total_cents"] = out["total_cents"].astype("int64")
+    out["mkt_share"] = (out["target_cents"].to_numpy().astype(np.float64)
+                        / out["total_cents"].to_numpy().astype(np.float64))
+    return out[["o_year", "target_cents", "total_cents", "mkt_share"]]
+
+
+# ---------------------------------------------------------------------------
+# corpus token familiarity (unigram-LM signal): pass 1 builds distributed
+# corpus word counts (partial tf inside map_batches, one groupby); pass 2
+# hash-joins each doc's (word, tf) partials back to the counts — vocabulary
+# never sits on the driver — and folds per-doc integer sums.  The average is
+# one division of exact integers, so the double is oracle-stable.  Same
+# whitespace tokenizer contract as top_words (str.split == \s+ split).
+# ---------------------------------------------------------------------------
+
+def _doc_tf_partial(batch: pd.DataFrame) -> pd.DataFrame:
+    words = batch.set_index("doc_id")["text"].str.split().explode().dropna()
+    tf = (words.to_frame("w").groupby(["doc_id", "w"]).size()
+          .rename("tf").reset_index())
+    return tf.astype({"doc_id": "int64", "tf": "int64"})
+
+
+def q_token_familiarity(sf_dir: str):
+    from ..rayops import fit_for_join
+
+    tf = (_docs(sf_dir, ["doc_id", "text"])
+          .map_batches(_doc_tf_partial, batch_format="pandas"))
+    counts = (tf.map_batches(
+        lambda t: t.select(["w", "tf"]).group_by("w")
+        .aggregate([("tf", "sum")]).rename_columns(["w", "pc"]),
+        batch_format="pyarrow")
+        .groupby("w").aggregate(Sum("pc", alias_name="c")))
+    tf_schema = pa.schema([("doc_id", pa.int64()), ("w", pa.large_string()),
+                           ("tf", pa.int64())])
+    ct_schema = pa.schema([("w", pa.large_string()), ("c", pa.int64())])
+    from ..config import cluster_cpus
+    nparts = max(2, min(16, cluster_cpus() // 2))
+    joined = fit_for_join(tf, tf_schema).join(
+        fit_for_join(counts, ct_schema), join_type="inner",
+        num_partitions=nparts, on=("w",), right_on=("w",))
+
+    def fold(t: pa.Table) -> pa.Table:
+        fam = pc.multiply(t.column("tf"), t.column("c"))
+        g = (pa.table({"doc_id": t.column("doc_id"), "n": t.column("tf"),
+                       "fam": fam})
+             .group_by("doc_id").aggregate([("n", "sum"), ("fam", "sum")]))
+        return g.rename_columns(["doc_id", "p_n", "p_fam"])
+
+    out = (joined.map_batches(fold, batch_format="pyarrow")
+           .groupby("doc_id")
+           .aggregate(Sum("p_n", alias_name="n_tokens"),
+                      Sum("p_fam", alias_name="familiarity_sum"))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    out["familiarity_sum"] = out["familiarity_sum"].astype("int64")
+    out["avg_familiarity"] = (
+        out["familiarity_sum"].to_numpy().astype(np.float64)
+        / out["n_tokens"].to_numpy().astype(np.float64))
+    return out[["doc_id", "n_tokens", "familiarity_sum", "avg_familiarity"]]
+
+
+# ---------------------------------------------------------------------------
+# grouped interpolated median (percentile_cont per group): per-(type, cents)
+# histogram partials -> one small groupby; the per-type h=(n-1)q fold runs on
+# the bounded (types x distinct cents) table driver-side.
+# ---------------------------------------------------------------------------
+
+def q_value_p50_by_type_cont(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(batch.column("value"), 100.0)),
+                        pa.int64())
+        g = (pa.table({"event_type": batch.column("event_type"),
+                       "cents": cents})
+             .group_by(["event_type", "cents"])
+             .aggregate([("cents", "count")]))
+        return g.rename_columns(["event_type", "cents", "pn"])
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["event_type", "cents"])
+            .aggregate(Sum("pn", alias_name="n"))
+            .to_pandas().sort_values(["event_type", "cents"]))
+
+    rows = []
+    for et, g in hist.groupby("event_type", sort=True):
+        cum = g["n"].cumsum().to_numpy()
+        vals = g["cents"].to_numpy()
+        total = int(cum[-1])
+
+        def order_stat(i: int) -> float:
+            return float(vals[int(np.searchsorted(cum, i + 1))])
+
+        h = (total - 1) * 0.5
+        lo = math.floor(h)
+        frac = h - lo
+        x_lo = order_stat(lo)
+        p50 = x_lo if frac == 0.0 else (
+            x_lo + (order_stat(min(lo + 1, total - 1)) - x_lo) * frac)
+        rows.append((et, p50))
+    return pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "p50_cents": pa.array([r[1] for r in rows], pa.float64())})
+
+
 QUERIES = {
     "doc_count": q_doc_count,
     "doc_chars_sum": q_doc_chars_sum,
@@ -3660,6 +4082,12 @@ QUERIES = {
     "user_event_pairs_1h": q_user_event_pairs_1h,
     "local_supplier_revenue": q_local_supplier_revenue,
     "events_value_percentiles_cont": q_events_value_percentiles_cont,
+    "promo_revenue_share": q_promo_revenue_share,
+    "top_supplier_revenue": q_top_supplier_revenue,
+    "nation_pair_volume": q_nation_pair_volume,
+    "region_market_share": q_region_market_share,
+    "token_familiarity": q_token_familiarity,
+    "value_p50_by_type_cont": q_value_p50_by_type_cont,
     "events_value_mad": q_events_value_mad,
     "user_top_event_type": q_user_top_event_type,
     "nation_cust_supp": q_nation_cust_supp,
@@ -4065,6 +4493,77 @@ ORACLE_SQL = {
         "quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5) AS p50_cents, "
         "quantile_cont(CAST(round(value * 100) AS BIGINT), 0.75) AS p75_cents, "
         "count(*) AS n_events FROM events"
+    ),
+    "promo_revenue_share": (
+        "WITH x AS (SELECT CAST(round(l.l_extendedprice * (1 - l.l_discount) "
+        "* 100) AS BIGINT) AS cents, p.p_type = 'PROMO' AS is_promo "
+        "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+        "WHERE l.l_shipdate >= TIMESTAMP '1996-01-01' "
+        "AND l.l_shipdate < TIMESTAMP '1996-02-01') "
+        "SELECT CAST(sum(CASE WHEN is_promo THEN cents ELSE 0 END) AS BIGINT) "
+        "AS promo_cents, CAST(sum(cents) AS BIGINT) AS total_cents, "
+        "CAST(sum(CASE WHEN is_promo THEN cents ELSE 0 END) AS DOUBLE) "
+        "/ CAST(sum(cents) AS DOUBLE) AS promo_share FROM x"
+    ),
+    "top_supplier_revenue": (
+        "WITH rev AS (SELECT l_suppkey, CAST(sum(CAST(round(l_extendedprice "
+        "* (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_cents "
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+        "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY l_suppkey) "
+        "SELECT s.s_suppkey, s.s_name, r.total_cents AS total_revenue_cents "
+        "FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey "
+        "WHERE r.total_cents = (SELECT max(total_cents) FROM rev) "
+        "ORDER BY s.s_suppkey"
+    ),
+    "nation_pair_volume": (
+        "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+        "CAST(year(l.l_shipdate) AS BIGINT) AS l_year, "
+        "CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) "
+        "AS BIGINT)) AS BIGINT) AS revenue_cents "
+        "FROM supplier s, lineitem l, orders o, customer c, "
+        "nation n1, nation n2 "
+        "WHERE s.s_suppkey = l.l_suppkey AND o.o_orderkey = l.l_orderkey "
+        "AND c.c_custkey = o.o_custkey AND s.s_nationkey = n1.n_nationkey "
+        "AND c.c_nationkey = n2.n_nationkey "
+        "AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') "
+        "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) "
+        "AND l.l_shipdate >= TIMESTAMP '1995-01-01' "
+        "AND l.l_shipdate < TIMESTAMP '1997-01-01' "
+        "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
+    ),
+    "region_market_share": (
+        "WITH x AS (SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year, "
+        "CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT) "
+        "AS cents, s.s_nationkey = 2 AS is_target "
+        "FROM lineitem l, orders o, customer c, supplier s, nation n, region r "
+        "WHERE l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey "
+        "AND l.l_suppkey = s.s_suppkey AND c.c_nationkey = n.n_nationkey "
+        "AND n.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA' "
+        "AND o.o_orderdate >= TIMESTAMP '1995-01-01' "
+        "AND o.o_orderdate < TIMESTAMP '1997-01-01') "
+        "SELECT o_year, "
+        "CAST(sum(CASE WHEN is_target THEN cents ELSE 0 END) AS BIGINT) "
+        "AS target_cents, CAST(sum(cents) AS BIGINT) AS total_cents, "
+        "CAST(sum(CASE WHEN is_target THEN cents ELSE 0 END) AS DOUBLE) "
+        "/ CAST(sum(cents) AS DOUBLE) AS mkt_share "
+        "FROM x GROUP BY o_year ORDER BY o_year"
+    ),
+    "token_familiarity": (
+        "WITH s AS (SELECT doc_id, "
+        "regexp_replace(text, '^\\s+|\\s+$', '', 'g') AS st FROM documents), "
+        "w AS (SELECT doc_id, unnest(string_split_regex(st, '\\s+')) AS w "
+        "FROM s WHERE st <> ''), "
+        "c AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY w) "
+        "SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+        "CAST(sum(c.c) AS BIGINT) AS familiarity_sum, "
+        "CAST(sum(c.c) AS DOUBLE) / CAST(count(*) AS DOUBLE) "
+        "AS avg_familiarity "
+        "FROM w JOIN c USING (w) GROUP BY w.doc_id ORDER BY w.doc_id"
+    ),
+    "value_p50_by_type_cont": (
+        "SELECT event_type, "
+        "quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5) AS p50_cents "
+        "FROM events GROUP BY event_type ORDER BY event_type"
     ),
     "events_value_winsorized": (
         "WITH b AS (SELECT "
