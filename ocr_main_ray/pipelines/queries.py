@@ -4001,6 +4001,146 @@ def q_value_p50_by_type_cont(sf_dir: str):
         "p50_cents": pa.array([r[1] for r in rows], pa.float64())})
 
 
+# ---------------------------------------------------------------------------
+# global NTILE without a global sort: the bounded cents histogram yields each
+# distinct value's global base rank; equal-valued rows then co-locate via one
+# groupby and rank locally by event_id.  Bucket assignment replays the SQL
+# NTILE size rule (first n%k buckets get one extra row) on the exact global
+# rank, so the result matches ntile() row-for-row.
+# ---------------------------------------------------------------------------
+
+def q_events_value_ntile(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(batch.column("value"), 100.0)),
+                        pa.int64())
+        return pa.table({"event_id": batch.column("event_id"),
+                         "cents": cents})
+
+    tagged = ds.map_batches(partial, batch_format="pyarrow")
+    hist = (tagged.map_batches(
+        lambda t: t.group_by("cents").aggregate([("cents", "count")])
+        .rename_columns(["cents", "pn"]), batch_format="pyarrow")
+        .groupby("cents").aggregate(Sum("pn", alias_name="n"))
+        .to_pandas().sort_values("cents").reset_index(drop=True))
+    n_total = int(hist["n"].sum())
+    base = np.concatenate(([0], hist["n"].cumsum().to_numpy()[:-1]))
+    base_ref = ray.put(dict(zip(hist["cents"].astype("int64"), base)))
+    k = 4
+    q, r = divmod(n_total, k)
+
+    def assign(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("event_id")
+        b = ray.get(base_ref)[int(g["cents"].iloc[0])]
+        rank = b + np.arange(len(g))
+        big = r * (q + 1)
+        quart = np.where(rank < big, rank // max(q + 1, 1),
+                         r + (rank - big) // max(q, 1)) + 1
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
+                             "quartile": quart.astype("int64")})
+
+    out = (tagged.groupby("cents")
+           .map_groups(assign, batch_format="pandas").to_pandas())
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT / melt: wide per-doc metrics -> long (doc_id, metric, v) rows.
+# Embarrassingly parallel per-batch reshape; n_words reuses the word_count
+# whitespace-token contract.
+# ---------------------------------------------------------------------------
+
+def q_doc_metrics_unpivot(sf_dir: str):
+    def melt(batch: pd.DataFrame) -> pd.DataFrame:
+        nw = batch["text"].str.split().str.len().astype("int64")
+        wide = pd.DataFrame({"doc_id": batch["doc_id"],
+                             "n_chars": batch["n_chars"].astype("int64"),
+                             "n_words": nw})
+        long = wide.melt(id_vars="doc_id", var_name="metric", value_name="v")
+        return long.astype({"v": "int64"})
+
+    out = (_docs(sf_dir, ["doc_id", "text", "n_chars"])
+           .map_batches(melt, batch_format="pandas").to_pandas())
+    return out.sort_values(["doc_id", "metric"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# per-doc character-class profile (quality signal): ASCII alpha / digit /
+# whitespace / other counts via vectorized regex (explicit ASCII classes on
+# both sides — RE2's \s and Python's unicode \s disagree on exotic spaces).
+# The ratio is one division of exact integers.
+# ---------------------------------------------------------------------------
+
+def q_char_class_profile(sf_dir: str):
+    def profile(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["text"]
+        n = s.str.len().astype("int64")
+        alpha = s.str.count(r"[A-Za-z]").astype("int64")
+        digit = s.str.count(r"[0-9]").astype("int64")
+        space = s.str.count(r"[ \t\n\r\f]").astype("int64")
+        other = n - alpha - digit - space
+        ratio = np.where(n.to_numpy() > 0,
+                         alpha.to_numpy().astype(np.float64)
+                         / np.maximum(n.to_numpy(), 1).astype(np.float64),
+                         0.0)
+        return pd.DataFrame({"doc_id": batch["doc_id"], "n_chars_text": n,
+                             "n_alpha": alpha, "n_digit": digit,
+                             "n_space": space, "n_other": other,
+                             "alpha_ratio": ratio})
+
+    out = (_docs(sf_dir, ["doc_id", "text"])
+           .map_batches(profile, batch_format="pandas").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# collocation mining (PMI of the top-20 bigrams): distributed bigram and
+# unigram counts (both partial-agg shapes already proven by top_bigrams /
+# top_words); only the <= 20 winning bigrams and their <= 40 member words
+# ever reach the driver, where the PMI double is computed with the same
+# ln((p_ab)/(p_a*p_b)) association order as the oracle expression.
+# ---------------------------------------------------------------------------
+
+def q_bigram_pmi(sf_dir: str):
+    bg_counts = (_docs(sf_dir, ["doc_id", "text"])
+                 .map_batches(_bigram_partial, batch_format="pandas")
+                 .groupby("bg").aggregate(Sum("pn", alias_name="n")))
+    total_bigrams = int(bg_counts.sum("n"))
+    top = _topk(bg_counts, "n", "bg", 20)[["bg", "n"]]
+
+    words = set()
+    for b in top["bg"]:
+        a, c = b.split(" ", 1)
+        words.update((a, c))
+    words_ref = ray.put(words)
+
+    uni = (_docs(sf_dir, ["text"])
+           .map_batches(_word_freq_partial, batch_format="pandas")
+           .groupby("w").aggregate(Sum("pn", alias_name="c")))
+    total_tokens = int(uni.sum("c"))
+
+    def keep_members(batch: pd.DataFrame) -> pd.DataFrame:
+        ws = ray.get(words_ref)
+        return batch[batch["w"].isin(ws)]
+
+    members = (uni.map_batches(keep_members, batch_format="pandas")
+               .to_pandas())  # <= 40 rows
+    c_of = dict(zip(members["w"], members["c"].astype("int64")))
+
+    rows = []
+    for bg, n_ab in zip(top["bg"], top["n"].astype("int64")):
+        a, b = bg.split(" ", 1)
+        c_a, c_b = c_of[a], c_of[b]
+        pmi = math.log((n_ab / total_bigrams)
+                       / ((c_a / total_tokens) * (c_b / total_tokens)))
+        rows.append((bg, int(n_ab), int(c_a), int(c_b), pmi))
+    out = pd.DataFrame(rows, columns=["bg", "n_bigram", "n_a", "n_b", "pmi"])
+    return (out.sort_values(["n_bigram", "bg"], ascending=[False, True])
+            .reset_index(drop=True))
+
+
 QUERIES = {
     "doc_count": q_doc_count,
     "doc_chars_sum": q_doc_chars_sum,
@@ -4088,6 +4228,10 @@ QUERIES = {
     "region_market_share": q_region_market_share,
     "token_familiarity": q_token_familiarity,
     "value_p50_by_type_cont": q_value_p50_by_type_cont,
+    "events_value_ntile": q_events_value_ntile,
+    "doc_metrics_unpivot": q_doc_metrics_unpivot,
+    "char_class_profile": q_char_class_profile,
+    "bigram_pmi": q_bigram_pmi,
     "events_value_mad": q_events_value_mad,
     "user_top_event_type": q_user_top_event_type,
     "nation_cust_supp": q_nation_cust_supp,
@@ -4564,6 +4708,57 @@ ORACLE_SQL = {
         "SELECT event_type, "
         "quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5) AS p50_cents "
         "FROM events GROUP BY event_type ORDER BY event_type"
+    ),
+    "events_value_ntile": (
+        "SELECT event_id, ntile(4) OVER (ORDER BY "
+        "CAST(round(value * 100) AS BIGINT), event_id) AS quartile "
+        "FROM events ORDER BY event_id"
+    ),
+    "doc_metrics_unpivot": (
+        "WITH m AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, "
+        "CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0 "
+        "ELSE len(string_split_regex(regexp_replace(text, "
+        "'^\\s+|\\s+$', '', 'g'), '\\s+')) END AS n_words FROM documents) "
+        "SELECT doc_id, 'n_chars' AS metric, n_chars AS v FROM m "
+        "UNION ALL SELECT doc_id, 'n_words' AS metric, "
+        "CAST(n_words AS BIGINT) AS v FROM m ORDER BY doc_id, metric"
+    ),
+    "char_class_profile": (
+        "SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars_text, "
+        "CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha, "
+        "CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit, "
+        "CAST(len(regexp_extract_all(text, '[ \\t\\n\\r\\f]')) AS BIGINT) "
+        "AS n_space, "
+        "CAST(len(text) - len(regexp_extract_all(text, '[A-Za-z]')) "
+        "- len(regexp_extract_all(text, '[0-9]')) "
+        "- len(regexp_extract_all(text, '[ \\t\\n\\r\\f]')) AS BIGINT) "
+        "AS n_other, "
+        "CASE WHEN len(text) = 0 THEN 0.0 ELSE "
+        "CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) "
+        "/ CAST(len(text) AS DOUBLE) END AS alpha_ratio "
+        "FROM documents ORDER BY doc_id"
+    ),
+    "bigram_pmi": (
+        "WITH w AS (SELECT doc_id, unnest(ws) AS w, "
+        "generate_subscripts(ws, 1) AS pos FROM ("
+        "SELECT doc_id, string_split_regex("
+        "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS ws "
+        "FROM documents)), "
+        "u AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM w "
+        "WHERE w <> '' GROUP BY w), "
+        "t AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM u), "
+        "bg AS (SELECT a.w AS wa, b.w AS wb, a.w || ' ' || b.w AS bg, "
+        "CAST(count(*) AS BIGINT) AS n "
+        "FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
+        "WHERE a.w <> '' AND b.w <> '' GROUP BY 1, 2, 3), "
+        "bt AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM bg), "
+        "top AS (SELECT * FROM bg ORDER BY n DESC, bg LIMIT 20) "
+        "SELECT top.bg, top.n AS n_bigram, ua.c AS n_a, ub.c AS n_b, "
+        "ln((CAST(top.n AS DOUBLE) / bt.total) / "
+        "((CAST(ua.c AS DOUBLE) / t.total) * (CAST(ub.c AS DOUBLE) / t.total))) "
+        "AS pmi "
+        "FROM top, bt, t, u ua, u ub WHERE ua.w = top.wa AND ub.w = top.wb "
+        "ORDER BY n_bigram DESC, bg"
     ),
     "events_value_winsorized": (
         "WITH b AS (SELECT "
