@@ -404,8 +404,9 @@ class ShingleSets:
     broadcast semi-join, fetched once per actor, so the shingle shuffle
     moves only candidate docs, not the corpus."""
 
-    def __init__(self, ngram: int = 3, keep_ref=None):
+    def __init__(self, ngram: int = 3, keep_ref=None, mode: str = "shingle"):
         self.ngram = ngram
+        self.mode = mode  # "shingle" (word n-grams) or "words" (distinct words)
         self.keep = None
         if keep_ref is not None:
             import ray as _ray
@@ -418,7 +419,10 @@ class ShingleSets:
         ids = batch.column("doc_id").to_pylist()
         out = []
         for t in batch.column("text").to_pylist():
-            sh = shingles(t or "", self.ngram)
+            if self.mode == "words":
+                sh = {zlib.crc32(w.encode()) for w in (t or "").split()}
+            else:
+                sh = shingles(t or "", self.ngram)
             arr = np.fromiter(sh, dtype=np.uint32, count=len(sh))
             arr.sort()
             out.append(arr.tobytes())
@@ -458,7 +462,7 @@ def verify_pairs_distributed(cand_ds, docs_ds, ngram: int = 3,
                              threshold: float = 0.5,
                              num_partitions: int | None = None,
                              prune_limit: int = 5_000_000,
-                             concurrency=(1, 4)):
+                             concurrency=(1, 4), mode: str = "shingle"):
     """Distributed exact-Jaccard verification: join candidate pairs back to
     shingle sets — no driver-side text materialization (round-1 verdict
     fix #2).
@@ -513,7 +517,8 @@ def verify_pairs_distributed(cand_ds, docs_ds, ngram: int = 3,
         if ids_tbl.num_rows else [pairs_schema.empty_table()])
 
     sh_ds = docs_ds.map_batches(
-        ShingleSets, fn_constructor_kwargs={"ngram": ngram, "keep_ref": keep_ref},
+        ShingleSets, fn_constructor_kwargs={"ngram": ngram, "keep_ref": keep_ref,
+                                            "mode": mode},
         batch_format="pyarrow", concurrency=concurrency, num_cpus=1,
     )  # bounded: candidate docs only (or corpus if prune skipped)
 

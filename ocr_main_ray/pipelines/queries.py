@@ -4141,6 +4141,88 @@ def q_bigram_pmi(sf_dir: str):
             .reset_index(drop=True))
 
 
+# ---------------------------------------------------------------------------
+# exact set-similarity join via prefix filtering (PPJoin-style): a pair with
+# word-set Jaccard >= t MUST share a token inside each side's (|d| -
+# ceil(t*|d|) + 1)-token prefix when both sides order tokens by one global
+# (document-frequency, word) order — rare tokens first, so prefix buckets
+# stay small.  Candidates come from a token-keyed groupby (the only
+# exchange that touches every doc); verification joins only the candidate
+# pairs back to word sets.  Unlike MinHash this is EXACT: output equals the
+# brute-force Jaccard join, which is what the oracle computes.
+# ---------------------------------------------------------------------------
+
+def q_set_similarity_join(sf_dir: str):
+    from ..config import cluster_cpus
+    from ..rayops import fit_for_join
+
+    t = 0.5
+
+    def wordset_batch(b: pd.DataFrame) -> pd.DataFrame:
+        ws = b["text"].str.split().map(
+            lambda l: sorted(set(l)) if isinstance(l, list) else [])
+        return pd.DataFrame({"doc_id": b["doc_id"].astype("int64"),
+                             "w": ws}).explode("w").dropna()
+
+    tokens = (_docs(sf_dir, ["doc_id", "text"])
+              .map_batches(wordset_batch, batch_format="pandas"))
+    dfreq = (tokens.map_batches(
+        lambda tb: tb.select(["w"]).group_by("w")
+        .aggregate([("w", "count")]).rename_columns(["w", "pdf"]),
+        batch_format="pyarrow")
+        .groupby("w").aggregate(Sum("pdf", alias_name="df")))
+
+    tok_schema = pa.schema([("doc_id", pa.int64()), ("w", pa.large_string())])
+    df_schema = pa.schema([("w", pa.large_string()), ("df", pa.int64())])
+    nparts = max(2, min(16, cluster_cpus() // 2))
+    decorated = fit_for_join(tokens, tok_schema).join(
+        fit_for_join(dfreq, df_schema), join_type="inner",
+        num_partitions=nparts, on=("w",), right_on=("w",))
+
+    def prefix_of(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["df", "w"], kind="mergesort")
+        n = len(g)
+        plen = n - math.ceil(t * n) + 1
+        out = g.head(plen)[["doc_id", "w"]]
+        out["n"] = np.int64(n)
+        return out
+
+    prefixes = (decorated.groupby("doc_id")
+                .map_groups(prefix_of, batch_format="pandas"))
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g["doc_id"].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64")})
+        if len(ids) > 1000:  # degenerate bucket guard (boilerplate token)
+            ids = ids[:1000]
+        ai, bi = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"a": ids[ai].astype("int64"),
+                             "b": ids[bi].astype("int64")})
+
+    cand = (prefixes.groupby("w")
+            .map_groups(bucket_pairs, batch_format="pandas")
+            .to_pandas().drop_duplicates())  # bounded: pairs, not docs
+
+    # distributed exact verification (same join shape as MinHash verify —
+    # word sets, not shingles; texts never reach the driver)
+    from ..functions.dedup import verify_pairs_distributed
+    from ..rayops import concat_batches
+
+    cand_ds = rd.from_arrow(pa.table({
+        "a": pa.array(cand["a"].to_numpy(), pa.int64()),
+        "b": pa.array(cand["b"].to_numpy(), pa.int64())}))
+    verified = verify_pairs_distributed(
+        cand_ds, _docs(sf_dir, ["doc_id", "text"]), threshold=t, mode="words")
+    out = concat_batches(
+        verified.iter_batches(batch_size=1 << 20, batch_format="pyarrow"),
+        pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                   ("jaccard", pa.float64())])).select(["a", "b"])
+    return out.take(pc.sort_indices(out, sort_keys=[("a", "ascending"),
+                                                    ("b", "ascending")]))
+
+
 QUERIES = {
     "doc_count": q_doc_count,
     "doc_chars_sum": q_doc_chars_sum,
@@ -4228,6 +4310,7 @@ QUERIES = {
     "region_market_share": q_region_market_share,
     "token_familiarity": q_token_familiarity,
     "value_p50_by_type_cont": q_value_p50_by_type_cont,
+    "set_similarity_join": q_set_similarity_join,
     "events_value_ntile": q_events_value_ntile,
     "doc_metrics_unpivot": q_doc_metrics_unpivot,
     "char_class_profile": q_char_class_profile,
@@ -4708,6 +4791,21 @@ ORACLE_SQL = {
         "SELECT event_type, "
         "quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5) AS p50_cents "
         "FROM events GROUP BY event_type ORDER BY event_type"
+    ),
+    "set_similarity_join": (
+        "WITH w AS (SELECT DISTINCT doc_id, w FROM ("
+        "SELECT doc_id, unnest(string_split_regex(regexp_replace(text, "
+        "'^\\s+|\\s+$', '', 'g'), '\\s+')) AS w FROM documents) "
+        "WHERE w <> ''), "
+        "sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM w "
+        "GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS a, b.doc_id AS b, "
+        "CAST(count(*) AS BIGINT) AS i FROM w a JOIN w b "
+        "ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+        "SELECT a, b FROM inter "
+        "JOIN sz sa ON inter.a = sa.doc_id JOIN sz sb ON inter.b = sb.doc_id "
+        "WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5e0 "
+        "ORDER BY a, b"
     ),
     "events_value_ntile": (
         "SELECT event_id, ntile(4) OVER (ORDER BY "
