@@ -4223,6 +4223,121 @@ def q_set_similarity_join(sf_dir: str):
                                                     ("b", "ascending")]))
 
 
+# ---------------------------------------------------------------------------
+# rolling 7-day MEDIAN of daily revenue: same distributed daily fold as the
+# moving average; the interpolated window median runs on the bounded daily
+# series driver-side, mirroring quantile_cont's h=(n-1)/2 rule.
+# ---------------------------------------------------------------------------
+
+def q_events_value_7day_median(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch.column("ts"), unit="day")
+        cents = pc.cast(pc.round(pc.multiply(batch.column("value"), 100.0)),
+                        pa.int64())
+        g = (pa.table({"day": day, "cents": cents})
+             .group_by("day").aggregate([("cents", "sum")]))
+        return g.rename_columns(["day", "p_cents"])
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("day").aggregate(Sum("p_cents", alias_name="day_cents"))
+           .to_pandas().sort_values("day").reset_index(drop=True))
+    out["day"] = out["day"].astype("datetime64[us]")
+    out["day_cents"] = out["day_cents"].astype("int64")
+    c = out["day_cents"].to_numpy()
+    med = np.empty(len(c), np.float64)
+    for i in range(len(c)):
+        w = np.sort(c[max(0, i - 6):i + 1])
+        h = (len(w) - 1) * 0.5
+        lo = math.floor(h)
+        frac = h - lo
+        x_lo = float(w[lo])
+        med[i] = x_lo if frac == 0.0 else (
+            x_lo + (float(w[min(lo + 1, len(w) - 1)]) - x_lo) * frac)
+    out["med7_cents"] = med
+    return out[["day", "day_cents", "med7_cents"]]
+
+
+# ---------------------------------------------------------------------------
+# first-seen cohort sizes (new users per day): per-batch min-ts-per-user
+# partials -> one user-keyed groupby-min -> tiny day rollup.  The exchange
+# carries one row per user per block, never the event log.
+# ---------------------------------------------------------------------------
+
+def q_new_users_daily(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"user_id": batch.column("user_id"),
+                      "ts": batch.column("ts").cast(pa.int64())})
+        g = t.group_by("user_id").aggregate([("ts", "min")])
+        return g.rename_columns(["user_id", "p_ts"])
+
+    first = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("user_id").aggregate(Min("p_ts", alias_name="first_ts")))
+
+    def day_partial(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(
+            batch.column("first_ts").cast(pa.timestamp("us")), unit="day")
+        g = (pa.table({"day": day}).group_by("day")
+             .aggregate([("day", "count")]))
+        return g.rename_columns(["day", "pn"])
+
+    out = (first.map_batches(day_partial, batch_format="pyarrow")
+           .groupby("day").aggregate(Sum("pn", alias_name="n_new_users"))
+           .to_pandas().sort_values("day").reset_index(drop=True))
+    out["day"] = out["day"].astype("datetime64[us]")
+    out["n_new_users"] = out["n_new_users"].astype("int64")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# ratio-to-report: each nation's share of global order revenue.  The grand
+# total folds from the bounded per-nation table driver-side; each share is
+# one division of exact integer sums.
+# ---------------------------------------------------------------------------
+
+def q_revenue_share_by_nation(sf_dir: str):
+    per = q_revenue_by_nation(sf_dir).sort_values("n_name")
+    per["revenue_cents"] = per["revenue_cents"].astype("int64")
+    total = int(per["revenue_cents"].sum())
+    per = per.reset_index(drop=True)
+    per["revenue_share"] = (per["revenue_cents"].to_numpy().astype(np.float64)
+                            / np.float64(total))
+    return per[["n_name", "revenue_cents", "revenue_share"]]
+
+
+# ---------------------------------------------------------------------------
+# approximate quantiles via the mergeable stratified sketch — the
+# unbounded-domain scale path beside the exact cents-histogram percentile
+# queries.  <= QSK_K rows leave each block; the driver folds O(k x blocks)
+# rows.  Rows-only (approximate by design); the 1/(2k) rank-error bound is
+# asserted against exact nearest-rank in tests/test_sketch.py.
+# ---------------------------------------------------------------------------
+
+def q_events_value_approx_quantiles(sf_dir: str):
+    from ..functions.sketch import quantile_partial, quantile_query
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(batch.column("value"), 100.0)),
+                        pa.int64())
+        return quantile_partial(cents.to_numpy())
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow").to_pandas())
+    p50, p90, p99 = quantile_query(merged["qv"].to_numpy(),
+                                   merged["qw"].to_numpy(),
+                                   [0.5, 0.9, 0.99])
+    return pa.table({"p50_approx": pa.array([p50], pa.int64()),
+                     "p90_approx": pa.array([p90], pa.int64()),
+                     "p99_approx": pa.array([p99], pa.int64()),
+                     "n_events": pa.array([int(merged["qw"].sum())],
+                                          pa.int64())})
+
+
 QUERIES = {
     "doc_count": q_doc_count,
     "doc_chars_sum": q_doc_chars_sum,
@@ -4311,6 +4426,10 @@ QUERIES = {
     "token_familiarity": q_token_familiarity,
     "value_p50_by_type_cont": q_value_p50_by_type_cont,
     "set_similarity_join": q_set_similarity_join,
+    "events_value_7day_median": q_events_value_7day_median,
+    "new_users_daily": q_new_users_daily,
+    "revenue_share_by_nation": q_revenue_share_by_nation,
+    "events_value_approx_quantiles": q_events_value_approx_quantiles,
     "events_value_ntile": q_events_value_ntile,
     "doc_metrics_unpivot": q_doc_metrics_unpivot,
     "char_class_profile": q_char_class_profile,
@@ -4806,6 +4925,29 @@ ORACLE_SQL = {
         "JOIN sz sa ON inter.a = sa.doc_id JOIN sz sb ON inter.b = sb.doc_id "
         "WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5e0 "
         "ORDER BY a, b"
+    ),
+    "events_value_7day_median": (
+        "WITH d AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, "
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS day_cents "
+        "FROM events GROUP BY 1) "
+        "SELECT day, day_cents, median(day_cents) OVER w AS med7_cents "
+        "FROM d WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING "
+        "AND CURRENT ROW) ORDER BY day"
+    ),
+    "new_users_daily": (
+        "SELECT day, CAST(count(*) AS BIGINT) AS n_new_users FROM ("
+        "SELECT user_id, CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS day "
+        "FROM events GROUP BY user_id) GROUP BY day ORDER BY day"
+    ),
+    "revenue_share_by_nation": (
+        "WITH r AS (SELECT n_name, "
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+        "AS revenue_cents "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY n_name) "
+        "SELECT n_name, revenue_cents, CAST(revenue_cents AS DOUBLE) "
+        "/ CAST((SELECT CAST(sum(revenue_cents) AS BIGINT) FROM r) AS DOUBLE) "
+        "AS revenue_share FROM r ORDER BY n_name"
     ),
     "events_value_ntile": (
         "SELECT event_id, ntile(4) OVER (ORDER BY "

@@ -133,3 +133,45 @@ def test_bloom_empty_keyset():
     bits = bloom_build(np.array([], dtype=np.int64))
     probe = bloom_test(bits, np.arange(100, dtype=np.int64))
     assert probe.sum() <= 2  # essentially nothing passes an empty filter
+
+
+# ---------------------------------------------------------------------------
+# approximate-quantile sketch
+# ---------------------------------------------------------------------------
+
+def test_quantile_sketch_rank_error_bound():
+    import numpy as np
+    import pyarrow as pa
+
+    from ocr_main_ray.functions.sketch import (QSK_K, quantile_partial,
+                                               quantile_query)
+
+    rng = np.random.RandomState(7)
+    blocks = [rng.lognormal(5, 2, size=10_000).astype(np.int64)
+              for _ in range(20)]
+    parts = [quantile_partial(b) for b in blocks]
+    merged = pa.concat_tables(parts)
+    vals = merged.column("qv").to_numpy()
+    ws = merged.column("qw").to_numpy()
+    assert int(ws.sum()) == sum(len(b) for b in blocks)  # weights exact
+    assert len(vals) <= QSK_K * len(blocks)              # bounded merge input
+
+    everything = np.sort(np.concatenate(blocks))
+    n = len(everything)
+    for q, got in zip([0.5, 0.9, 0.99],
+                      quantile_query(vals, ws, [0.5, 0.9, 0.99])):
+        # realized rank of the returned value vs target rank
+        rank = np.searchsorted(everything, got, side="right")
+        assert abs(rank / n - q) < 2.5 / (2 * QSK_K) + 1e-9
+
+
+def test_quantile_sketch_exact_when_small():
+    import numpy as np
+
+    from ocr_main_ray.functions.sketch import quantile_partial, quantile_query
+
+    v = np.array([5, 1, 9, 3, 7], dtype=np.int64)
+    t = quantile_partial(v)  # k >= n -> every value kept, weight 1
+    assert t.column("qw").to_numpy().tolist() == [1] * 5
+    assert quantile_query(t.column("qv").to_numpy(),
+                          t.column("qw").to_numpy(), [0.5]) == [5]
