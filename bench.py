@@ -137,7 +137,8 @@ def run_bench() -> dict:
         for name in ("pricing_summary", "events_by_type", "revenue_by_segment",
                      "summary_by_lang", "dedup_exact", "docs_topk_chars",
                      "segment_dedup", "sequence_pack",
-                     "returned_revenue_topk", "bloom_semi_join"):
+                     "returned_revenue_topk", "bloom_semi_join",
+                     "local_supplier_revenue", "token_familiarity"):
             t0 = time.perf_counter()
             res = q.QUERIES[name](SF_DIR)
             if hasattr(res, "count") and not hasattr(res, "__len__"):

@@ -4338,6 +4338,95 @@ def q_events_value_approx_quantiles(sf_dir: str):
                                           pa.int64())})
 
 
+# ---------------------------------------------------------------------------
+# activity heatmap (day-of-week x hour): bounded 7x24 key space — pure
+# partial-agg shape.  Arrow's day_of_week is Monday=0; DuckDB's dayofweek is
+# Sunday=0 — shifted to the SQL convention before the fold.
+# ---------------------------------------------------------------------------
+
+def q_events_dow_hour_heatmap(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        dow_mon0 = pc.day_of_week(batch.column("ts"))  # Monday=0
+        dow = pc.if_else(pc.equal(dow_mon0, 6), pa.scalar(0, pa.int64()),
+                         pc.cast(pc.add(dow_mon0, 1), pa.int64()))
+        hour = pc.cast(pc.hour(batch.column("ts")), pa.int64())
+        g = (pa.table({"dow": dow, "hour": hour})
+             .group_by(["dow", "hour"]).aggregate([("dow", "count")]))
+        return g.rename_columns(["dow", "hour", "pn"])
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["dow", "hour"]).aggregate(Sum("pn", alias_name="n"))
+           .to_pandas().sort_values(["dow", "hour"]).reset_index(drop=True))
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# customer RFM (recency / frequency / monetary): the whole segmentation is
+# one grouped fold of three integer partials per customer per block.
+# ---------------------------------------------------------------------------
+
+def q_customer_rfm(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(batch.column("o_totalprice"),
+                                             100.0)), pa.int64())
+        t = pa.table({"o_custkey": batch.column("o_custkey"),
+                      "d": batch.column("o_orderdate").cast(pa.int64()),
+                      "cents": cents})
+        g = t.group_by("o_custkey").aggregate(
+            [("d", "max"), ("cents", "count"), ("cents", "sum")])
+        return g.rename_columns(["o_custkey", "p_last", "p_n", "p_cents"])
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("o_custkey")
+           .aggregate(Max("p_last", alias_name="last_order"),
+                      Sum("p_n", alias_name="n_orders"),
+                      Sum("p_cents", alias_name="total_cents"))
+           .to_pandas().sort_values("o_custkey").reset_index(drop=True))
+    out["last_order"] = out["last_order"].astype("datetime64[us]")
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["total_cents"] = out["total_cents"].astype("int64")
+    return out[["o_custkey", "last_order", "n_orders", "total_cents"]]
+
+
+# ---------------------------------------------------------------------------
+# EWMA of daily revenue: distributed daily integer fold, then the inherently
+# sequential recurrence runs over the bounded daily rows driver-side with
+# the SAME association order (0.3*x + 0.7*prev) as the oracle's recursive
+# CTE — bit-identical floats.
+# ---------------------------------------------------------------------------
+
+def q_events_value_ewma(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch.column("ts"), unit="day")
+        cents = pc.cast(pc.round(pc.multiply(batch.column("value"), 100.0)),
+                        pa.int64())
+        g = (pa.table({"day": day, "cents": cents})
+             .group_by("day").aggregate([("cents", "sum")]))
+        return g.rename_columns(["day", "p_cents"])
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("day").aggregate(Sum("p_cents", alias_name="day_cents"))
+           .to_pandas().sort_values("day").reset_index(drop=True))
+    out["day"] = out["day"].astype("datetime64[us]")
+    out["day_cents"] = out["day_cents"].astype("int64")
+    c = out["day_cents"].to_numpy()
+    ew = np.empty(len(c), np.float64)
+    if len(c):
+        ew[0] = float(c[0])
+        for i in range(1, len(c)):
+            ew[i] = 0.3 * float(c[i]) + 0.7 * ew[i - 1]
+    out["ewma_cents"] = ew
+    return out[["day", "day_cents", "ewma_cents"]]
+
+
 QUERIES = {
     "doc_count": q_doc_count,
     "doc_chars_sum": q_doc_chars_sum,
@@ -4430,6 +4519,9 @@ QUERIES = {
     "new_users_daily": q_new_users_daily,
     "revenue_share_by_nation": q_revenue_share_by_nation,
     "events_value_approx_quantiles": q_events_value_approx_quantiles,
+    "events_dow_hour_heatmap": q_events_dow_hour_heatmap,
+    "customer_rfm": q_customer_rfm,
+    "events_value_ewma": q_events_value_ewma,
     "events_value_ntile": q_events_value_ntile,
     "doc_metrics_unpivot": q_doc_metrics_unpivot,
     "char_class_profile": q_char_class_profile,
@@ -4925,6 +5017,30 @@ ORACLE_SQL = {
         "JOIN sz sa ON inter.a = sa.doc_id JOIN sz sb ON inter.b = sb.doc_id "
         "WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5e0 "
         "ORDER BY a, b"
+    ),
+    "events_dow_hour_heatmap": (
+        "SELECT CAST(dayofweek(ts) AS BIGINT) AS dow, "
+        "CAST(hour(ts) AS BIGINT) AS hour, CAST(count(*) AS BIGINT) AS n "
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
+    "customer_rfm": (
+        "SELECT o_custkey, max(o_orderdate) AS last_order, "
+        "CAST(count(*) AS BIGINT) AS n_orders, "
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+        "AS total_cents FROM orders GROUP BY o_custkey ORDER BY o_custkey"
+    ),
+    "events_value_ewma": (
+        "WITH RECURSIVE d AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) "
+        "AS day, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) "
+        "AS day_cents, row_number() OVER (ORDER BY "
+        "CAST(date_trunc('day', ts) AS TIMESTAMP)) AS rn "
+        "FROM events GROUP BY 1), "
+        "e AS (SELECT rn, day, day_cents, CAST(day_cents AS DOUBLE) AS "
+        "ewma_cents FROM d WHERE rn = 1 "
+        "UNION ALL SELECT d.rn, d.day, d.day_cents, "
+        "0.3e0 * CAST(d.day_cents AS DOUBLE) + 0.7e0 * e.ewma_cents "
+        "FROM d JOIN e ON d.rn = e.rn + 1) "
+        "SELECT day, day_cents, ewma_cents FROM e ORDER BY day"
     ),
     "events_value_7day_median": (
         "WITH d AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, "
