@@ -4427,6 +4427,184 @@ def q_events_value_ewma(sf_dir: str):
     return out[["day", "day_cents", "ewma_cents"]]
 
 
+# ---------------------------------------------------------------------------
+# Pareto concentration (top-decile revenue share): per-customer integer
+# revenue folds distributed (customer is a bounded dimension); the top-k
+# prefix and both divisions run on the bounded driver table with the
+# oracle's exact ceil(0.1*n) size rule and division order.
+# ---------------------------------------------------------------------------
+
+def q_customer_top_decile_share(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(batch.column("o_totalprice"),
+                                             100.0)), pa.int64())
+        g = (pa.table({"o_custkey": batch.column("o_custkey"),
+                       "cents": cents})
+             .group_by("o_custkey").aggregate([("cents", "sum")]))
+        return g.rename_columns(["o_custkey", "p_cents"])
+
+    per = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("o_custkey").aggregate(Sum("p_cents", alias_name="cents"))
+           .to_pandas())  # bounded by |customers with orders|
+    per["cents"] = per["cents"].astype("int64")
+    n = len(per)
+    total = int(per["cents"].sum())
+    k = int(math.ceil(0.1 * n))
+    top = (per.sort_values(["cents", "o_custkey"], ascending=[False, True])
+           .head(k))
+    top_cents = int(top["cents"].sum())
+    return pa.table({
+        "n_top": pa.array([k], pa.int64()),
+        "n_customers": pa.array([n], pa.int64()),
+        "top_cents": pa.array([top_cents], pa.int64()),
+        "revenue_share": pa.array([top_cents / total], pa.float64())})
+
+
+# ---------------------------------------------------------------------------
+# inter-event gap percentiles: per-user lag gaps computed inside user-hash
+# buckets (vectorized diff over the sorted bucket — the sessionization
+# exchange), truncated to whole seconds so the distinct-gap histogram stays
+# bounded; nearest-rank fold on the driver.
+# ---------------------------------------------------------------------------
+
+def q_user_gap_percentiles(sf_dir: str):
+    nb = _session_buckets()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+    ds = ds.map_batches(lambda t: _bucket_users(t, nb), batch_format="pyarrow")
+
+    def gaps_of(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        t = g["ts"].astype("int64").to_numpy()
+        if len(u) < 2:
+            return pd.DataFrame({"gap_s": pd.Series([], dtype="int64"),
+                                 "pn": pd.Series([], dtype="int64")})
+        same = u[1:] == u[:-1]
+        gap_s = (t[1:] - t[:-1])[same] // 1_000_000
+        vc = pd.Series(gap_s).value_counts()
+        return pd.DataFrame({"gap_s": vc.index.to_numpy(dtype="int64"),
+                             "pn": vc.to_numpy().astype("int64")})
+
+    hist = (ds.groupby("ubucket").map_groups(gaps_of, batch_format="pandas")
+            .groupby("gap_s").aggregate(Sum("pn", alias_name="n"))
+            .to_pandas().sort_values("gap_s").reset_index(drop=True))
+    cum = hist["n"].cumsum().to_numpy()
+    total = int(cum[-1])
+    vals = hist["gap_s"].to_numpy()
+
+    def pick(q: float) -> int:
+        rank = min(total, max(1, math.ceil(q * total)))
+        return int(vals[int(np.searchsorted(cum, rank))])
+
+    return pa.table({
+        "p50_gap_s": pa.array([pick(0.5)], pa.int64()),
+        "p90_gap_s": pa.array([pick(0.9)], pa.int64()),
+        "p99_gap_s": pa.array([pick(0.99)], pa.int64()),
+        "n_gaps": pa.array([total], pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# shuffle-skew audit: distribution of an md5-based partition key over the
+# corpus — the operational check that a planned hash shuffle has no hot
+# bucket.  256 hex-prefix buckets, per-batch partial counts, stats folded
+# from the bounded bucket table with oracle-mirrored division order.
+# ---------------------------------------------------------------------------
+
+def q_text_partition_skew(sf_dir: str):
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch["text"].map(
+            lambda t: hashlib.md5((t or "").encode()).hexdigest()[:2])
+        vc = b.value_counts()
+        return pd.DataFrame({"bucket": vc.index.to_numpy(dtype=object),
+                             "pn": vc.to_numpy().astype("int64")})
+
+    per = (_docs(sf_dir, ["text"])
+           .map_batches(partial, batch_format="pandas")
+           .groupby("bucket").aggregate(Sum("pn", alias_name="n"))
+           .to_pandas())  # <= 256 rows
+    per["n"] = per["n"].astype("int64")
+    n_buckets = len(per)
+    total = int(per["n"].sum())
+    mx, mn = int(per["n"].max()), int(per["n"].min())
+    avg = total / n_buckets
+    return pa.table({
+        "n_buckets": pa.array([n_buckets], pa.int64()),
+        "min_n": pa.array([mn], pa.int64()),
+        "max_n": pa.array([mx], pa.int64()),
+        "avg_n": pa.array([avg], pa.float64()),
+        "skew_ratio": pa.array([mx / avg], pa.float64())})
+
+
+# ---------------------------------------------------------------------------
+# Simpson diversity index per document: sum c_w*(c_w-1) / (n*(n-1)) over
+# word counts — both numerator and denominator are exact integers, one
+# division, so the float is oracle-stable.  Shuffle-free (per-doc kernel).
+# ---------------------------------------------------------------------------
+
+def q_doc_simpson_diversity(sf_dir: str):
+    def batch_fn(b: pd.DataFrame) -> pd.DataFrame:
+        words = b["text"].str.split()
+        n = words.str.len().fillna(0).astype("int64")
+
+        def rep_sum(ws):
+            if not isinstance(ws, list) or not ws:
+                return 0
+            vc = pd.Series(ws).value_counts().to_numpy()
+            return int((vc * (vc - 1)).sum())
+
+        rep = words.apply(rep_sum).astype("int64")
+        nn = n.to_numpy()
+        simpson = np.where(nn > 1,
+                           rep.to_numpy().astype(np.float64)
+                           / np.maximum(nn * (nn - 1), 1).astype(np.float64),
+                           0.0)
+        return pd.DataFrame({"doc_id": b["doc_id"], "n_words": n,
+                             "rep_pairs": rep, "simpson": simpson})
+
+    out = (_docs(sf_dir, ["doc_id", "text"])
+           .map_batches(batch_fn, batch_format="pandas").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# event-type transition matrix (Markov counts): consecutive event pairs per
+# user inside the user-hash-bucket exchange, vectorized shift compare; the
+# (from, to) rollup is bounded by |event types|^2.
+# ---------------------------------------------------------------------------
+
+def q_event_type_transitions(sf_dir: str):
+    nb = _session_buckets()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "event_type"])
+    ds = ds.map_batches(lambda t: _bucket_users(t, nb), batch_format="pyarrow")
+
+    def trans_of(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        if len(u) < 2:
+            return pd.DataFrame({"from_type": pd.Series([], dtype=object),
+                                 "to_type": pd.Series([], dtype=object),
+                                 "pn": pd.Series([], dtype="int64")})
+        same = u[1:] == u[:-1]
+        pairs = pd.DataFrame({"from_type": et[:-1][same],
+                              "to_type": et[1:][same]})
+        vc = pairs.groupby(["from_type", "to_type"]).size().rename("pn")
+        return vc.reset_index().astype({"pn": "int64"})
+
+    out = (ds.groupby("ubucket").map_groups(trans_of, batch_format="pandas")
+           .groupby(["from_type", "to_type"])
+           .aggregate(Sum("pn", alias_name="n"))
+           .to_pandas().sort_values(["from_type", "to_type"])
+           .reset_index(drop=True))
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
 QUERIES = {
     "doc_count": q_doc_count,
     "doc_chars_sum": q_doc_chars_sum,
@@ -4522,6 +4700,11 @@ QUERIES = {
     "events_dow_hour_heatmap": q_events_dow_hour_heatmap,
     "customer_rfm": q_customer_rfm,
     "events_value_ewma": q_events_value_ewma,
+    "customer_top_decile_share": q_customer_top_decile_share,
+    "user_gap_percentiles": q_user_gap_percentiles,
+    "text_partition_skew": q_text_partition_skew,
+    "doc_simpson_diversity": q_doc_simpson_diversity,
+    "event_type_transitions": q_event_type_transitions,
     "events_value_ntile": q_events_value_ntile,
     "doc_metrics_unpivot": q_doc_metrics_unpivot,
     "char_class_profile": q_char_class_profile,
@@ -5017,6 +5200,68 @@ ORACLE_SQL = {
         "JOIN sz sa ON inter.a = sa.doc_id JOIN sz sb ON inter.b = sb.doc_id "
         "WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5e0 "
         "ORDER BY a, b"
+    ),
+    "doc_simpson_diversity": (
+        "WITH s AS (SELECT doc_id, "
+        "regexp_replace(text, '^\\s+|\\s+$', '', 'g') AS st FROM documents), "
+        "w AS (SELECT doc_id, unnest(string_split_regex(st, '\\s+')) AS w "
+        "FROM s WHERE st <> ''), "
+        "c AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS cnt FROM w "
+        "GROUP BY doc_id, w), "
+        "m AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words, "
+        "CAST(sum(cnt * (cnt - 1)) AS BIGINT) AS rep_pairs FROM c "
+        "GROUP BY doc_id) "
+        "SELECT d.doc_id, coalesce(m.n_words, 0) AS n_words, "
+        "coalesce(m.rep_pairs, 0) AS rep_pairs, "
+        "CASE WHEN coalesce(m.n_words, 0) > 1 THEN "
+        "CAST(m.rep_pairs AS DOUBLE) "
+        "/ CAST(m.n_words * (m.n_words - 1) AS DOUBLE) ELSE 0.0 END "
+        "AS simpson "
+        "FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id "
+        "ORDER BY d.doc_id"
+    ),
+    "event_type_transitions": (
+        "WITH p AS (SELECT event_type AS to_type, lag(event_type) OVER ("
+        "PARTITION BY user_id ORDER BY ts, event_id) AS from_type "
+        "FROM events) "
+        "SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n FROM p "
+        "WHERE from_type IS NOT NULL "
+        "GROUP BY from_type, to_type ORDER BY from_type, to_type"
+    ),
+    "customer_top_decile_share": (
+        "WITH r AS (SELECT o_custkey, "
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+        "AS cents FROM orders GROUP BY o_custkey), "
+        "t AS (SELECT CAST(sum(cents) AS BIGINT) AS total, "
+        "CAST(count(*) AS BIGINT) AS n FROM r), "
+        "k AS (SELECT CAST(ceil(0.1e0 * n) AS BIGINT) AS kk FROM t), "
+        "top AS (SELECT cents FROM r ORDER BY cents DESC, o_custkey "
+        "LIMIT (SELECT kk FROM k)) "
+        "SELECT (SELECT kk FROM k) AS n_top, t.n AS n_customers, "
+        "(SELECT CAST(sum(cents) AS BIGINT) FROM top) AS top_cents, "
+        "CAST((SELECT CAST(sum(cents) AS BIGINT) FROM top) AS DOUBLE) "
+        "/ CAST(t.total AS DOUBLE) AS revenue_share FROM t"
+    ),
+    "user_gap_percentiles": (
+        "WITH g AS (SELECT (epoch_us(ts) - lag(epoch_us(ts)) OVER ("
+        "PARTITION BY user_id ORDER BY ts, event_id)) // 1000000 AS gap_s "
+        "FROM events) "
+        "SELECT quantile_disc(gap_s, 0.5) AS p50_gap_s, "
+        "quantile_disc(gap_s, 0.9) AS p90_gap_s, "
+        "quantile_disc(gap_s, 0.99) AS p99_gap_s, "
+        "CAST(count(gap_s) AS BIGINT) AS n_gaps FROM g "
+        "WHERE gap_s IS NOT NULL"
+    ),
+    "text_partition_skew": (
+        "WITH b AS (SELECT substr(md5(text), 1, 2) AS bucket, "
+        "CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1), "
+        "s AS (SELECT CAST(count(*) AS BIGINT) AS n_buckets, "
+        "CAST(min(n) AS BIGINT) AS min_n, CAST(max(n) AS BIGINT) AS max_n, "
+        "CAST(sum(n) AS BIGINT) AS total FROM b) "
+        "SELECT n_buckets, min_n, max_n, "
+        "CAST(total AS DOUBLE) / CAST(n_buckets AS DOUBLE) AS avg_n, "
+        "CAST(max_n AS DOUBLE) / (CAST(total AS DOUBLE) "
+        "/ CAST(n_buckets AS DOUBLE)) AS skew_ratio FROM s"
     ),
     "events_dow_hour_heatmap": (
         "SELECT CAST(dayofweek(ts) AS BIGINT) AS dow, "
