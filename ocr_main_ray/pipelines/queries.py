@@ -4605,6 +4605,88 @@ def q_event_type_transitions(sf_dir: str):
     return out
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q6 analogue (forecast revenue change): pure scan-side predicate fold
+# — date/discount/quantity filters pushed into the parquet read, one integer
+# partial row per batch, no shuffle at all.
+# ---------------------------------------------------------------------------
+
+def q_forecast_revenue(sf_dir: str):
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1997-01-01")
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount"],
+        filter=((pds.field("l_shipdate") >= lo)
+                & (pds.field("l_shipdate") < hi)
+                & (pds.field("l_discount") >= 0.05)
+                & (pds.field("l_discount") <= 0.07)
+                & (pds.field("l_quantity") < 24.0)))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(
+            pc.multiply(pc.multiply(batch.column("l_extendedprice"),
+                                    batch.column("l_discount")),
+                        pa.scalar(100.0)),
+            round_mode="half_towards_infinity"), pa.int64())
+        return pa.table({
+            "p_cents": pa.array([int(cents.to_numpy().sum())], pa.int64()),
+            "p_n": pa.array([batch.num_rows], pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .aggregate(Sum("p_cents", alias_name="c"),
+                      Sum("p_n", alias_name="n")))
+    return pa.table({
+        "revenue_cents": pa.array([int(agg["c"] or 0)], pa.int64()),
+        "n_lineitems": pa.array([int(agg["n"] or 0)], pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4 analogue (priority counts over a semi join): orders in a window
+# having at least one RETURNED lineitem.  The lineitem side collapses to
+# DISTINCT orderkeys inside map_batches (returnflag filter pushed into the
+# scan), meets the date-filtered orders projection in one hash join, and the
+# priority rollup is bounded by |priorities|.
+# ---------------------------------------------------------------------------
+
+def q_priority_returned_orders(sf_dir: str):
+    from ..config import cluster_cpus
+    from ..rayops import fit_for_join
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey"],
+                         filter=(pds.field("l_returnflag") == "R"))
+    keys = (li.map_batches(
+        lambda t: t.group_by("l_orderkey").aggregate([]).rename_columns(
+            ["o_orderkey"]),
+        batch_format="pyarrow")       # per-block distinct partial ...
+        .groupby("o_orderkey").aggregate(Count(alias_name="nc"))
+        .map_batches(lambda t: t.select(["o_orderkey"]),
+                     batch_format="pyarrow"))  # ... then exact global distinct
+    lo, hi = pd.Timestamp("1995-01-01"), pd.Timestamp("1996-01-01")
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"],
+        filter=((pds.field("o_orderdate") >= lo)
+                & (pds.field("o_orderdate") < hi)))
+    nparts = max(2, min(16, cluster_cpus() // 2))
+    key_schema = pa.schema([("o_orderkey", pa.int64())])
+    ord_schema = pa.schema([("o_orderkey", pa.int64()),
+                            ("o_orderpriority", pa.string())])
+    joined = fit_for_join(orders, ord_schema).join(
+        fit_for_join(keys, key_schema), join_type="inner",
+        num_partitions=nparts, on=("o_orderkey",), right_on=("o_orderkey",))
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_orderpriority").aggregate([("o_orderkey", "count")])
+        return g.rename_columns(["o_orderpriority", "pn"])
+
+    out = (joined.map_batches(fold, batch_format="pyarrow")
+           .groupby("o_orderpriority").aggregate(Sum("pn", alias_name="n"))
+           .to_pandas().sort_values("o_orderpriority").reset_index(drop=True))
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
 QUERIES = {
     "doc_count": q_doc_count,
     "doc_chars_sum": q_doc_chars_sum,
@@ -4705,6 +4787,8 @@ QUERIES = {
     "text_partition_skew": q_text_partition_skew,
     "doc_simpson_diversity": q_doc_simpson_diversity,
     "event_type_transitions": q_event_type_transitions,
+    "forecast_revenue": q_forecast_revenue,
+    "priority_returned_orders": q_priority_returned_orders,
     "events_value_ntile": q_events_value_ntile,
     "doc_metrics_unpivot": q_doc_metrics_unpivot,
     "char_class_profile": q_char_class_profile,
@@ -5200,6 +5284,23 @@ ORACLE_SQL = {
         "JOIN sz sa ON inter.a = sa.doc_id JOIN sz sb ON inter.b = sb.doc_id "
         "WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5e0 "
         "ORDER BY a, b"
+    ),
+    "forecast_revenue": (
+        "SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100) "
+        "AS BIGINT)) AS BIGINT) AS revenue_cents, "
+        "CAST(count(*) AS BIGINT) AS n_lineitems FROM lineitem "
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+        "AND l_shipdate < TIMESTAMP '1997-01-01' "
+        "AND l_discount >= 0.05e0 AND l_discount <= 0.07e0 "
+        "AND l_quantity < 24e0"
+    ),
+    "priority_returned_orders": (
+        "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n "
+        "FROM orders o WHERE o.o_orderdate >= TIMESTAMP '1995-01-01' "
+        "AND o.o_orderdate < TIMESTAMP '1996-01-01' "
+        "AND EXISTS (SELECT 1 FROM lineitem l "
+        "WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R') "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"
     ),
     "doc_simpson_diversity": (
         "WITH s AS (SELECT doc_id, "
