@@ -31,6 +31,23 @@ import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
 
+def _join_parts(sf_dir: str, table: str, rows_per_part: int = 1_500_000) -> int:
+    """AQE-style data-aware hash-join partition count: ceil(rows of the
+    larger input table / rows_per_part), clamped to [2, cluster_cpus()].
+    Each join partition is a hash-shuffle aggregator actor holding a CPU
+    slot — at small inputs fewer actors start faster (measured 10.6 -> 7.5 s
+    on the sf0.1 5-table join), while at 100-TB inputs the count grows with
+    the data up to the cluster cap.  Row counts come from parquet metadata
+    (free — no scan)."""
+    import pyarrow.parquet as pq
+
+    from ..config import cluster_cpus
+
+    rows = pq.read_metadata(f"{sf_dir}/{table}.parquet").num_rows
+    need = -(-rows // rows_per_part)
+    return int(max(2, min(max(2, cluster_cpus()), need)))
+
+
 def _docs(sf_dir: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
@@ -378,7 +395,7 @@ def q_customer_order_counts(sf_dir: str):
 
     from ..rayops import fit_for_join
 
-    nparts = max(2, min(16, cluster_cpus() // 2))
+    nparts = _join_parts(sf_dir, "orders")
     counts_schema = pa.schema([("o_custkey", pa.int64()), ("n", pa.int64())])
 
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
@@ -1032,7 +1049,7 @@ def q_customers_lapsed(sf_dir: str):
 
     from ..rayops import fit_for_join
 
-    nparts = max(2, min(16, cluster_cpus() // 2))
+    nparts = _join_parts(sf_dir, "orders")
     keys_schema = pa.schema([("o_custkey", pa.int64()), ("pn", pa.int64())])
 
     recent = rd.read_parquet(
@@ -1517,7 +1534,7 @@ def _docfreq_partial(batch: pd.DataFrame) -> pd.DataFrame:
 def q_doc_top_terms(sf_dir: str):
     from ..config import cluster_cpus
 
-    nparts = max(2, min(16, cluster_cpus() // 2))
+    nparts = _join_parts(sf_dir, "documents")
     from ..rayops import fit_for_join
 
     df_schema = pa.schema([("w", pa.string()), ("df", pa.int64())])
@@ -2434,7 +2451,7 @@ def q_shipping_priority(sf_dir: str):
     od_schema = pa.schema([("o_orderkey", pa.int64()),
                            ("o_orderdate", pa.timestamp("us")),
                            ("o_orderpriority", pa.string())])
-    nparts = max(2, min(16, cluster_cpus() // 2))
+    nparts = _join_parts(sf_dir, "lineitem")
     joined = fit_for_join(li_agg, li_schema).join(
         fit_for_join(od, od_schema), join_type="inner",
         num_partitions=nparts, on=("l_orderkey",), right_on=("o_orderkey",))
@@ -2587,7 +2604,7 @@ def q_big_orders_report(sf_dir: str):
     from ..config import cluster_cpus
     from ..rayops import fit_for_join
 
-    nparts = max(2, min(16, cluster_cpus() // 2))
+    nparts = _join_parts(sf_dir, "lineitem")
     win_schema = pa.schema([("o_orderkey", pa.int64()),
                             ("total_qty", pa.int64())])
     # HAVING filter leaves ~1% of orders — still linear in the fact table,
@@ -2654,7 +2671,7 @@ def q_returned_revenue_topk(sf_dir: str):
     from ..config import cluster_cpus
     from ..rayops import fit_for_join
 
-    nparts = max(2, min(16, cluster_cpus() // 2))
+    nparts = _join_parts(sf_dir, "lineitem")
     rev_schema = pa.schema([("o_orderkey", pa.int64()),
                             ("rev_cents", pa.int64())])
     li = rd.read_parquet(
@@ -3518,7 +3535,7 @@ def q_local_supplier_revenue(sf_dir: str):
                 & (pds.field("o_orderdate") < hi)))
     rhs = orders.map_batches(_OrderNat, fn_constructor_kwargs={"ref": cust_ref},
                              batch_format="pyarrow", concurrency=(1, 4))
-    nparts = max(2, min(16, cluster_cpus() // 2))
+    nparts = _join_parts(sf_dir, "lineitem")
     joined = lhs.join(rhs, join_type="inner", num_partitions=nparts,
                       on=("o_orderkey",), right_on=("o_orderkey",))
 
@@ -3762,7 +3779,7 @@ def q_nation_pair_volume(sf_dir: str):
                          "cust_nation": pa.array([], pa.string()),
                          "l_year": pa.array([], pa.int64()),
                          "revenue_cents": pa.array([], pa.int64())})
-    nparts = max(2, min(16, cluster_cpus() // 2))
+    nparts = _join_parts(sf_dir, "lineitem")
     joined = lhs.join(rhs, join_type="inner", num_partitions=nparts,
                       on=("o_orderkey",), right_on=("o_orderkey",))
 
@@ -3879,7 +3896,7 @@ def q_region_market_share(sf_dir: str):
                          "target_cents": pa.array([], pa.int64()),
                          "total_cents": pa.array([], pa.int64()),
                          "mkt_share": pa.array([], pa.float64())})
-    nparts = max(2, min(16, cluster_cpus() // 2))
+    nparts = _join_parts(sf_dir, "lineitem")
     joined = lhs.join(rhs, join_type="inner", num_partitions=nparts,
                       on=("o_orderkey",), right_on=("o_orderkey",))
 
@@ -3931,7 +3948,7 @@ def q_token_familiarity(sf_dir: str):
                            ("tf", pa.int64())])
     ct_schema = pa.schema([("w", pa.large_string()), ("c", pa.int64())])
     from ..config import cluster_cpus
-    nparts = max(2, min(16, cluster_cpus() // 2))
+    nparts = _join_parts(sf_dir, "documents")
     joined = fit_for_join(tf, tf_schema).join(
         fit_for_join(counts, ct_schema), join_type="inner",
         num_partitions=nparts, on=("w",), right_on=("w",))
@@ -4174,7 +4191,7 @@ def q_set_similarity_join(sf_dir: str):
 
     tok_schema = pa.schema([("doc_id", pa.int64()), ("w", pa.large_string())])
     df_schema = pa.schema([("w", pa.large_string()), ("df", pa.int64())])
-    nparts = max(2, min(16, cluster_cpus() // 2))
+    nparts = _join_parts(sf_dir, "documents")
     decorated = fit_for_join(tokens, tok_schema).join(
         fit_for_join(dfreq, df_schema), join_type="inner",
         num_partitions=nparts, on=("w",), right_on=("w",))
@@ -4668,7 +4685,7 @@ def q_priority_returned_orders(sf_dir: str):
         columns=["o_orderkey", "o_orderpriority"],
         filter=((pds.field("o_orderdate") >= lo)
                 & (pds.field("o_orderdate") < hi)))
-    nparts = max(2, min(16, cluster_cpus() // 2))
+    nparts = _join_parts(sf_dir, "lineitem")
     key_schema = pa.schema([("o_orderkey", pa.int64())])
     ord_schema = pa.schema([("o_orderkey", pa.int64()),
                             ("o_orderpriority", pa.string())])
