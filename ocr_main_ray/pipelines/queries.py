@@ -4704,6 +4704,74 @@ def q_priority_returned_orders(sf_dir: str):
     return out
 
 
+# ---------------------------------------------------------------------------
+# grouped linear-regression slope (value trend per event type): five exact
+# int64 moment sums per (type, block) partial — x is whole days since epoch,
+# y is cents, both bounded so the products stay inside int64 — assembled
+# driver-side with the oracle's exact (n*Sxy - Sx*Sy) / (n*Sxx - Sx*Sx)
+# term order in DOUBLE.
+# ---------------------------------------------------------------------------
+
+def q_value_trend_by_type(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = pc.divide(batch.column("ts").cast(pa.int64()),
+                      pa.scalar(86_400_000_000, pa.int64()))  # whole days
+        y = pc.cast(pc.round(pc.multiply(batch.column("value"), 100.0)),
+                    pa.int64())
+        xy = pc.multiply(x, y)
+        xx = pc.multiply(x, x)
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "x": x, "y": y, "xy": xy, "xx": xx,
+                      "one": pa.array(np.ones(batch.num_rows, np.int64))})
+        g = t.group_by("event_type").aggregate(
+            [("one", "sum"), ("x", "sum"), ("y", "sum"),
+             ("xy", "sum"), ("xx", "sum")])
+        return g.rename_columns(["event_type", "pn", "px", "py", "pxy", "pxx"])
+
+    m = (ds.map_batches(partial, batch_format="pyarrow")
+         .groupby("event_type")
+         .aggregate(Sum("pn", alias_name="n"), Sum("px", alias_name="sx"),
+                    Sum("py", alias_name="sy"), Sum("pxy", alias_name="sxy"),
+                    Sum("pxx", alias_name="sxx"))
+         .to_pandas().sort_values("event_type").reset_index(drop=True))
+    n = m["n"].to_numpy().astype(np.float64)
+    sx = m["sx"].to_numpy().astype(np.float64)
+    sy = m["sy"].to_numpy().astype(np.float64)
+    sxy = m["sxy"].to_numpy().astype(np.float64)
+    sxx = m["sxx"].to_numpy().astype(np.float64)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return pa.table({
+        "event_type": pa.array(m["event_type"], pa.string()),
+        "n": pa.array(m["n"].astype("int64"), pa.int64()),
+        "slope_cents_per_day": pa.array(slope, pa.float64())})
+
+
+# ---------------------------------------------------------------------------
+# cume_dist window per user: rank-le count / n — both exact integers inside
+# the user-hash bucket, one division per row.
+# ---------------------------------------------------------------------------
+
+def _cume_dist_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    r = g.groupby("user_id")["value"].rank(method="max", ascending=True)
+    n = g.groupby("user_id")["value"].transform("count")
+    return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
+                         "user_id": g["user_id"].to_numpy(),
+                         "cd": r.to_numpy() / n.to_numpy()})
+
+
+def q_user_value_cume_dist(sf_dir: str):
+    nb = _session_buckets()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "value"])
+    ds = ds.map_batches(lambda t: _bucket_users(t, nb), batch_format="pyarrow")
+    out = ds.groupby("ubucket").map_groups(_cume_dist_bucket,
+                                           batch_format="pandas").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 QUERIES = {
     "doc_count": q_doc_count,
     "doc_chars_sum": q_doc_chars_sum,
@@ -4806,6 +4874,8 @@ QUERIES = {
     "event_type_transitions": q_event_type_transitions,
     "forecast_revenue": q_forecast_revenue,
     "priority_returned_orders": q_priority_returned_orders,
+    "value_trend_by_type": q_value_trend_by_type,
+    "user_value_cume_dist": q_user_value_cume_dist,
     "events_value_ntile": q_events_value_ntile,
     "doc_metrics_unpivot": q_doc_metrics_unpivot,
     "char_class_profile": q_char_class_profile,
@@ -5301,6 +5371,27 @@ ORACLE_SQL = {
         "JOIN sz sa ON inter.a = sa.doc_id JOIN sz sb ON inter.b = sb.doc_id "
         "WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5e0 "
         "ORDER BY a, b"
+    ),
+    "value_trend_by_type": (
+        "WITH m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(epoch_us(ts) // 86400000000) AS BIGINT) AS sx, "
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sy, "
+        "CAST(sum((epoch_us(ts) // 86400000000) "
+        "* CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sxy, "
+        "CAST(sum((epoch_us(ts) // 86400000000) "
+        "* (epoch_us(ts) // 86400000000)) AS BIGINT) AS sxx "
+        "FROM events GROUP BY event_type) "
+        "SELECT event_type, n, "
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) "
+        "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) "
+        "/ (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
+        "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope_cents_per_day "
+        "FROM m ORDER BY event_type"
+    ),
+    "user_value_cume_dist": (
+        "SELECT event_id, user_id, cume_dist() OVER ("
+        "PARTITION BY user_id ORDER BY value) AS cd "
+        "FROM events ORDER BY event_id"
     ),
     "forecast_revenue": (
         "SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100) "
