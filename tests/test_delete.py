@@ -1,0 +1,63 @@
+"""Targeted deletion / compaction (state/delete.py): partition-local
+rewrites, footer-statistics pruning, atomicity of untouched files."""
+import pathlib
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ocr_main_ray.state.delete import delete_keys
+
+
+def _write_parts(root: pathlib.Path):
+    # three "partitions" with disjoint doc_id ranges -> footer stats prune
+    for lo, name in [(0, "a"), (1000, "b"), (2000, "c")]:
+        d = root / f"part={name}"
+        d.mkdir(parents=True)
+        t = pa.table({"doc_id": pa.array(range(lo, lo + 100), pa.int64()),
+                      "text": pa.array([f"doc {i}" for i in range(100)])})
+        pq.write_table(t, d / "data.parquet")
+
+
+def test_delete_rewrites_only_hit_partitions(tmp_path):
+    _write_parts(tmp_path)
+    before = {p: p.stat().st_mtime_ns
+              for p in tmp_path.rglob("*.parquet")}
+    audit = delete_keys(str(tmp_path), [1005, 1010, 2099])
+    assert audit["files_scanned"] == 3
+    assert audit["files_pruned"] == 1          # part=a never read
+    assert audit["files_rewritten"] == 2
+    assert audit["rows_removed"] == 3
+    # untouched partition file is bit-identical (same inode mtime)
+    a_file = next(tmp_path.glob("part=a/*.parquet"))
+    assert a_file.stat().st_mtime_ns == before[a_file]
+    # deleted ids are gone, everything else intact
+    left = pq.read_table(tmp_path / "part=b" / "data.parquet")
+    ids = set(left.column("doc_id").to_pylist())
+    assert 1005 not in ids and 1010 not in ids and len(ids) == 98
+    c = pq.read_table(tmp_path / "part=c" / "data.parquet")
+    assert 2099 not in set(c.column("doc_id").to_pylist())
+
+
+def test_delete_no_hits_rewrites_nothing(tmp_path):
+    _write_parts(tmp_path)
+    audit = delete_keys(str(tmp_path), [99999])
+    assert audit["files_rewritten"] == 0
+    assert audit["rows_removed"] == 0
+
+
+def test_delete_empty_keys(tmp_path):
+    _write_parts(tmp_path)
+    audit = delete_keys(str(tmp_path), [])
+    assert audit == {"files_scanned": 0, "files_pruned": 0,
+                     "files_rewritten": 0, "rows_removed": 0, "records": []}
+
+
+def test_delete_within_range_but_absent(tmp_path):
+    # key inside a file's [min,max] but not present: file is read, found
+    # clean, NOT rewritten (no churn)
+    _write_parts(tmp_path)
+    audit = delete_keys(str(tmp_path), [1000])  # present -> removed
+    assert audit["rows_removed"] == 1
+    audit2 = delete_keys(str(tmp_path), [1000])  # now absent, range hits
+    assert audit2["rows_removed"] == 0
+    assert audit2["files_rewritten"] == 0
