@@ -116,6 +116,18 @@ def cmd_info(args) -> int:
     return 0
 
 
+def cmd_delete(args) -> int:
+    from .state.delete import delete_keys
+
+    keys = [int(k) if k.lstrip("-").isdigit() else k
+            for k in args.ids.split(",") if k != ""]
+    audit = delete_keys(args.data_dir, keys, key_col=args.key_col)
+    if not args.verbose:
+        audit.pop("records", None)
+    print(json.dumps({"status": "ok", **audit}))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="ocr_main_ray",
                                 description="Ray-Data-native extraction engine")
@@ -145,6 +157,15 @@ def build_parser() -> argparse.ArgumentParser:
 
     inf = sub.add_parser("info", help="engine metadata")
     inf.set_defaults(fn=cmd_info)
+
+    dl = sub.add_parser("delete", help="targeted deletion with "
+                        "partition-local compaction (footer-stats pruning)")
+    dl.add_argument("data_dir", help="parquet output dir (recursed)")
+    dl.add_argument("ids", help="comma-separated key values to delete")
+    dl.add_argument("--key-col", default="doc_id")
+    dl.add_argument("--verbose", action="store_true",
+                    help="include the per-file audit records")
+    dl.set_defaults(fn=cmd_delete)
     return p
 
 

@@ -61,3 +61,18 @@ def test_delete_within_range_but_absent(tmp_path):
     audit2 = delete_keys(str(tmp_path), [1000])  # now absent, range hits
     assert audit2["rows_removed"] == 0
     assert audit2["files_rewritten"] == 0
+
+
+def test_delete_cli_roundtrip(tmp_path):
+    import json
+    import subprocess
+    import sys
+
+    _write_parts(tmp_path)
+    r = subprocess.run(
+        [sys.executable, "-m", "ocr_main_ray.cli", "delete",
+         str(tmp_path), "5,1001"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr
+    out = json.loads(r.stdout)
+    assert out["status"] == "ok" and out["rows_removed"] == 2
