@@ -93,3 +93,74 @@ def dedup_table(tbl: pa.Table) -> pa.Table:
     """Single-node oracle used by tests and the golden generator: identical
     semantics, no shuffle."""
     return _keep_first_sorted(tbl)
+
+
+# ---------------------------------------------------------------------------
+# incremental-ingest dedup: filter a NEW batch of documents against an
+# already-ingested corpus without re-shuffling the corpus.
+# ---------------------------------------------------------------------------
+
+def incremental_new_docs(new_ds: "ray.data.Dataset",
+                         seen_hashes: "np.ndarray",
+                         text_col: str = "text") -> "ray.data.Dataset":
+    """Rows of ``new_ds`` whose content hash is NOT in ``seen_hashes``.
+
+    Scale shape: the historical corpus is represented by its int64 content
+    hashes (one pass at ingest time, stored beside the output parquet —
+    ~8 bytes/doc, so 10^12 docs is ~8 TB spread across the cluster, and a
+    per-node Bloom filter of it is ~2 GB at 16 bits/key).  Here the Bloom
+    bits (built once, `functions.sketch.bloom_build`) are broadcast via
+    ray.put and every new batch probes them vectorized; only Bloom
+    POSITIVES (FP rate ~6e-5) are re-checked exactly against the sorted
+    hash array — so the exact check touches ~0 rows when the batch is
+    genuinely new, and the result is EXACT, never probabilistic.
+    """
+    import ray as _ray
+
+    from ..functions.sketch import bloom_build, bloom_test
+
+    seen_sorted = np.sort(np.asarray(seen_hashes, dtype=np.int64))
+    bits_ref = _ray.put(bloom_build(seen_sorted))
+    seen_ref = _ray.put(seen_sorted)
+
+    class _Filter:
+        def __init__(self):
+            self.bits = _ray.get(bits_ref)
+            self.seen = _ray.get(seen_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return batch
+            h = np.fromiter(
+                (np.int64(zlib.crc32(t.encode("utf-8"))
+                          | (len(t) << 32))
+                 for t in batch.column(text_col).to_pylist()),
+                dtype=np.int64, count=batch.num_rows)
+            maybe = bloom_test(self.bits, h)
+            exact = np.zeros(len(h), dtype=bool)
+            if maybe.any():
+                pos = np.searchsorted(self.seen, h[maybe])
+                pos = np.clip(pos, 0, len(self.seen) - 1)
+                exact[maybe] = self.seen[pos] == h[maybe] if len(self.seen) \
+                    else False
+            return batch.filter(pa.array(~exact))
+
+    return new_ds.map_batches(_Filter, batch_format="pyarrow",
+                              concurrency=(1, 4))
+
+
+def content_hashes(ds: "ray.data.Dataset", text_col: str = "text") -> "np.ndarray":
+    """One distributed pass producing the int64 content-hash array the
+    incremental filter consumes (crc32 | length<<32 — the same key)."""
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        h = np.fromiter(
+            (np.int64(zlib.crc32(t.encode("utf-8")) | (len(t) << 32))
+             for t in batch.column(text_col).to_pylist()),
+            dtype=np.int64, count=batch.num_rows)
+        return pa.table({"h": pa.array(h, pa.int64())})
+
+    parts = [b.column("h").to_numpy() for b in
+             ds.map_batches(hash_batch, batch_format="pyarrow")
+             .iter_batches(batch_size=1 << 20, batch_format="pyarrow")]
+    return (np.concatenate(parts) if parts
+            else np.empty(0, np.int64))

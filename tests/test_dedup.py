@@ -57,3 +57,44 @@ def test_dedup_ray_matches_oracle():
     rev = tbl.take(pa.array(list(range(tbl.num_rows - 1, -1, -1))))
     got2 = {r["url"]: r["html"] for r in dedup_by_url(ray.data.from_arrow(rev)).take_all()}
     assert got2 == exp_map
+
+
+# ---------------------------------------------------------------------------
+# incremental-ingest dedup (new batch vs historical corpus)
+# ---------------------------------------------------------------------------
+
+def test_incremental_new_docs_filters_seen(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_main_ray.stages.dedup import content_hashes, incremental_new_docs
+
+    corpus = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": ["alpha doc", "beta doc", "gamma doc"]}))
+    seen = content_hashes(corpus)
+    assert len(seen) == 3
+
+    incoming = rd.from_arrow(pa.table({
+        "doc_id": pa.array([10, 11, 12, 13], pa.int64()),
+        "text": ["alpha doc",        # exact dup of corpus -> dropped
+                 "delta doc",        # new -> kept
+                 "beta doc",         # dup -> dropped
+                 "delta doc"]}))     # within-batch dup of a NEW doc -> kept
+    out = incremental_new_docs(incoming, seen).to_pandas()
+    assert sorted(out["doc_id"]) == [11, 13]
+
+
+def test_incremental_empty_corpus_keeps_all(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_main_ray.stages.dedup import incremental_new_docs
+
+    incoming = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()), "text": ["a", "b"]}))
+    out = incremental_new_docs(incoming,
+                               np.empty(0, np.int64)).to_pandas()
+    assert len(out) == 2
