@@ -35,6 +35,36 @@ def pages_from_parquet(path: str, columns: list[str] | None = None):
     return rd.read_parquet(path, columns=columns)
 
 
+def pages_from_parquet_evolving(path: str):
+    """Schema-evolution-tolerant pages read: a crawl corpus accumulated
+    over years has shards written BEFORE newer columns existed (e.g.
+    ``lang`` added mid-crawl).  Passing the canonical schema to the parquet
+    dataset makes pyarrow project missing columns as nulls per fragment —
+    no per-file driver probing — and one vectorized conform pass replaces
+    the nulls with the engine's defaults (empty string / fixed epoch) so
+    every downstream stage sees the exact PAGES_SCHEMA contract.  Extra
+    columns in newer shards are dropped by the same projection."""
+    ds = rd.read_parquet(path, schema=PAGES_SCHEMA)
+
+    def conform(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for f in PAGES_SCHEMA:
+            c = batch.column(f.name)
+            if f.name == "warc_ts":
+                import pyarrow.compute as pc
+                c = pc.fill_null(c, pa.scalar(_EPOCH, pa.timestamp("us")))
+            elif pa.types.is_string(f.type):
+                import pyarrow.compute as pc
+                c = pc.fill_null(c, "")
+            elif pa.types.is_large_binary(f.type):
+                import pyarrow.compute as pc
+                c = pc.fill_null(c, b"")
+            cols[f.name] = c
+        return pa.table(cols, schema=PAGES_SCHEMA)
+
+    return ds.map_batches(conform, batch_format="pyarrow")
+
+
 def pages_from_arrow(tbl: pa.Table, min_rows_per_block: int = 8):
     ds = rd.from_arrow(tbl)
     nblocks = max(2, min(64, tbl.num_rows // min_rows_per_block))

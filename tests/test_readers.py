@@ -70,3 +70,43 @@ def test_read_pages_dispatch_errors(tmp_path):
     bad.write_text("<pages/>")
     with pytest.raises(ValueError):
         read_pages(str(bad))
+
+
+# ---------------------------------------------------------------------------
+# schema-evolution-tolerant parquet read
+# ---------------------------------------------------------------------------
+
+def test_pages_from_parquet_evolving_fills_missing_columns(ray_session, tmp_path):
+    import datetime
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_main_ray.schema import PAGES_SCHEMA
+    from ocr_main_ray.sources.readers import pages_from_parquet_evolving
+
+    ts = datetime.datetime(2025, 3, 1)
+    # old shard: written before `lang`/`text` existed, plus a retired column
+    pq.write_table(pa.table({
+        "url": pa.array(["http://old/1"], pa.string()),
+        "warc_ts": pa.array([ts], pa.timestamp("us")),
+        "html": pa.array([b"<html>old</html>"], pa.large_binary()),
+        "retired_col": pa.array([42], pa.int64()),
+    }), tmp_path / "old.parquet")
+    # new shard: full schema
+    pq.write_table(pa.table({
+        "url": pa.array(["http://new/1"], pa.string()),
+        "warc_ts": pa.array([ts], pa.timestamp("us")),
+        "html": pa.array([b"<html>new</html>"], pa.large_binary()),
+        "text": pa.array(["t"], pa.string()),
+        "lang": pa.array(["en"], pa.string()),
+    }), tmp_path / "new.parquet")
+
+    out = pages_from_parquet_evolving(str(tmp_path))
+    tbl = pa.concat_tables(
+        out.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    assert tbl.schema.equals(PAGES_SCHEMA)
+    by_url = {u: i for i, u in enumerate(tbl.column("url").to_pylist())}
+    assert tbl.column("lang")[by_url["http://old/1"]].as_py() == ""
+    assert tbl.column("text")[by_url["http://old/1"]].as_py() == ""
+    assert tbl.column("lang")[by_url["http://new/1"]].as_py() == "en"
+    assert "retired_col" not in tbl.column_names
