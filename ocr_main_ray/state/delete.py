@@ -93,3 +93,54 @@ def delete_keys(data_dir: str, keys, key_col: str = "doc_id") -> dict:
         "rows_removed": removed,
         "records": records,
     }
+
+
+# ---------------------------------------------------------------------------
+# small-file compaction (the other half of partition maintenance)
+# ---------------------------------------------------------------------------
+
+def compact_dir(data_dir: str, target_rows: int = 1_000_000) -> dict:
+    """Merge sibling parquet files WITHIN each partition directory into
+    ~target_rows files.  Long-running ingest (resume runs, incremental
+    appends, deletions) accumulates small files whose per-file open/footer
+    cost dominates reads at scale; compaction is partition-local — one
+    directory at a time, never a shuffle — and atomic per partition (new
+    file written to a temp name, then the replaced sources unlinked only
+    after the rename).  Directories whose files are already >= half the
+    target are left untouched."""
+    root = pathlib.Path(data_dir)
+    dirs = sorted({p.parent for p in root.rglob("*.parquet")})
+    records = []
+    for d in dirs:
+        files = sorted(d.glob("*.parquet"))
+        if len(files) < 2:
+            continue
+        rows = {f: pq.read_metadata(f).num_rows for f in files}
+        if all(r >= target_rows // 2 for r in rows.values()):
+            continue
+        # greedy grouping in name order (preserves within-partition order)
+        groups, cur, cur_rows = [], [], 0
+        for f in files:
+            cur.append(f)
+            cur_rows += rows[f]
+            if cur_rows >= target_rows:
+                groups.append(cur)
+                cur, cur_rows = [], 0
+        if cur:
+            groups.append(cur)
+        for gi, grp in enumerate(groups):
+            if len(grp) < 2:
+                continue
+            merged = pa.concat_tables([pq.read_table(f) for f in grp])
+            out = d / f"compact-{gi:05d}.parquet"
+            tmp = out.with_suffix(".tmp.parquet")
+            pq.write_table(merged, tmp)
+            os.replace(tmp, out)
+            for f in grp:
+                if f != out:
+                    f.unlink()
+            records.append({"dir": str(d), "merged_files": len(grp),
+                            "rows": merged.num_rows, "out": str(out)})
+    return {"partitions_compacted": len({r["dir"] for r in records}),
+            "files_merged": sum(r["merged_files"] for r in records),
+            "records": records}

@@ -76,3 +76,37 @@ def test_delete_cli_roundtrip(tmp_path):
     assert r.returncode == 0, r.stderr
     out = json.loads(r.stdout)
     assert out["status"] == "ok" and out["rows_removed"] == 2
+
+
+def test_compact_merges_small_files(tmp_path):
+    from ocr_main_ray.state.delete import compact_dir
+
+    d = tmp_path / "part=a"
+    d.mkdir(parents=True)
+    for i in range(5):
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(i * 10, i * 10 + 10), pa.int64())}),
+            d / f"f{i}.parquet")
+    big = tmp_path / "part=b"
+    big.mkdir()
+    pq.write_table(pa.table({"doc_id": pa.array(range(10_000), pa.int64())}),
+                   big / "big.parquet")
+    audit = compact_dir(str(tmp_path), target_rows=100)
+    assert audit["partitions_compacted"] == 1
+    assert audit["files_merged"] == 5
+    files = sorted(d.glob("*.parquet"))
+    assert len(files) == 1
+    t = pq.read_table(files[0])
+    assert sorted(t.column("doc_id").to_pylist()) == list(range(50))
+    assert (big / "big.parquet").exists()  # untouched partition
+
+
+def test_compact_leaves_singletons(tmp_path):
+    from ocr_main_ray.state.delete import compact_dir
+
+    d = tmp_path / "part=x"
+    d.mkdir(parents=True)
+    pq.write_table(pa.table({"doc_id": pa.array([1], pa.int64())}),
+                   d / "only.parquet")
+    audit = compact_dir(str(tmp_path))
+    assert audit["files_merged"] == 0
