@@ -4772,6 +4772,67 @@ def q_user_value_cume_dist(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+# ---------------------------------------------------------------------------
+# Flesch-style readability: words / sentence-groups / vowel-group syllable
+# proxy are all integer regex counts (vectorized pandas str.count == RE2
+# regexp_extract_all lengths), and the score expression is replayed with the
+# oracle's exact term order in DOUBLE — a shuffle-free per-doc kernel.
+# ---------------------------------------------------------------------------
+
+def q_doc_readability(sf_dir: str):
+    def batch_fn(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["text"]
+        words = s.str.count(r"[A-Za-z]+").astype("int64")
+        sents = s.str.count(r"[.!?]+").astype("int64")
+        syll = s.str.count(r"[aeiouAEIOU]+").astype("int64")
+        w = words.to_numpy().astype(np.float64)
+        st = np.maximum(sents.to_numpy(), 1).astype(np.float64)
+        sy = syll.to_numpy().astype(np.float64)
+        score = np.where(words.to_numpy() > 0,
+                         206.835 - 1.015 * (w / st) - 84.6 * (sy / w),
+                         0.0)
+        return pd.DataFrame({"doc_id": b["doc_id"], "n_words_alpha": words,
+                             "n_sentences": sents, "n_syllable_groups": syll,
+                             "flesch": score})
+
+    out = (_docs(sf_dir, ["doc_id", "text"])
+           .map_batches(batch_fn, batch_format="pandas").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# burst detection (anomalous days): daily counts fold distributed; the
+# population z-score uses exact integer S/S2/N assembled with the oracle's
+# mean = S/N, var = S2/N - mean^2 term order, and the >2-sigma filter runs
+# on the bounded daily table.
+# ---------------------------------------------------------------------------
+
+def q_events_burst_days(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch.column("ts"), unit="day")
+        g = pa.table({"day": day}).group_by("day").aggregate([("day", "count")])
+        return g.rename_columns(["day", "pn"])
+
+    daily = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("day").aggregate(Sum("pn", alias_name="n"))
+             .to_pandas().sort_values("day").reset_index(drop=True))
+    daily["day"] = daily["day"].astype("datetime64[us]")
+    daily["n"] = daily["n"].astype("int64")
+    c = daily["n"].to_numpy()
+    N = np.float64(len(c))
+    S = np.float64(int(c.sum()))
+    S2 = np.float64(int((c * c).sum()))
+    mean = S / N
+    var = S2 / N - mean * mean
+    std = np.sqrt(var)
+    z = (c.astype(np.float64) - mean) / std
+    daily["z"] = z
+    out = daily[daily["z"] > 2.0][["day", "n", "z"]]
+    return out.reset_index(drop=True)
+
+
 QUERIES = {
     "doc_count": q_doc_count,
     "doc_chars_sum": q_doc_chars_sum,
@@ -4876,6 +4937,8 @@ QUERIES = {
     "priority_returned_orders": q_priority_returned_orders,
     "value_trend_by_type": q_value_trend_by_type,
     "user_value_cume_dist": q_user_value_cume_dist,
+    "doc_readability": q_doc_readability,
+    "events_burst_days": q_events_burst_days,
     "events_value_ntile": q_events_value_ntile,
     "doc_metrics_unpivot": q_doc_metrics_unpivot,
     "char_class_profile": q_char_class_profile,
@@ -5371,6 +5434,42 @@ ORACLE_SQL = {
         "JOIN sz sa ON inter.a = sa.doc_id JOIN sz sb ON inter.b = sb.doc_id "
         "WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5e0 "
         "ORDER BY a, b"
+    ),
+    "events_burst_days": (
+        "WITH d AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, "
+        "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1), "
+        "s AS (SELECT CAST(count(*) AS BIGINT) AS nn, "
+        "CAST(sum(n) AS BIGINT) AS s1, CAST(sum(n * n) AS BIGINT) AS s2 "
+        "FROM d) "
+        "SELECT day, n, "
+        "(CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(nn AS DOUBLE)) "
+        "/ sqrt(CAST(s2 AS DOUBLE) / CAST(nn AS DOUBLE) "
+        "- (CAST(s1 AS DOUBLE) / CAST(nn AS DOUBLE)) "
+        "* (CAST(s1 AS DOUBLE) / CAST(nn AS DOUBLE))) AS z "
+        "FROM d, s WHERE (CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) "
+        "/ CAST(nn AS DOUBLE)) / sqrt(CAST(s2 AS DOUBLE) / CAST(nn AS DOUBLE) "
+        "- (CAST(s1 AS DOUBLE) / CAST(nn AS DOUBLE)) "
+        "* (CAST(s1 AS DOUBLE) / CAST(nn AS DOUBLE))) > 2.0e0 "
+        "ORDER BY day"
+    ),
+    "doc_readability": (
+        "SELECT doc_id, "
+        "CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) "
+        "AS n_words_alpha, "
+        "CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) "
+        "AS n_sentences, "
+        "CAST(len(regexp_extract_all(text, '[aeiouAEIOU]+')) AS BIGINT) "
+        "AS n_syllable_groups, "
+        "CASE WHEN len(regexp_extract_all(text, '[A-Za-z]+')) = 0 THEN 0.0 "
+        "ELSE 206.835e0 - 1.015e0 * "
+        "(CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS DOUBLE) "
+        "/ CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) "
+        "AS DOUBLE)) "
+        "- 84.6e0 * "
+        "(CAST(len(regexp_extract_all(text, '[aeiouAEIOU]+')) AS DOUBLE) "
+        "/ CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS DOUBLE)) END "
+        "AS flesch "
+        "FROM documents ORDER BY doc_id"
     ),
     "value_trend_by_type": (
         "WITH m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
