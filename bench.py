@@ -268,6 +268,10 @@ def run_scaling() -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    OCR_BENCH_SKIP_QUERIES="1",
                    OCR_BENCH_REPEAT=str(SCALING_REPEAT))
+        # measured per-corpus optimum: the larger scaling corpus prefers
+        # coarser 10 blocks/cpu (+10% hi leg); the default-6 headline
+        # corpus prefers 6 — see extract_run's granularity comment
+        env.setdefault("OCR_DISPATCH_BLOCKS_PER_CPU", "10")
         out = subprocess.run([sys.executable, __file__], env=env,
                              capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])

@@ -294,9 +294,14 @@ def extract_run(ds: "ray.data.Dataset", config: PipelineConfig | None = None,
     staged = extract_dataset(ds, config=config, dedup=dedup, stop_after="dedup")
     pool_cpus = cluster_cpus()
     if dedup:
-        # metadata-only split: finer dispatch tasks, no extra shuffle
-        # (blocks-per-cpu is env-tunable for granularity sweeps)
-        per_cpu = int(os.environ.get("OCR_DISPATCH_BLOCKS_PER_CPU", "10"))
+        # metadata-only split: finer dispatch tasks, no extra shuffle.
+        # An EXACT equal split (num_blocks) measurably beats Ray's
+        # target_num_rows_per_block at the same granularity (730-740 vs
+        # 690 docs/s on the 30k corpus) — the row-target path splits
+        # per input block and leaves ragged tails.  Blocks-per-cpu optimum
+        # shifts with corpus size (6 on the 30k/32cpu corpus, 10 on the
+        # 80k/24cpu scaling corpus — both measured); env-tunable.
+        per_cpu = int(os.environ.get("OCR_DISPATCH_BLOCKS_PER_CPU", "6"))
         staged = staged.repartition(pool_cpus * per_cpu)
     if dispatch_mode == "tasks":
         def dispatch(batch: pa.Table) -> pa.Table:
