@@ -4833,6 +4833,23 @@ def q_events_burst_days(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+# ---------------------------------------------------------------------------
+# distributed BPE tokenizer training (rows-only: iterative, not
+# SQL-expressible; equivalence with the single-process reference is pinned
+# in tests/test_bpe.py).  State is the distinct-word table; each merge is
+# one vocabulary-sized partial-agg exchange.
+# ---------------------------------------------------------------------------
+
+def q_bpe_merges(sf_dir: str):
+    from ..functions.bpe import train_bpe_distributed
+
+    merges = train_bpe_distributed(_docs(sf_dir, ["text"]), n_merges=10)
+    return pa.table({
+        "rank": pa.array(range(len(merges)), pa.int64()),
+        "left": pa.array([m[0] for m in merges], pa.string()),
+        "right": pa.array([m[1] for m in merges], pa.string())})
+
+
 QUERIES = {
     "doc_count": q_doc_count,
     "doc_chars_sum": q_doc_chars_sum,
@@ -4939,6 +4956,7 @@ QUERIES = {
     "user_value_cume_dist": q_user_value_cume_dist,
     "doc_readability": q_doc_readability,
     "events_burst_days": q_events_burst_days,
+    "bpe_merges": q_bpe_merges,
     "events_value_ntile": q_events_value_ntile,
     "doc_metrics_unpivot": q_doc_metrics_unpivot,
     "char_class_profile": q_char_class_profile,
