@@ -4834,6 +4834,19 @@ def q_events_burst_days(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# bigram-LM document scoring (rows-only: the model is Python; bit-exact
+# equivalence with a single-process reference + block-layout determinism
+# are pinned in tests/test_lm.py — fixed-point micronat accumulation makes
+# the distributed float order irrelevant).
+# ---------------------------------------------------------------------------
+
+def q_bigram_logprob(sf_dir: str):
+    from ..functions.lm import score_docs_bigram_lm
+
+    return score_docs_bigram_lm(_docs(sf_dir, ["doc_id", "text"]))
+
+
+# ---------------------------------------------------------------------------
 # distributed BPE tokenizer training (rows-only: iterative, not
 # SQL-expressible; equivalence with the single-process reference is pinned
 # in tests/test_bpe.py).  State is the distinct-word table; each merge is
@@ -4957,6 +4970,7 @@ QUERIES = {
     "doc_readability": q_doc_readability,
     "events_burst_days": q_events_burst_days,
     "bpe_merges": q_bpe_merges,
+    "bigram_logprob": q_bigram_logprob,
     "events_value_ntile": q_events_value_ntile,
     "doc_metrics_unpivot": q_doc_metrics_unpivot,
     "char_class_profile": q_char_class_profile,
