@@ -1,0 +1,82 @@
+"""URL canonicalization + registered-domain extraction for the pages table.
+
+A crawl corpus keys everything by URL, and raw crawl URLs are noisy:
+scheme/host case, default ports, fragments, trailing slashes and tracking
+query parameters all create spurious "distinct" documents that defeat
+dedup-by-url and skew per-domain quotas.  Canonicalization runs scan-side
+(embarrassingly parallel, no shuffle) BEFORE the dedup exchange, so the
+same page fetched as ``HTTP://Example.com:80/a/?utm_source=x#frag`` and
+``http://example.com/a/`` deduplicates.
+
+Rules (deterministic, order matters):
+  1. scheme + host lowercased; default ports (:80 http, :443 https) dropped
+  2. fragment dropped
+  3. tracking params dropped (utm_*, fbclid, gclid, ref), remaining query
+     params sorted by key for a canonical order
+  4. duplicate slashes in the path collapsed; trailing slash kept as-is
+     (a/ vs a may be different resources — do NOT merge)
+
+Registered domain: last two host labels, extended to three for the common
+two-level public suffixes (co.uk-style ccSLDs).  This is a deliberately
+self-contained heuristic — the full Public Suffix List is an external
+artifact this sandbox doesn't ship; the lookup table is the extension
+point and the behavior is pinned by tests.
+"""
+from __future__ import annotations
+
+import re
+from urllib.parse import urlsplit, urlunsplit, parse_qsl, urlencode
+
+import pandas as pd
+import pyarrow as pa
+
+_TRACKING = re.compile(r"^(utm_|fbclid$|gclid$|ref$)")
+_CC_SLD = {
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "co.jp", "ne.jp", "or.jp",
+    "com.au", "net.au", "org.au", "com.br", "com.cn", "com.mx", "co.in",
+    "co.kr", "co.za", "com.ar", "com.tr",
+}
+_DEFAULT_PORT = {"http": ":80", "https": ":443"}
+
+
+def canonical_url(url: str) -> str:
+    try:
+        parts = urlsplit(url)
+    except ValueError:
+        return url
+    scheme = parts.scheme.lower()
+    netloc = parts.netloc.lower()
+    dp = _DEFAULT_PORT.get(scheme)
+    if dp and netloc.endswith(dp):
+        netloc = netloc[: -len(dp)]
+    path = re.sub(r"/{2,}", "/", parts.path) or "/"
+    q = [(k, v) for k, v in parse_qsl(parts.query, keep_blank_values=True)
+         if not _TRACKING.match(k)]
+    query = urlencode(sorted(q))
+    return urlunsplit((scheme, netloc, path, query, ""))
+
+
+def registered_domain(url: str) -> str:
+    try:
+        host = urlsplit(url).netloc.lower().rsplit("@", 1)[-1]
+    except ValueError:
+        return ""
+    host = host.split(":", 1)[0]
+    labels = [x for x in host.split(".") if x]
+    if len(labels) < 2:
+        return host
+    tail2 = ".".join(labels[-2:])
+    if tail2 in _CC_SLD and len(labels) >= 3:
+        return ".".join(labels[-3:])
+    return tail2
+
+
+def canonicalize_batch(batch: pa.Table, url_col: str = "url") -> pa.Table:
+    """Scan-side stage: adds canonical_url + registered_domain columns."""
+    urls = batch.column(url_col).to_pylist()
+    canon = [canonical_url(u or "") for u in urls]
+    dom = [registered_domain(u or "") for u in urls]
+    batch = batch.append_column("canonical_url",
+                                pa.array(canon, pa.string()))
+    return batch.append_column("registered_domain",
+                               pa.array(dom, pa.string()))
