@@ -183,6 +183,41 @@ def _sequence_fusion(blocks: list[_Block], keep: list[bool]) -> list[bool]:
     return out
 
 
+_META_CHARSET = __import__("re").compile(
+    rb"""<meta[^>]+charset\s*=\s*["']?\s*([A-Za-z0-9_\-]+)""",
+    __import__("re").IGNORECASE)
+
+_BOMS = [(b"\xef\xbb\xbf", "utf-8-sig"), (b"\xff\xfe\x00\x00", "utf-32-le"),
+         (b"\x00\x00\xfe\xff", "utf-32-be"), (b"\xff\xfe", "utf-16-le"),
+         (b"\xfe\xff", "utf-16-be")]
+
+
+def decode_html(html_bytes: bytes) -> str:
+    """Charset-aware decode: BOM sniff -> strict utf-8 (the dominant and
+    self-validating case — valid utf-8 inputs decode byte-identically to
+    the old hard-coded path) -> declared <meta charset> within the first
+    2 KiB -> windows-1252 fallback (the de-facto superset of latin-1 that
+    real crawls degrade to; it can decode any byte sequence)."""
+    for bom, enc in _BOMS:
+        if html_bytes.startswith(bom):
+            body = html_bytes if enc == "utf-8-sig" else html_bytes[len(bom):]
+            try:
+                return body.decode(enc)
+            except (UnicodeDecodeError, LookupError):
+                break
+    try:
+        return html_bytes.decode("utf-8")
+    except UnicodeDecodeError:
+        pass
+    m = _META_CHARSET.search(html_bytes[:2048])
+    if m:
+        try:
+            return html_bytes.decode(m.group(1).decode("ascii").lower())
+        except (UnicodeDecodeError, LookupError):
+            pass
+    return html_bytes.decode("windows-1252", errors="replace")
+
+
 def extract_main_blocks(html_bytes: bytes) -> list[str]:
     """Kept content blocks, in document order.
 
@@ -192,7 +227,7 @@ def extract_main_blocks(html_bytes: bytes) -> list[str]:
     counted.
     """
     try:
-        text = html_bytes.decode("utf-8", errors="replace")
+        text = decode_html(html_bytes)
     except Exception:
         return []
     parser = _Extractor()

@@ -123,3 +123,46 @@ def test_data_table_inside_article():
             b"</article></body></html>")
     text = extract_main_text(html)
     assert "alpha 12" in text
+
+
+# ---------------------------------------------------------------------------
+# charset-aware decode
+# ---------------------------------------------------------------------------
+
+def test_decode_html_utf8_unchanged():
+    from ocr_main_ray.stages.html_extract import decode_html
+
+    b = "café <b>x</b>".encode("utf-8")
+    assert decode_html(b) == "café <b>x</b>"
+
+
+def test_decode_html_bom_utf16():
+    from ocr_main_ray.stages.html_extract import decode_html
+
+    s = "<html>über</html>"
+    assert decode_html(b"\xff\xfe" + s.encode("utf-16-le")) == s
+
+
+def test_decode_html_meta_charset_latin1():
+    from ocr_main_ray.stages.html_extract import decode_html
+
+    raw = ('<html><head><meta charset="iso-8859-1"></head>'
+           "<body>café</body></html>").encode("iso-8859-1")
+    assert "café" in decode_html(raw)
+
+
+def test_decode_html_fallback_windows1252():
+    from ocr_main_ray.stages.html_extract import decode_html
+
+    raw = b"<html>smart \x93quotes\x94</html>"  # invalid utf-8, no meta
+    out = decode_html(raw)
+    assert "“quotes”" in out
+
+
+def test_extract_main_text_latin1_payload():
+    from ocr_main_ray.stages.html_extract import extract_main_text
+
+    body = " ".join(["palabra"] * 30) + " café"
+    raw = ('<html><head><meta charset="iso-8859-1"></head><body><p>'
+           + body + "</p></body></html>").encode("iso-8859-1")
+    assert "café" in extract_main_text(raw)
