@@ -71,6 +71,33 @@ def registered_domain(url: str) -> str:
     return tail2
 
 
+_NOINDEX = re.compile(
+    rb"""<meta[^>]+name\s*=\s*["']?robots["']?[^>]*content\s*=\s*["'][^"']*\bnoindex\b""",
+    re.IGNORECASE)
+_NOINDEX_REV = re.compile(  # content= before name= (attribute order varies)
+    rb"""<meta[^>]+content\s*=\s*["'][^"']*\bnoindex\b[^>]*name\s*=\s*["']?robots""",
+    re.IGNORECASE)
+
+
+def robots_noindex_batch(batch: pa.Table, html_col: str = "html",
+                         head_bytes: int = 4096) -> pa.Table:
+    """Scan-side crawl-politeness gate: flags pages whose <head> declares
+    ``<meta name="robots" content="... noindex ...">`` (either attribute
+    order).  Only the first ``head_bytes`` of each payload cross into
+    Python — the meta must appear in <head> to be honored, mirroring how
+    indexers treat it.  Adds a ``robots_noindex`` bool column; filtering
+    stays the caller's policy decision."""
+    import pyarrow.compute as pc
+
+    prefixes = pc.binary_slice(batch.column(html_col), 0,
+                               head_bytes).to_pylist()
+    flags = [bool(p) and (bool(_NOINDEX.search(p))
+                          or bool(_NOINDEX_REV.search(p)))
+             for p in prefixes]
+    return batch.append_column("robots_noindex",
+                               pa.array(flags, pa.bool_()))
+
+
 def canonicalize_batch(batch: pa.Table, url_col: str = "url") -> pa.Table:
     """Scan-side stage: adds canonical_url + registered_domain columns."""
     urls = batch.column(url_col).to_pylist()

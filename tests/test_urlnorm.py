@@ -56,3 +56,29 @@ def test_dedup_by_canonical_url_collapses_variants(ray_session):
         batch_format="pyarrow")
     out = dedup_by_url(ds).to_pandas()
     assert len(out) == 2  # the two /a variants collapsed
+
+
+def test_robots_noindex_flagging():
+    from ocr_main_ray.stages.urlnorm import robots_noindex_batch
+
+    pages = pa.table({"html": pa.array([
+        b'<html><head><meta name="robots" content="noindex,nofollow">'
+        b"</head><body>x</body></html>",
+        b'<html><head><meta content="NOINDEX" name=robots></head>y</html>',
+        b'<html><head><meta name="robots" content="index,follow"></head>',
+        b"<html><body>no meta at all</body></html>",
+        b"",
+    ], pa.large_binary())})
+    out = robots_noindex_batch(pages)
+    assert out.column("robots_noindex").to_pylist() == [
+        True, True, False, False, False]
+
+
+def test_robots_noindex_outside_head_window_ignored():
+    from ocr_main_ray.stages.urlnorm import robots_noindex_batch
+
+    far = (b"<html><head></head><body>" + b"x" * 5000 +
+           b'<meta name="robots" content="noindex"></body>')
+    out = robots_noindex_batch(pa.table({"html": pa.array([far],
+                                                          pa.large_binary())}))
+    assert out.column("robots_noindex").to_pylist() == [False]
