@@ -147,11 +147,18 @@ def read_pages(path: str):
 
     p = pathlib.Path(path)
     if p.is_dir():
-        globbed = list(p.glob("*.parquet"))
-        return pages_from_parquet(path) if globbed else pages_from_binary_dir(path)
+        if list(p.glob("*.parquet")):
+            return pages_from_parquet(path)
+        if list(p.glob("*.warc")) or list(p.glob("*.warc.gz")):
+            from .warc import pages_from_warc
+            return pages_from_warc(path)
+        return pages_from_binary_dir(path)
     suffix = p.suffix.lower()
     if suffix == ".parquet":
         return pages_from_parquet(path)
+    if suffix == ".warc" or p.name.lower().endswith(".warc.gz"):
+        from .warc import pages_from_warc
+        return pages_from_warc(path)
     if suffix in (".jsonl", ".json"):
         return pages_from_jsonl(path)
     if suffix == ".csv":
