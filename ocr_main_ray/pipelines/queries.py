@@ -4863,6 +4863,57 @@ def q_bpe_merges(sf_dir: str):
         "right": pa.array([m[1] for m in merges], pa.string())})
 
 
+# ---------------------------------------------------------------------------
+# PageRank over the source-citation graph (rows-only: iterative).  Edges
+# come from a layout-independent adjacent-row self-join (doc_id -> doc_id+1
+# via one hash join — the testdata documents carry no cross-domain links,
+# so consecutive doc sources stand in for citations); the rank machinery
+# (broadcast rank vector, per-block contribution partials, node-sized
+# exchange per iteration) is verified against a dense numpy reference in
+# tests/test_graph.py.
+# ---------------------------------------------------------------------------
+
+def q_source_pagerank(sf_dir: str):
+    from ..functions.graph import pagerank_distributed
+    from ..rayops import fit_for_join
+
+    docs = _docs(sf_dir, ["doc_id", "source"])
+    src_names = sorted(set(
+        pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source"])
+        ["source"]))  # bounded node set
+    idx = {s: i for i, s in enumerate(src_names)}
+    idx_ref = ray.put(idx)
+
+    def lhs_fn(t: pa.Table) -> pa.Table:
+        m = ray.get(idx_ref)
+        return pa.table({
+            "k": pc.add(t.column("doc_id"), 1).cast(pa.int64()),
+            "src": pa.array([m[s] for s in t.column("source").to_pylist()],
+                            pa.int64())})
+
+    def rhs_fn(t: pa.Table) -> pa.Table:
+        m = ray.get(idx_ref)
+        return pa.table({
+            "k": t.column("doc_id").cast(pa.int64()),
+            "dst": pa.array([m[s] for s in t.column("source").to_pylist()],
+                            pa.int64())})
+
+    l_schema = pa.schema([("k", pa.int64()), ("src", pa.int64())])
+    r_schema = pa.schema([("k", pa.int64()), ("dst", pa.int64())])
+    edges = fit_for_join(
+        docs.map_batches(lhs_fn, batch_format="pyarrow"), l_schema).join(
+        fit_for_join(docs.map_batches(rhs_fn, batch_format="pyarrow"),
+                     r_schema),
+        join_type="inner", num_partitions=_join_parts(sf_dir, "documents"),
+        on=("k",), right_on=("k",))
+    edges = edges.map_batches(lambda t: t.select(["src", "dst"]),
+                              batch_format="pyarrow").materialize()
+    rank = pagerank_distributed(edges, len(src_names), n_iter=10)
+    return pa.table({
+        "source": pa.array(src_names, pa.string()),
+        "rank": pa.array(rank, pa.float64())})
+
+
 QUERIES = {
     "doc_count": q_doc_count,
     "doc_chars_sum": q_doc_chars_sum,
@@ -4971,6 +5022,7 @@ QUERIES = {
     "events_burst_days": q_events_burst_days,
     "bpe_merges": q_bpe_merges,
     "bigram_logprob": q_bigram_logprob,
+    "source_pagerank": q_source_pagerank,
     "events_value_ntile": q_events_value_ntile,
     "doc_metrics_unpivot": q_doc_metrics_unpivot,
     "char_class_profile": q_char_class_profile,

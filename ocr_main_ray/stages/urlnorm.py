@@ -98,6 +98,40 @@ def robots_noindex_batch(batch: pa.Table, html_col: str = "html",
                                pa.array(flags, pa.bool_()))
 
 
+_HREF = re.compile(rb"""<a[^>]+href\s*=\s*["']([^"'#][^"']*)["']""",
+                   re.IGNORECASE)
+
+
+def extract_links_batch(batch: pa.Table, url_col: str = "url",
+                        html_col: str = "html",
+                        max_links_per_page: int = 200) -> pa.Table:
+    """(url, html) batch -> (src_domain, dst_domain) edge rows for the
+    link graph.  Relative hrefs resolve against the page url; a per-page
+    link cap bounds the explode against link-farm pages (the same
+    degenerate-bucket defense as the LSH pair cap)."""
+    from urllib.parse import urljoin
+
+    srcs, dsts = [], []
+    for url, html in zip(batch.column(url_col).to_pylist(),
+                         batch.column(html_col).to_pylist()):
+        if not html:
+            continue
+        src_dom = registered_domain(url or "")
+        n_page = 0
+        for m in _HREF.finditer(html):
+            if n_page >= max_links_per_page:
+                break
+            href = m.group(1).decode("utf-8", "replace")
+            target = urljoin(url or "", href)
+            dst_dom = registered_domain(target)
+            if dst_dom:
+                srcs.append(src_dom)
+                dsts.append(dst_dom)
+                n_page += 1
+    return pa.table({"src_domain": pa.array(srcs, pa.string()),
+                     "dst_domain": pa.array(dsts, pa.string())})
+
+
 def canonicalize_batch(batch: pa.Table, url_col: str = "url") -> pa.Table:
     """Scan-side stage: adds canonical_url + registered_domain columns."""
     urls = batch.column(url_col).to_pylist()

@@ -1,0 +1,50 @@
+"""Link extraction + distributed PageRank."""
+import numpy as np
+import pyarrow as pa
+
+
+def test_extract_links_batch():
+    from ocr_main_ray.stages.urlnorm import extract_links_batch
+
+    t = pa.table({
+        "url": pa.array(["http://a.com/page"], pa.string()),
+        "html": pa.array([
+            b'<a href="http://b.co.uk/x">b</a>'
+            b'<a href="/local">self</a>'
+            b'<A HREF=\'https://sub.c.org/y\'>c</A>'
+            b'<a href="#frag">skip</a>'], pa.large_binary())})
+    out = extract_links_batch(t)
+    assert out.column("src_domain").to_pylist() == ["a.com"] * 3
+    assert out.column("dst_domain").to_pylist() == ["b.co.uk", "a.com",
+                                                    "c.org"]
+
+
+def test_extract_links_cap():
+    from ocr_main_ray.stages.urlnorm import extract_links_batch
+
+    html = b"".join(b'<a href="http://d%d.com/">x</a>' % i
+                    for i in range(500))
+    t = pa.table({"url": pa.array(["http://farm.com/"], pa.string()),
+                  "html": pa.array([html], pa.large_binary())})
+    out = extract_links_batch(t, max_links_per_page=200)
+    assert out.num_rows == 200
+
+
+def test_pagerank_distributed_matches_reference(ray_session):
+    import ray.data as rd
+
+    from ocr_main_ray.functions.graph import (pagerank_distributed,
+                                              pagerank_reference)
+
+    rng = np.random.RandomState(11)
+    n = 60
+    edges = [(int(rng.randint(n)), int(rng.randint(n))) for _ in range(400)]
+    # a few dangling nodes: remove all out-edges of nodes 0..4
+    edges = [(s, d) for s, d in edges if s >= 5]
+    tbl = pa.table({"src": pa.array([e[0] for e in edges], pa.int64()),
+                    "dst": pa.array([e[1] for e in edges], pa.int64())})
+    ds = rd.from_arrow(tbl).repartition(8)
+    got = pagerank_distributed(ds, n, n_iter=15)
+    want = pagerank_reference(edges, n, n_iter=15)
+    assert np.allclose(got, want, rtol=0, atol=1e-12)
+    assert abs(got.sum() - 1.0) < 1e-9  # probability mass conserved
