@@ -64,6 +64,10 @@ class PipelineConfig:
     # that can never reserve every CPU (idle actors hold their slot; a pool
     # spanning the whole node starves the shuffle feeding it).
     ocr_concurrency: tuple | int | None = None
+    # web-crawl hygiene stages (default off: golden fixtures pin the
+    # reference-parity path; real crawl runs turn these on)
+    canonical_urls: bool = False   # dedup on canonicalized url variants
+    drop_noindex: bool = False     # honor <meta name=robots noindex>
 
     @classmethod
     def from_quality_profile(cls, profile: str) -> "PipelineConfig":

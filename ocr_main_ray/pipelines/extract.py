@@ -28,6 +28,7 @@ import os
 import time
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -213,6 +214,28 @@ def extract_dataset(ds: "ray.data.Dataset", config: PipelineConfig | None = None
     the checkpointed runner (state/manifest.py) to stage the deduped table
     before per-partition extraction."""
     config = config or PipelineConfig()
+    if config.canonical_urls or config.drop_noindex:
+        # crawl-hygiene pre-stages (scan-side, before any exchange):
+        # noindex gate filters rows; canonicalization REPLACES url so the
+        # dedup key collapses scheme/port/tracking-param variants
+        from ..stages.urlnorm import canonicalize_batch, robots_noindex_batch
+
+        def hygiene(t: pa.Table) -> pa.Table:
+            if config.drop_noindex:
+                t = robots_noindex_batch(t)
+                t = (t.filter(pc.invert(t.column("robots_noindex")))
+                     .drop_columns(["robots_noindex"]))
+            if config.canonical_urls:
+                t = canonicalize_batch(t)
+                keep = [c for c in t.column_names
+                        if c not in ("url", "canonical_url",
+                                     "registered_domain")]
+                t = t.select(["canonical_url"] + keep).rename_columns(
+                    ["url"] + keep)
+            return t
+
+        ds = ds.map_batches(hygiene, batch_format="pyarrow",
+                            zero_copy_batch=True)
     ds = ds.map_batches(
         sniff_batch, batch_format="pyarrow", batch_size=config.sniff_batch_size,
         zero_copy_batch=True,

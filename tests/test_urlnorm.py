@@ -82,3 +82,32 @@ def test_robots_noindex_outside_head_window_ignored():
     out = robots_noindex_batch(pa.table({"html": pa.array([far],
                                                           pa.large_binary())}))
     assert out.column("robots_noindex").to_pylist() == [False]
+
+
+def test_pipeline_hygiene_flags(ray_session):
+    import datetime
+    import ray.data as rd
+
+    from ocr_main_ray.config import PipelineConfig
+    from ocr_main_ray.pipelines.extract import extract_dataset
+
+    ts = datetime.datetime(2025, 1, 1)
+    body = ("<html><head></head><body><p>" + "word " * 40
+            + "</p></body></html>").encode()
+    noidx = (b'<html><head><meta name="robots" content="noindex"></head>'
+             b"<body><p>" + b"word " * 40 + b"</p></body></html>")
+    pages = pa.table({
+        "url": pa.array(["HTTP://Ex.com:80/a?utm_x=1", "http://ex.com/a",
+                         "http://keep.com/b", "http://drop.com/c"],
+                        pa.string()),
+        "warc_ts": pa.array([ts] * 4, pa.timestamp("us")),
+        "html": pa.array([body, body, body, noidx], pa.large_binary()),
+        "text": pa.array([""] * 4, pa.string()),
+        "lang": pa.array([""] * 4, pa.string()),
+    })
+    cfg = PipelineConfig(canonical_urls=True, drop_noindex=True)
+    out = extract_dataset(rd.from_arrow(pages).repartition(2),
+                          config=cfg).to_pandas()
+    # the two /a variants collapsed to one canonical url; noindex dropped
+    assert len(out) == 2
+    assert set(out["url"]) == {"http://ex.com/a", "http://keep.com/b"}
