@@ -4914,6 +4914,69 @@ def q_source_pagerank(sf_dir: str):
         "rank": pa.array(rank, pa.float64())})
 
 
+# ---------------------------------------------------------------------------
+# argmax ROW per group (each customer's highest-value order, whole row):
+# per-batch lexsort keep-last partials — one candidate row per customer per
+# block — final argmax over the bounded candidate table.
+# ---------------------------------------------------------------------------
+
+def q_customer_best_order(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(batch.column("o_totalprice"),
+                                             100.0)), pa.int64())
+        t = batch.append_column("cents", cents)
+        u = t.column("o_custkey").to_numpy()
+        c = t.column("cents").to_numpy()
+        k = t.column("o_orderkey").to_numpy()
+        order = np.lexsort((-k, c, u))  # custkey asc, cents asc, orderkey desc
+        last = np.concatenate((u[order][1:] != u[order][:-1], [True]))
+        return t.take(pa.array(order[last]))
+
+    cand = (ds.map_batches(partial, batch_format="pyarrow")
+            .to_pandas())  # <= |customers| x |blocks|
+    cand = cand.sort_values(["o_custkey", "cents", "o_orderkey"],
+                            ascending=[True, True, False])
+    out = cand.groupby("o_custkey", as_index=False).tail(1)
+    out = out.sort_values("o_custkey").reset_index(drop=True)
+    out["best_cents"] = out["cents"].astype("int64")
+    return out[["o_custkey", "o_orderkey", "best_cents"]]
+
+
+# ---------------------------------------------------------------------------
+# year-over-year growth by calendar month: distributed (year, month)
+# integer fold; the partitioned lag runs over the bounded month table.
+# ---------------------------------------------------------------------------
+
+def q_orders_yoy_growth(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        y = pc.cast(pc.year(batch.column("o_orderdate")), pa.int64())
+        m = pc.cast(pc.month(batch.column("o_orderdate")), pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(batch.column("o_totalprice"),
+                                             100.0)), pa.int64())
+        g = (pa.table({"y": y, "m": m, "cents": cents})
+             .group_by(["y", "m"]).aggregate([("cents", "sum")]))
+        return g.rename_columns(["y", "m", "p_cents"])
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["y", "m"]).aggregate(Sum("p_cents", alias_name="cents"))
+           .to_pandas().sort_values(["m", "y"]).reset_index(drop=True))
+    out["cents"] = out["cents"].astype("int64")
+    prev = out.groupby("m")["cents"].shift(1)
+    out["prev_year_cents"] = prev.fillna(0).astype("int64")
+    out["has_prev"] = prev.notna()
+    out["yoy_delta_cents"] = np.where(
+        out["has_prev"], out["cents"] - out["prev_year_cents"], 0).astype("int64")
+    out = out[out["has_prev"]]
+    out = out.sort_values(["y", "m"]).reset_index(drop=True)
+    return out[["y", "m", "cents", "prev_year_cents", "yoy_delta_cents"]]
+
+
 QUERIES = {
     "doc_count": q_doc_count,
     "doc_chars_sum": q_doc_chars_sum,
@@ -5023,6 +5086,8 @@ QUERIES = {
     "bpe_merges": q_bpe_merges,
     "bigram_logprob": q_bigram_logprob,
     "source_pagerank": q_source_pagerank,
+    "customer_best_order": q_customer_best_order,
+    "orders_yoy_growth": q_orders_yoy_growth,
     "events_value_ntile": q_events_value_ntile,
     "doc_metrics_unpivot": q_doc_metrics_unpivot,
     "char_class_profile": q_char_class_profile,
@@ -5518,6 +5583,25 @@ ORACLE_SQL = {
         "JOIN sz sa ON inter.a = sa.doc_id JOIN sz sb ON inter.b = sb.doc_id "
         "WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5e0 "
         "ORDER BY a, b"
+    ),
+    "customer_best_order": (
+        "SELECT o_custkey, o_orderkey, best_cents FROM ("
+        "SELECT o_custkey, o_orderkey, "
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS best_cents, "
+        "row_number() OVER (PARTITION BY o_custkey ORDER BY "
+        "CAST(round(o_totalprice * 100) AS BIGINT) DESC, o_orderkey) AS rn "
+        "FROM orders) WHERE rn = 1 ORDER BY o_custkey"
+    ),
+    "orders_yoy_growth": (
+        "WITH m AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS y, "
+        "CAST(month(o_orderdate) AS BIGINT) AS m, "
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+        "AS cents FROM orders GROUP BY 1, 2), "
+        "l AS (SELECT y, m, cents, lag(cents) OVER ("
+        "PARTITION BY m ORDER BY y) AS prev FROM m) "
+        "SELECT y, m, cents, CAST(prev AS BIGINT) AS prev_year_cents, "
+        "CAST(cents - prev AS BIGINT) AS yoy_delta_cents "
+        "FROM l WHERE prev IS NOT NULL ORDER BY y, m"
     ),
     "events_burst_days": (
         "WITH d AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, "
