@@ -48,11 +48,18 @@ def _load_pages(input_path: str):
 
 
 def _config(args) -> "object":
+    import dataclasses
+
     from .config import PipelineConfig
 
-    if args.profile:
-        return PipelineConfig.from_quality_profile(args.profile)
-    return PipelineConfig()
+    cfg = (PipelineConfig.from_quality_profile(args.profile)
+           if args.profile else PipelineConfig())
+    hygiene = {}
+    if getattr(args, "canonical_urls", False):
+        hygiene["canonical_urls"] = True
+    if getattr(args, "drop_noindex", False):
+        hygiene["drop_noindex"] = True
+    return dataclasses.replace(cfg, **hygiene) if hygiene else cfg
 
 
 def cmd_run(args) -> int:
@@ -143,6 +150,12 @@ def build_parser() -> argparse.ArgumentParser:
     runp.add_argument("--dispatch", choices=["actors", "tasks"], default="actors")
     runp.add_argument("--stats", action="store_true",
                       help="print per-stage execution stats to stderr")
+    runp.add_argument("--canonical-urls", action="store_true",
+                      dest="canonical_urls",
+                      help="dedup on canonicalized urls (crawl hygiene)")
+    runp.add_argument("--drop-noindex", action="store_true",
+                      dest="drop_noindex",
+                      help="drop pages declaring <meta robots noindex>")
     runp.set_defaults(fn=cmd_run)
 
     res = sub.add_parser("resume", help="checkpointed run with manifests")
