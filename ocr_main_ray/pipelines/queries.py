@@ -4977,6 +4977,80 @@ def q_orders_yoy_growth(sf_dir: str):
     return out[["y", "m", "cents", "prev_year_cents", "yoy_delta_cents"]]
 
 
+# ---------------------------------------------------------------------------
+# pairwise source-vocabulary overlap (corpus diagnostics: which sources
+# share wording?): (source, word) distinct pairs fold distributed; each
+# word's bounded source-set explodes into per-word pair partials; the final
+# (source a, source b) rollup is |sources|^2-bounded and every jaccard is
+# one division of exact integers.
+# ---------------------------------------------------------------------------
+
+def q_source_vocab_overlap(sf_dir: str):
+    def sw_partial(b: pd.DataFrame) -> pd.DataFrame:
+        words = b.set_index("source")["text"].str.split().explode().dropna()
+        out = (words.to_frame("w").reset_index()
+               .drop_duplicates())  # per-block distinct (source, w)
+        return out[["source", "w"]]
+
+    sw = (_docs(sf_dir, ["source", "text"])
+          .map_batches(sw_partial, batch_format="pandas")
+          .groupby(["source", "w"]).aggregate(Count(alias_name="nc")))
+
+    def size_partial(t: pa.Table) -> pa.Table:
+        g = t.select(["source"]).group_by("source").aggregate(
+            [("source", "count")])
+        return g.rename_columns(["source", "pn"])
+
+    sizes = (sw.map_batches(size_partial, batch_format="pyarrow")
+             .groupby("source").aggregate(Sum("pn", alias_name="n"))
+             .to_pandas())  # <= |sources|
+    n_of = dict(zip(sizes["source"], sizes["n"].astype("int64")))
+
+    # coarse-bucket the word key (per-GROUP UDF dispatch over every
+    # distinct word would be dispatch-bound — same defense as the LSH
+    # group-bys), then segment within the bucket
+    import zlib as _zlib
+    nb = _session_buckets()  # O(cpus) coarse buckets
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = np.fromiter((_zlib.crc32(w.encode()) % nb
+                         for w in t.column("w").to_pylist()),
+                        dtype=np.int64, count=t.num_rows)
+        return t.append_column("wbucket", pa.array(b, pa.int64()))
+
+    def pair_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _w, grp in g.groupby("w", sort=False):
+            srcs = sorted(set(grp["source"]))
+            m = len(srcs)
+            for i in range(m):
+                for j in range(i + 1, m):
+                    out_a.append(srcs[i])
+                    out_b.append(srcs[j])
+        if not out_a:
+            return pd.DataFrame({"sa": pd.Series([], dtype=object),
+                                 "sb": pd.Series([], dtype=object),
+                                 "pi": pd.Series([], dtype="int64")})
+        vc = pd.DataFrame({"sa": out_a, "sb": out_b}).value_counts()
+        idx = vc.index.to_frame(index=False)
+        return pd.DataFrame({"sa": idx["sa"], "sb": idx["sb"],
+                             "pi": vc.to_numpy().astype("int64")})
+
+    inter = (sw.map_batches(add_bucket, batch_format="pyarrow")
+             .groupby("wbucket").map_groups(pair_bucket,
+                                            batch_format="pandas")
+             .groupby(["sa", "sb"]).aggregate(Sum("pi", alias_name="i"))
+             .to_pandas().sort_values(["sa", "sb"]).reset_index(drop=True))
+    inter["i"] = inter["i"].astype("int64")
+    na = inter["sa"].map(n_of).astype("int64")
+    nb = inter["sb"].map(n_of).astype("int64")
+    inter["n_a"], inter["n_b"] = na, nb
+    union = (na + nb - inter["i"]).astype("int64")
+    inter["jaccard"] = (inter["i"].to_numpy().astype(np.float64)
+                        / union.to_numpy().astype(np.float64))
+    return inter[["sa", "sb", "i", "n_a", "n_b", "jaccard"]]
+
+
 QUERIES = {
     "doc_count": q_doc_count,
     "doc_chars_sum": q_doc_chars_sum,
@@ -5088,6 +5162,7 @@ QUERIES = {
     "source_pagerank": q_source_pagerank,
     "customer_best_order": q_customer_best_order,
     "orders_yoy_growth": q_orders_yoy_growth,
+    "source_vocab_overlap": q_source_vocab_overlap,
     "events_value_ntile": q_events_value_ntile,
     "doc_metrics_unpivot": q_doc_metrics_unpivot,
     "char_class_profile": q_char_class_profile,
@@ -5583,6 +5658,22 @@ ORACLE_SQL = {
         "JOIN sz sa ON inter.a = sa.doc_id JOIN sz sb ON inter.b = sb.doc_id "
         "WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5e0 "
         "ORDER BY a, b"
+    ),
+    "source_vocab_overlap": (
+        "WITH s AS (SELECT source, "
+        "regexp_replace(text, '^\\s+|\\s+$', '', 'g') AS st FROM documents), "
+        "sw AS (SELECT DISTINCT source, w FROM ("
+        "SELECT source, unnest(string_split_regex(st, '\\s+')) AS w "
+        "FROM s WHERE st <> '')), "
+        "sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sw "
+        "GROUP BY source), "
+        "inter AS (SELECT a.source AS sa, b.source AS sb, "
+        "CAST(count(*) AS BIGINT) AS i FROM sw a JOIN sw b "
+        "ON a.w = b.w AND a.source < b.source GROUP BY 1, 2) "
+        "SELECT sa, sb, i, za.n AS n_a, zb.n AS n_b, "
+        "CAST(i AS DOUBLE) / CAST(za.n + zb.n - i AS DOUBLE) AS jaccard "
+        "FROM inter JOIN sz za ON inter.sa = za.source "
+        "JOIN sz zb ON inter.sb = zb.source ORDER BY sa, sb"
     ),
     "customer_best_order": (
         "SELECT o_custkey, o_orderkey, best_cents FROM ("
