@@ -113,8 +113,12 @@ class ExtractDispatch:
             dpi = None
             tables_json = "[]"
             try:
-                if ct == CT_HTML:
-                    blocks = extract_main_blocks(payload)
+                if ct == CT_HTML or ct == "feed":
+                    if ct == "feed":
+                        from ..stages.feed import extract_feed_blocks
+                        blocks = extract_feed_blocks(payload)
+                    else:
+                        blocks = extract_main_blocks(payload)
                     text = PAGE_JOIN.join(blocks)
                     # span per content block (all on "page" 0): the html
                     # analogue of per-page spans — slices rejoin to text

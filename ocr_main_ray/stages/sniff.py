@@ -54,15 +54,21 @@ def sniff_batch(batch: pa.Table) -> pa.Table:
     ctype = np.full(n, CT_EMPTY, dtype=object)
     error = np.full(n, None, dtype=object)
 
-    # non-PDF rows: html-vs-empty from a small prefix (only prefixes cross
-    # into Python, via binary_slice -> tiny buffers)
-    prefixes = pc.binary_slice(html_col, 0, 80).to_pylist()
+    # non-PDF rows: feed-vs-html-vs-empty from a small prefix (only
+    # prefixes cross into Python, via binary_slice -> tiny buffers; 512 B
+    # so the feed root element is visible past an xml declaration)
+    from ..config import CT_FEED
+    from .feed import is_feed
+
+    prefixes = pc.binary_slice(html_col, 0, 512).to_pylist()
     for i in range(n):
         if pdf_mask[i]:
             continue
         sz = size_np[i]
         if sz == 0:
             ctype[i] = CT_EMPTY
+        elif prefixes[i] is not None and is_feed(prefixes[i]):
+            ctype[i] = CT_FEED
         elif prefixes[i] is not None and _looks_html(prefixes[i]):
             ctype[i] = CT_HTML
         else:
