@@ -39,6 +39,17 @@ def is_feed(prefix: bytes) -> bool:
     return b"<rss" in head or (b"<feed" in head and b"<html" not in head)
 
 
+_LOC = re.compile(rb"<loc[^>]*>\s*([^<\s][^<]*?)\s*</loc>",
+                  re.IGNORECASE | re.DOTALL)
+
+
+def urls_from_sitemap(payload: bytes) -> list[str]:
+    """sitemap.xml (urlset or sitemapindex) -> ordered <loc> urls; the
+    crawl-frontier discovery companion of the feed route."""
+    return [m.group(1).decode("utf-8", "replace")
+            for m in _LOC.finditer(payload)]
+
+
 def extract_feed_blocks(payload: bytes) -> list[str]:
     """Feed payload -> one text block per item/entry, document order."""
     blocks = []

@@ -53,3 +53,17 @@ def test_feed_through_pipeline(ray_session):
     assert out.iloc[0]["extracted_text"] == (
         "First & Foremost\nBody one here\n\nSecond\nPlain two")
     assert out.iloc[0]["n_pages"] == 1
+
+
+def test_urls_from_sitemap():
+    from ocr_main_ray.stages.feed import urls_from_sitemap
+
+    sm = (b'<?xml version="1.0"?>'
+          b'<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+          b"<url><loc> http://a.com/1 </loc></url>"
+          b"<url><loc>http://a.com/2</loc><lastmod>2024-01-01</lastmod></url>"
+          b"</urlset>")
+    assert urls_from_sitemap(sm) == ["http://a.com/1", "http://a.com/2"]
+    idx = (b"<sitemapindex><sitemap><loc>http://a.com/sitemap1.xml</loc>"
+           b"</sitemap></sitemapindex>")
+    assert urls_from_sitemap(idx) == ["http://a.com/sitemap1.xml"]
