@@ -27,6 +27,7 @@ FIRST_PAGE_TEXT_MIN_CHARS = 50               # routers/files.py:85-96 (fallback 
 # content_type taxonomy (pdf_analyzer.py:17-23 PDFType + html/empty for the web table)
 CT_HTML = "html"
 CT_FEED = "feed"                   # RSS/Atom syndication documents
+CT_JSON = "json"                   # crawled API payloads
 CT_PDF_NATIVE = "pdf_native"
 CT_PDF_SCANNED = "pdf_scanned"
 CT_MIXED = "mixed"

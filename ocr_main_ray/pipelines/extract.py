@@ -113,10 +113,13 @@ class ExtractDispatch:
             dpi = None
             tables_json = "[]"
             try:
-                if ct == CT_HTML or ct == "feed":
+                if ct in (CT_HTML, "feed", "json"):
                     if ct == "feed":
                         from ..stages.feed import extract_feed_blocks
                         blocks = extract_feed_blocks(payload)
+                    elif ct == "json":
+                        from ..stages.jsondoc import extract_json_blocks
+                        blocks = extract_json_blocks(payload)
                     else:
                         blocks = extract_main_blocks(payload)
                     text = PAGE_JOIN.join(blocks)

@@ -57,8 +57,9 @@ def sniff_batch(batch: pa.Table) -> pa.Table:
     # non-PDF rows: feed-vs-html-vs-empty from a small prefix (only
     # prefixes cross into Python, via binary_slice -> tiny buffers; 512 B
     # so the feed root element is visible past an xml declaration)
-    from ..config import CT_FEED
+    from ..config import CT_FEED, CT_JSON
     from .feed import is_feed
+    from .jsondoc import looks_json as _looks_json
 
     prefixes = pc.binary_slice(html_col, 0, 512).to_pylist()
     for i in range(n):
@@ -69,6 +70,8 @@ def sniff_batch(batch: pa.Table) -> pa.Table:
             ctype[i] = CT_EMPTY
         elif prefixes[i] is not None and is_feed(prefixes[i]):
             ctype[i] = CT_FEED
+        elif prefixes[i] is not None and _looks_json(prefixes[i]):
+            ctype[i] = CT_JSON
         elif prefixes[i] is not None and _looks_html(prefixes[i]):
             ctype[i] = CT_HTML
         else:
