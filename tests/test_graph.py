@@ -48,3 +48,25 @@ def test_pagerank_distributed_matches_reference(ray_session):
     want = pagerank_reference(edges, n, n_iter=15)
     assert np.allclose(got, want, rtol=0, atol=1e-12)
     assert abs(got.sum() - 1.0) < 1e-9  # probability mass conserved
+
+
+def test_connected_components_matches_union_find(ray_session):
+    import ray.data as rd
+
+    from ocr_main_ray.functions.graph import (cc_reference,
+                                              connected_components_distributed)
+
+    rng = np.random.RandomState(5)
+    n = 120
+    # sparse graph -> several components, incl. a long chain 100..119
+    edges = [(int(rng.randint(0, 50)), int(rng.randint(0, 50)))
+             for _ in range(40)]
+    edges += [(i, i + 1) for i in range(100, 119)]
+    tbl = pa.table({"src": pa.array([e[0] for e in edges], pa.int64()),
+                    "dst": pa.array([e[1] for e in edges], pa.int64())})
+    ds = rd.from_arrow(tbl).repartition(6)
+    got = connected_components_distributed(ds, n)
+    want = cc_reference(edges, n)
+    assert np.array_equal(got, want)
+    # isolated nodes keep their own id
+    assert got[99] == 99
