@@ -5051,6 +5051,46 @@ def q_source_vocab_overlap(sf_dir: str):
     return inter[["sa", "sb", "i", "n_a", "n_b", "jaccard"]]
 
 
+# ---------------------------------------------------------------------------
+# robust burst detection (MAD z-score): daily counts fold distributed; the
+# median/MAD fold runs on the bounded daily table with quantile_cont
+# interpolation mirrored, and the robust z uses the oracle's exact
+# (n - med) / (1.4826 * mad) term order.
+# ---------------------------------------------------------------------------
+
+def q_events_burst_days_robust(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch.column("ts"), unit="day")
+        g = pa.table({"day": day}).group_by("day").aggregate([("day", "count")])
+        return g.rename_columns(["day", "pn"])
+
+    daily = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("day").aggregate(Sum("pn", alias_name="n"))
+             .to_pandas().sort_values("day").reset_index(drop=True))
+    daily["day"] = daily["day"].astype("datetime64[us]")
+    daily["n"] = daily["n"].astype("int64")
+    c = daily["n"].to_numpy().astype(np.float64)
+
+    def q_cont(v: np.ndarray, q: float) -> float:
+        v = np.sort(v)
+        h = (len(v) - 1) * q
+        lo = math.floor(h)
+        frac = h - lo
+        x_lo = float(v[lo])
+        if frac == 0.0:
+            return x_lo
+        return x_lo + (float(v[min(lo + 1, len(v) - 1)]) - x_lo) * frac
+
+    med = q_cont(c, 0.5)
+    mad = q_cont(np.abs(c - med), 0.5)
+    z = (c - med) / (1.4826 * mad)
+    daily["robust_z"] = z
+    out = daily[daily["robust_z"] > 2.0][["day", "n", "robust_z"]]
+    return out.reset_index(drop=True)
+
+
 QUERIES = {
     "doc_count": q_doc_count,
     "doc_chars_sum": q_doc_chars_sum,
@@ -5163,6 +5203,7 @@ QUERIES = {
     "customer_best_order": q_customer_best_order,
     "orders_yoy_growth": q_orders_yoy_growth,
     "source_vocab_overlap": q_source_vocab_overlap,
+    "events_burst_days_robust": q_events_burst_days_robust,
     "events_value_ntile": q_events_value_ntile,
     "doc_metrics_unpivot": q_doc_metrics_unpivot,
     "char_class_profile": q_char_class_profile,
@@ -5693,6 +5734,17 @@ ORACLE_SQL = {
         "SELECT y, m, cents, CAST(prev AS BIGINT) AS prev_year_cents, "
         "CAST(cents - prev AS BIGINT) AS yoy_delta_cents "
         "FROM l WHERE prev IS NOT NULL ORDER BY y, m"
+    ),
+    "events_burst_days_robust": (
+        "WITH d AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, "
+        "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1), "
+        "s AS (SELECT quantile_cont(CAST(n AS DOUBLE), 0.5) AS med FROM d), "
+        "m AS (SELECT quantile_cont(abs(CAST(d.n AS DOUBLE) - s.med), 0.5) "
+        "AS mad FROM d, s) "
+        "SELECT day, n, (CAST(n AS DOUBLE) - s.med) / (1.4826e0 * m.mad) "
+        "AS robust_z FROM d, s, m "
+        "WHERE (CAST(n AS DOUBLE) - s.med) / (1.4826e0 * m.mad) > 2.0e0 "
+        "ORDER BY day"
     ),
     "events_burst_days": (
         "WITH d AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, "
