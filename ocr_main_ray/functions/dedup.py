@@ -502,6 +502,12 @@ def verify_pairs_distributed(cand_ds, docs_ds, ngram: int = 3,
         cand_ds.iter_batches(batch_size=1 << 20, batch_format="pyarrow"),
         pairs_schema)
     import pyarrow.compute as pc
+    if ids_tbl.num_rows == 0:
+        # a fully-empty candidate side crashes Dataset.join even typed —
+        # no candidates means no verified pairs, full stop
+        return rd.from_arrow(pa.schema(
+            [("a", pa.int64()), ("b", pa.int64()),
+             ("jaccard", pa.float64())]).empty_table())
     uniq = pc.unique(pa.concat_arrays(
         [c for col in (ids_tbl.column("a"), ids_tbl.column("b"))
          for c in col.chunks])) if ids_tbl.num_rows else pa.array([], pa.int64())

@@ -112,32 +112,52 @@ def assign_clusters(docs_ds, canon: dict[int, int]):
         batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
 
 
-def _hash_quality_batch(batch: pd.DataFrame) -> pd.DataFrame:
-    """Scan-side prep: content hash + quality score, text dropped BEFORE any
-    shuffle (only ids/hashes/scores cross the exchange)."""
+def _hash_quality_batch(batch: pd.DataFrame,
+                        extended: bool = False) -> pd.DataFrame:
+    """Scan-side prep: content hash + quality score (+ the extended-filter
+    signals), text dropped BEFORE any shuffle (only ids/hashes/scores cross
+    the exchange)."""
     from ..functions.text import quality_score
 
-    return pd.DataFrame({
+    out = pd.DataFrame({
         "doc_id": batch["doc_id"],
         "text_hash": [hashlib.md5(t.encode("utf-8")).hexdigest()
                       for t in batch["text"]],
         "q": [quality_score(t) for t in batch["text"]],
     })
+    if extended:
+        words = batch["text"].str.split()
+        nw = words.str.len().fillna(0).astype("int64").to_numpy()
+        ndw = words.apply(lambda ws: len(set(ws))
+                          if isinstance(ws, list) else 0).to_numpy()
+        out["distinct_ratio"] = np.where(nw > 0, ndw / np.maximum(nw, 1), 1.0)
+        n = batch["text"].str.len().astype("int64").to_numpy()
+        alpha = batch["text"].str.count(r"[A-Za-z]").astype("int64").to_numpy()
+        out["alpha_ratio"] = np.where(n > 0, alpha / np.maximum(n, 1), 0.0)
+    return out
 
 
 def _exact_winners(g: pd.DataFrame) -> pd.DataFrame:
     g = g.copy()
     g["exact_dup"] = (g["doc_id"] != g["doc_id"].min()).astype("int64")
-    return g[["doc_id", "q", "exact_dup"]]
+    keep_cols = ["doc_id", "q", "exact_dup"]
+    for extra in ("distinct_ratio", "alpha_ratio"):
+        if extra in g.columns:
+            keep_cols.append(extra)
+    return g[keep_cols]
 
 
 class _CurationFlags:
     """Final per-doc verdict: drop-reason precedence is
     exact_dup > near_dup (non-canonical member) > low_quality."""
 
-    def __init__(self, canon_ref, min_quality: float):
+    def __init__(self, canon_ref, min_quality: float,
+                 min_distinct_ratio: float = 0.0,
+                 min_alpha_ratio: float = 0.0):
         self.canon = ray.get(canon_ref)
         self.min_quality = min_quality
+        self.min_distinct_ratio = min_distinct_ratio
+        self.min_alpha_ratio = min_alpha_ratio
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         ids = batch["doc_id"]
@@ -145,9 +165,17 @@ class _CurationFlags:
         near_dup = (cluster != ids).to_numpy()
         exact_dup = batch["exact_dup"].to_numpy().astype(bool)
         low_q = (batch["q"] < self.min_quality).to_numpy()
+        n = len(batch)
+        rep = (batch["distinct_ratio"].to_numpy() < self.min_distinct_ratio
+               if "distinct_ratio" in batch.columns else np.zeros(n, bool))
+        sym = (batch["alpha_ratio"].to_numpy() < self.min_alpha_ratio
+               if "alpha_ratio" in batch.columns else np.zeros(n, bool))
         reason = np.where(exact_dup, "exact_dup",
                           np.where(near_dup, "near_dup",
-                                   np.where(low_q, "low_quality", "")))
+                                   np.where(low_q, "low_quality",
+                                            np.where(rep, "high_repetition",
+                                                     np.where(sym, "low_alpha",
+                                                              "")))))
         return pd.DataFrame({
             "doc_id": ids,
             "keep": (reason == "").astype("int64"),
@@ -173,4 +201,29 @@ def curate_documents(docs_ds, min_quality: float = 30.0,
         _CurationFlags,
         fn_constructor_kwargs={"canon_ref": canon_ref,
                                "min_quality": min_quality},
+        batch_format="pandas", concurrency=(1, 4), num_cpus=1)
+
+
+def curate_documents_extended(docs_ds, min_quality: float = 30.0,
+                              near_dup_threshold: float = 0.5,
+                              min_distinct_ratio: float = 0.2,
+                              min_alpha_ratio: float = 0.4):
+    """The Gopher/FineWeb-style extended filter chain: the base curation
+    reasons plus high_repetition (distinct-word ratio floor) and low_alpha
+    (symbol-soup floor).  Precedence: exact_dup > near_dup > low_quality >
+    high_repetition > low_alpha.  Same exchange plan as curate_documents —
+    the extra signals are scan-side integers riding the existing shuffle."""
+    canon = near_dup_canonical_map(docs_ds, threshold=near_dup_threshold)
+    canon_ref = ray.put(canon)
+    prepped = docs_ds.map_batches(
+        _hash_quality_batch, fn_kwargs={"extended": True},
+        batch_format="pandas", batch_size=8192)
+    flagged = prepped.groupby("text_hash").map_groups(_exact_winners,
+                                                      batch_format="pandas")
+    return flagged.map_batches(
+        _CurationFlags,
+        fn_constructor_kwargs={"canon_ref": canon_ref,
+                               "min_quality": min_quality,
+                               "min_distinct_ratio": min_distinct_ratio,
+                               "min_alpha_ratio": min_alpha_ratio},
         batch_format="pandas", concurrency=(1, 4), num_cpus=1)

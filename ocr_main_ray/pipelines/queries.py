@@ -1499,6 +1499,17 @@ def q_curation(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_curation_extended(sf_dir: str):
+    """Gopher/FineWeb-style extended filter chain: base curation reasons
+    plus high_repetition and low_alpha floors (rows-only: composes the
+    near-dup pipeline; reason precedence pinned in tests/test_curation.py)."""
+    from .curate import curate_documents_extended
+
+    out = curate_documents_extended(
+        _docs(sf_dir, ["doc_id", "text"])).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # term-feature extraction (tf/df): each document's top-5 terms by in-doc
 # frequency, joined to the corpus-wide document frequency of those terms.
@@ -5152,6 +5163,7 @@ QUERIES = {
     "value_p50_by_type": q_value_p50_by_type,
     "near_dup_clusters": q_near_dup_clusters,
     "curation": q_curation,
+    "curation_extended": q_curation_extended,
     "user_event_gaps": q_user_event_gaps,
     "events_hopping_2h": q_events_hopping_2h,
     "building_orders": q_building_orders,

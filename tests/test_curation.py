@@ -94,3 +94,49 @@ def test_curation_determinism_under_reordering():
     out_fwd = (curate_documents(_planted_docs(), min_quality=30.0)
                .to_pandas().set_index("doc_id").sort_index())
     assert (out_rev["drop_reason"] == out_fwd["drop_reason"]).all()
+
+
+def test_curation_extended_new_reasons(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_main_ray.pipelines.curate import curate_documents_extended
+
+    good = ("This is a perfectly reasonable document with plenty of words "
+            "and normal diversity of vocabulary across its sentences. "
+            "It keeps going with even more varied wording to be safe, "
+            "because every phrase introduces genuinely novel tokens here.")
+    repetitive = "spam " * 120                      # distinct ratio ~1/120
+    symbols = " ".join(f"@#{i}$ {i * 7}%" for i in range(40))  # diverse, alpha~0
+    fillers = [
+        f"Filler document number {i} talks about topic {i} with several "
+        f"distinct content words like alpha{i} beta{i} gamma{i} delta{i}."
+        for i in range(4, 10)]
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3] + list(range(4, 10)), pa.int64()),
+        "text": pa.array([good, repetitive, symbols] + fillers, pa.string())})
+    out = (curate_documents_extended(rd.from_arrow(docs), min_quality=0.0)
+           .to_pandas().set_index("doc_id").sort_index())
+    assert out.loc[1, "keep"] == 1
+    assert out.loc[2, "drop_reason"] == "high_repetition"
+    assert out.loc[3, "drop_reason"] == "low_alpha"
+
+
+def test_curation_extended_precedence_base_reasons_first(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_main_ray.pipelines.curate import curate_documents_extended
+
+    rep = "dup " * 100
+    fillers = [
+        f"Another varied filler text {i} mentioning distinct things "
+        f"epsilon{i} zeta{i} eta{i} theta{i} and more normal prose."
+        for i in range(12, 18)]
+    docs = pa.table({
+        "doc_id": pa.array([10, 11] + list(range(12, 18)), pa.int64()),
+        "text": pa.array([rep, rep] + fillers, pa.string())})  # 10/11: exact dups AND repetitive
+    out = (curate_documents_extended(rd.from_arrow(docs), min_quality=0.0)
+           .to_pandas().set_index("doc_id"))
+    assert out.loc[11, "drop_reason"] == "exact_dup"  # precedence holds
+    assert out.loc[10, "drop_reason"] == "high_repetition"
