@@ -523,3 +523,39 @@ def semantic_dedup(ds, k: int = 8, iters: int = 5, threshold: float = 0.95,
     packed = assigned.map_batches(pack, batch_format="pyarrow")
     return packed.groupby("cluster").map_groups(
         lambda g: _semdedup_cluster(g, threshold), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization: the memory-scale path for broadcast ANN state
+# ---------------------------------------------------------------------------
+
+def quantize_int8(m: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Row-normalized float matrix -> (int8 codes, per-row scales).
+
+    Symmetric per-row scalar quantization: code = round(x / scale) with
+    scale = max|x| / 127.  A broadcast query/index matrix shrinks 4x
+    (float32) / 8x (float64) — at 10^9 vectors x 128 dims the difference
+    between an in-object-store index and an impossible one.  Recall impact
+    is bounded by the quantization noise (~0.4% of the max component);
+    tests pin top-k overlap vs exact cosine."""
+    m = np.ascontiguousarray(m, dtype=np.float32)
+    scale = np.abs(m).max(axis=1, keepdims=True) / 127.0
+    scale = np.where(scale == 0, 1.0, scale)
+    codes = np.clip(np.round(m / scale), -127, 127).astype(np.int8)
+    return codes, scale.astype(np.float32).ravel()
+
+
+def cosine_topk_int8(codes: np.ndarray, scales: np.ndarray,
+                     query: np.ndarray, k: int) -> np.ndarray:
+    """Top-k ids by approximate cosine against int8 codes: the integer
+    matmul runs in int32 (exact), and the per-row scale is applied once to
+    the scores — one float multiply per candidate, not per component."""
+    q = np.ascontiguousarray(query, dtype=np.float32)
+    qn = q / np.linalg.norm(q)
+    # int8 x float query: lift codes once per BLOCK into int32 matmul with
+    # a quantized query for an all-integer inner loop
+    qscale = np.abs(qn).max() / 127.0
+    qcodes = np.clip(np.round(qn / qscale), -127, 127).astype(np.int32)
+    scores = (codes.astype(np.int32) @ qcodes) * scales * qscale
+    order = np.argsort(-scores, kind="stable")
+    return order[:k]

@@ -175,3 +175,39 @@ def test_quantile_sketch_exact_when_small():
     assert t.column("qw").to_numpy().tolist() == [1] * 5
     assert quantile_query(t.column("qv").to_numpy(),
                           t.column("qw").to_numpy(), [0.5]) == [5]
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization
+# ---------------------------------------------------------------------------
+
+def test_int8_quantization_topk_recall():
+    import numpy as np
+
+    from ocr_main_ray.functions.similarity import (cosine_topk_int8,
+                                                   normalize_rows,
+                                                   quantize_int8)
+
+    rng = np.random.RandomState(3)
+    m = normalize_rows(rng.randn(2000, 64))
+    q = rng.randn(64)
+    exact = np.argsort(-(m @ (q / np.linalg.norm(q))), kind="stable")[:10]
+    codes, scales = quantize_int8(m)
+    assert codes.dtype == np.int8 and codes.shape == m.shape
+    approx = cosine_topk_int8(codes, scales, q, 10)
+    overlap = len(set(exact.tolist()) & set(approx.tolist()))
+    assert overlap >= 8  # top-10 recall >= 0.8 under int8 noise
+
+
+def test_int8_quantization_roundtrip_error_bound():
+    import numpy as np
+
+    from ocr_main_ray.functions.similarity import (normalize_rows,
+                                                   quantize_int8)
+
+    rng = np.random.RandomState(4)
+    m = normalize_rows(rng.randn(100, 32)).astype(np.float32)
+    codes, scales = quantize_int8(m)
+    recon = codes.astype(np.float32) * scales[:, None]
+    assert np.abs(recon - m).max() <= (np.abs(m).max(axis=1) / 127.0
+                                       ).max() * 0.5 + 1e-6
