@@ -559,3 +559,37 @@ def cosine_topk_int8(codes: np.ndarray, scales: np.ndarray,
     scores = (codes.astype(np.int32) @ qcodes) * scales * qscale
     order = np.argsort(-scores, kind="stable")
     return order[:k]
+
+
+# ---------------------------------------------------------------------------
+# maximal-marginal-relevance re-ranking (diverse retrieval)
+# ---------------------------------------------------------------------------
+
+def mmr_rerank(vecs: np.ndarray, scores: np.ndarray, k: int,
+               lam: float = 0.7) -> np.ndarray:
+    """Greedy MMR over a CANDIDATE set (the bounded output of a first-stage
+    knn/BM25 retrieval — this runs driver-side on <= k*n_blocks rows, never
+    the corpus): each step picks argmax of
+    lam * relevance - (1-lam) * max_similarity_to_already_selected.
+    Deterministic: ties break on the lower candidate index.  lam=1.0
+    degenerates to plain score order."""
+    vecs = normalize_rows(np.ascontiguousarray(vecs, dtype=np.float64))
+    n = len(scores)
+    k = min(k, n)
+    selected: list[int] = []
+    max_sim = np.full(n, -np.inf)
+    remaining = np.ones(n, dtype=bool)
+    for _ in range(k):
+        if selected:
+            penalty = max_sim
+        else:
+            penalty = np.zeros(n)
+        mmr = lam * scores - (1.0 - lam) * penalty
+        mmr[~remaining] = -np.inf
+        pick = int(np.argmax(mmr))  # argmax takes the FIRST max -> stable
+        selected.append(pick)
+        remaining[pick] = False
+        sim_to_pick = vecs @ vecs[pick]
+        max_sim = np.maximum(np.where(np.isfinite(max_sim), max_sim, -1.0),
+                             sim_to_pick)
+    return np.asarray(selected, dtype=np.int64)

@@ -211,3 +211,28 @@ def test_int8_quantization_roundtrip_error_bound():
     recon = codes.astype(np.float32) * scales[:, None]
     assert np.abs(recon - m).max() <= (np.abs(m).max(axis=1) / 127.0
                                        ).max() * 0.5 + 1e-6
+
+
+def test_mmr_rerank_diversity_and_degenerate_lambda():
+    import numpy as np
+
+    from ocr_main_ray.functions.similarity import mmr_rerank, normalize_rows
+
+    rng = np.random.RandomState(9)
+    # two tight clusters + singletons; top scores all in cluster A
+    a = normalize_rows(rng.randn(1, 16))
+    cluster_a = normalize_rows(a + 0.01 * rng.randn(5, 16))
+    b = normalize_rows(rng.randn(5, 16))
+    vecs = np.vstack([cluster_a, b])
+    scores = np.array([1.0, 0.99, 0.98, 0.97, 0.96,
+                       0.5, 0.49, 0.48, 0.47, 0.46])
+    plain = np.argsort(-scores, kind="stable")[:4]
+    assert set(plain) == {0, 1, 2, 3}          # plain top-k: one cluster
+    diverse = mmr_rerank(vecs, scores, k=4, lam=0.5)
+    assert diverse[0] == 0                     # best item always first
+    assert len(set(diverse.tolist()) & {5, 6, 7, 8, 9}) >= 2  # spread out
+    # lam=1 degenerates to plain relevance order
+    assert mmr_rerank(vecs, scores, k=4, lam=1.0).tolist() == plain.tolist()
+    # deterministic
+    assert (mmr_rerank(vecs, scores, 4, 0.5)
+            == mmr_rerank(vecs, scores, 4, 0.5)).all()
