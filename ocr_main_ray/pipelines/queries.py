@@ -5102,6 +5102,39 @@ def q_events_burst_days_robust(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+# ---------------------------------------------------------------------------
+# diverse retrieval (rows-only): stage 1 distributed exact knn candidates
+# (50), stage 2 driver-side MMR re-rank over the bounded candidate set —
+# the two-stage retrieve-then-rerank shape every RAG pipeline runs.
+# ---------------------------------------------------------------------------
+
+def q_embedding_knn_diverse(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from ..functions.similarity import knn_topk, mmr_rerank
+
+    q0 = np.asarray(pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"],
+        filters=[("vec_id", "==", 0)]).column("embedding").to_pylist()[0])
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    cand = knn_topk(ds, q0[None, :], k=50)  # bounded candidates
+    ids = cand["vec_id"].to_numpy()
+    # re-fetch ONLY the candidate vectors (row-group pushdown — the corpus
+    # never reaches the driver)
+    cand_tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", [int(i) for i in ids])])
+    by_id = dict(zip(cand_tbl.column("vec_id").to_pylist(),
+                     cand_tbl.column("embedding").to_pylist()))
+    vecs = np.asarray([by_id[int(i)] for i in ids], dtype=np.float64)
+    scores = cand["cos_sim"].to_numpy()
+    order = mmr_rerank(vecs, scores, k=10, lam=0.7)
+    return pa.table({"rank": pa.array(range(len(order)), pa.int64()),
+                     "vec_id": pa.array(ids[order].astype("int64"),
+                                        pa.int64())})
+
+
 QUERIES = {
     "doc_count": q_doc_count,
     "doc_chars_sum": q_doc_chars_sum,
@@ -5164,6 +5197,7 @@ QUERIES = {
     "near_dup_clusters": q_near_dup_clusters,
     "curation": q_curation,
     "curation_extended": q_curation_extended,
+    "embedding_knn_diverse": q_embedding_knn_diverse,
     "user_event_gaps": q_user_event_gaps,
     "events_hopping_2h": q_events_hopping_2h,
     "building_orders": q_building_orders,
