@@ -4207,16 +4207,36 @@ def q_set_similarity_join(sf_dir: str):
         fit_for_join(dfreq, df_schema), join_type="inner",
         num_partitions=nparts, on=("w",), right_on=("w",))
 
-    def prefix_of(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["df", "w"], kind="mergesort")
-        n = len(g)
-        plen = n - math.ceil(t * n) + 1
-        out = g.head(plen)[["doc_id", "w"]]
-        out["n"] = np.int64(n)
-        return out
+    # coarse-bucket by doc hash: per-GROUP UDF dispatch over every doc_id
+    # would be dispatch-bound at corpus scale (the LSH group-by lesson);
+    # inside a bucket, per-doc prefixes come from one vectorized
+    # sort + segment pass
+    nb_docs = _session_buckets()
 
-    prefixes = (decorated.groupby("doc_id")
-                .map_groups(prefix_of, batch_format="pandas"))
+    def add_doc_bucket(tb: pa.Table) -> pa.Table:
+        b = pc.cast(pc.subtract(
+            tb.column("doc_id"),
+            pc.multiply(pc.divide(tb.column("doc_id"), nb_docs), nb_docs)),
+            pa.int64())
+        return tb.append_column("dbucket", b)
+
+    def prefix_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "df", "w"], kind="mergesort")
+        d = g["doc_id"].to_numpy()
+        seg_start = np.concatenate(([True], d[1:] != d[:-1]))
+        seg_id = np.cumsum(seg_start) - 1
+        sizes = np.bincount(seg_id)
+        n_of_row = sizes[seg_id]
+        pos = np.arange(len(d)) - np.flatnonzero(seg_start)[seg_id]
+        plen = n_of_row - np.ceil(t * n_of_row).astype(np.int64) + 1
+        keep = pos < plen
+        return pd.DataFrame({"doc_id": d[keep],
+                             "w": g["w"].to_numpy()[keep],
+                             "n": n_of_row[keep].astype("int64")})
+
+    prefixes = (decorated.map_batches(add_doc_bucket, batch_format="pyarrow")
+                .groupby("dbucket")
+                .map_groups(prefix_bucket, batch_format="pandas"))
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.unique(g["doc_id"].to_numpy())
