@@ -1085,16 +1085,23 @@ def _user_top3_partial(batch: pd.DataFrame) -> pd.DataFrame:
             .groupby("user_id", sort=False).head(3))
 
 
-def _user_top3_final(g: pd.DataFrame) -> pd.DataFrame:
-    return (g.sort_values(["value", "event_id"], ascending=[False, True])
-            .head(3)[["user_id", "event_id", "value"]])
+def _user_top3_bucket_final(g: pd.DataFrame) -> pd.DataFrame:
+    # whole coarse bucket at once: one vectorized sort + grouped head —
+    # per-USER map_groups would pay the ~100 ms UDF dispatch per user
+    return (g.sort_values(["user_id", "value", "event_id"],
+                          ascending=[True, False, True])
+            .groupby("user_id", sort=False).head(3)
+            [["user_id", "event_id", "value"]])
 
 
 def q_top_events_per_user(sf_dir: str):
+    nb = _session_buckets()
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_id", "user_id", "value"])
-    partial = ds.map_batches(_user_top3_partial, batch_format="pandas")
-    out = partial.groupby("user_id").map_groups(_user_top3_final,
+    partial = (ds.map_batches(_user_top3_partial, batch_format="pandas")
+               .map_batches(lambda t: _bucket_users(t, nb),
+                            batch_format="pyarrow"))
+    out = partial.groupby("ubucket").map_groups(_user_top3_bucket_final,
                                                 batch_format="pandas")
     return out.to_pandas()
 
