@@ -137,9 +137,22 @@ def _hash_quality_batch(batch: pd.DataFrame,
     return out
 
 
+def _hash_bucket(batch: pd.DataFrame, num_buckets: int) -> pd.DataFrame:
+    import zlib
+
+    batch = batch.copy()
+    batch["hbucket"] = [zlib.crc32(h.encode()) % num_buckets
+                        for h in batch["text_hash"]]
+    return batch
+
+
 def _exact_winners(g: pd.DataFrame) -> pd.DataFrame:
+    """Whole coarse bucket at once (per-HASH map_groups would pay the UDF
+    dispatch once per distinct document): sort by (hash, doc_id), first row
+    per hash wins — one vectorized duplicated() pass."""
+    g = g.sort_values(["text_hash", "doc_id"], kind="mergesort")
     g = g.copy()
-    g["exact_dup"] = (g["doc_id"] != g["doc_id"].min()).astype("int64")
+    g["exact_dup"] = g["text_hash"].duplicated().astype("int64")
     keep_cols = ["doc_id", "q", "exact_dup"]
     for extra in ("distinct_ratio", "alpha_ratio"):
         if extra in g.columns:
@@ -193,10 +206,13 @@ def curate_documents(docs_ds, min_quality: float = 30.0,
     """
     canon = near_dup_canonical_map(docs_ds, threshold=near_dup_threshold)
     canon_ref = ray.put(canon)
+    from ..config import cluster_cpus
+    nb = max(16, cluster_cpus() * 2)
     prepped = docs_ds.map_batches(_hash_quality_batch, batch_format="pandas",
-                                  batch_size=8192)
-    flagged = prepped.groupby("text_hash").map_groups(_exact_winners,
-                                                      batch_format="pandas")
+                                  batch_size=8192).map_batches(
+        _hash_bucket, fn_kwargs={"num_buckets": nb}, batch_format="pandas")
+    flagged = prepped.groupby("hbucket").map_groups(_exact_winners,
+                                                    batch_format="pandas")
     return flagged.map_batches(
         _CurationFlags,
         fn_constructor_kwargs={"canon_ref": canon_ref,
@@ -215,11 +231,14 @@ def curate_documents_extended(docs_ds, min_quality: float = 30.0,
     the extra signals are scan-side integers riding the existing shuffle."""
     canon = near_dup_canonical_map(docs_ds, threshold=near_dup_threshold)
     canon_ref = ray.put(canon)
+    from ..config import cluster_cpus
+    nb = max(16, cluster_cpus() * 2)
     prepped = docs_ds.map_batches(
         _hash_quality_batch, fn_kwargs={"extended": True},
-        batch_format="pandas", batch_size=8192)
-    flagged = prepped.groupby("text_hash").map_groups(_exact_winners,
-                                                      batch_format="pandas")
+        batch_format="pandas", batch_size=8192).map_batches(
+        _hash_bucket, fn_kwargs={"num_buckets": nb}, batch_format="pandas")
+    flagged = prepped.groupby("hbucket").map_groups(_exact_winners,
+                                                    batch_format="pandas")
     return flagged.map_batches(
         _CurationFlags,
         fn_constructor_kwargs={"canon_ref": canon_ref,
