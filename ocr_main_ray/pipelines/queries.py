@@ -4067,16 +4067,35 @@ def q_events_value_ntile(sf_dir: str):
     q, r = divmod(n_total, k)
 
     def assign(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("event_id")
-        b = ray.get(base_ref)[int(g["cents"].iloc[0])]
-        rank = b + np.arange(len(g))
+        # whole coarse VALUE bucket (per-distinct-cents map_groups is
+        # dispatch-bound on near-continuous domains): sort by (cents,
+        # event_id), segment, vectorized global ranks per segment
+        base_of = ray.get(base_ref)
+        g = group.sort_values(["cents", "event_id"], kind="mergesort")
+        c = g["cents"].to_numpy()
+        seg_start = np.concatenate(([True], c[1:] != c[:-1]))
+        seg_id = np.cumsum(seg_start) - 1
+        pos = np.arange(len(c)) - np.flatnonzero(seg_start)[seg_id]
+        bases = np.asarray([base_of[int(v)] for v in c[seg_start]],
+                           dtype=np.int64)
+        rank = bases[seg_id] + pos
         big = r * (q + 1)
         quart = np.where(rank < big, rank // max(q + 1, 1),
                          r + (rank - big) // max(q, 1)) + 1
         return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
                              "quartile": quart.astype("int64")})
 
-    out = (tagged.groupby("cents")
+    nb_c = _session_buckets()
+
+    def add_cents_bucket(tb: pa.Table) -> pa.Table:
+        b = pc.cast(pc.subtract(
+            tb.column("cents"),
+            pc.multiply(pc.divide(tb.column("cents"), nb_c), nb_c)),
+            pa.int64())
+        return tb.append_column("cbucket", b)
+
+    out = (tagged.map_batches(add_cents_bucket, batch_format="pyarrow")
+           .groupby("cbucket")
            .map_groups(assign, batch_format="pandas").to_pandas())
     return out.sort_values("event_id").reset_index(drop=True)
 
@@ -4246,17 +4265,37 @@ def q_set_similarity_join(sf_dir: str):
                 .map_groups(prefix_bucket, batch_format="pandas"))
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(g["doc_id"].to_numpy())
-        if len(ids) < 2:
+        # whole coarse TOKEN bucket (per-token map_groups would be
+        # dispatch-bound at vocabulary scale): loop over token segments
+        # inside, all-pairs per segment with the degenerate-token cap
+        out_a, out_b = [], []
+        for _w, grp in g.groupby("w", sort=False):
+            ids = np.unique(grp["doc_id"].to_numpy())
+            if len(ids) < 2:
+                continue
+            if len(ids) > 1000:  # degenerate bucket guard (boilerplate)
+                ids = ids[:1000]
+            ai, bi = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[ai])
+            out_b.append(ids[bi])
+        if not out_a:
             return pd.DataFrame({"a": pd.Series([], dtype="int64"),
                                  "b": pd.Series([], dtype="int64")})
-        if len(ids) > 1000:  # degenerate bucket guard (boilerplate token)
-            ids = ids[:1000]
-        ai, bi = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"a": ids[ai].astype("int64"),
-                             "b": ids[bi].astype("int64")})
+        return pd.DataFrame({
+            "a": np.concatenate(out_a).astype("int64"),
+            "b": np.concatenate(out_b).astype("int64")}).drop_duplicates()
 
-    cand = (prefixes.groupby("w")
+    import zlib as _zlib
+    nb_tok = _session_buckets()
+
+    def add_tok_bucket(tb: pa.Table) -> pa.Table:
+        b = np.fromiter((_zlib.crc32(w.encode()) % nb_tok
+                         for w in tb.column("w").to_pylist()),
+                        dtype=np.int64, count=tb.num_rows)
+        return tb.append_column("tbucket", pa.array(b, pa.int64()))
+
+    cand = (prefixes.map_batches(add_tok_bucket, batch_format="pyarrow")
+            .groupby("tbucket")
             .map_groups(bucket_pairs, batch_format="pandas")
             .to_pandas().drop_duplicates())  # bounded: pairs, not docs
 
