@@ -5201,6 +5201,90 @@ def q_embedding_knn_diverse(sf_dir: str):
                                         pa.int64())})
 
 
+# ---------------------------------------------------------------------------
+# grouped sample standard deviation from exact integer moments (same
+# term-for-term mirror discipline as the correlation query — DuckDB's
+# incremental stddev_samp would NOT match bit-for-bit, so the oracle spells
+# out sqrt((n*S2 - S*S) / (n*(n-1))) exactly like the engine).
+# ---------------------------------------------------------------------------
+
+def q_events_value_stddev_by_type(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(batch.column("value"), 100.0)),
+                        pa.int64())
+        sq = pc.multiply(cents, cents)
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "c": cents, "c2": sq,
+                      "one": pa.array(np.ones(batch.num_rows, np.int64))})
+        g = t.group_by("event_type").aggregate(
+            [("one", "sum"), ("c", "sum"), ("c2", "sum")])
+        return g.rename_columns(["event_type", "pn", "ps", "ps2"])
+
+    m = (ds.map_batches(partial, batch_format="pyarrow")
+         .groupby("event_type")
+         .aggregate(Sum("pn", alias_name="n"), Sum("ps", alias_name="s"),
+                    Sum("ps2", alias_name="s2"))
+         .to_pandas().sort_values("event_type").reset_index(drop=True))
+    n = m["n"].to_numpy().astype(np.float64)
+    s = m["s"].to_numpy().astype(np.float64)
+    s2 = m["s2"].to_numpy().astype(np.float64)
+    std = np.sqrt((n * s2 - s * s) / (n * (n - 1.0)))
+    return pa.table({
+        "event_type": pa.array(m["event_type"], pa.string()),
+        "n": pa.array(m["n"].astype("int64"), pa.int64()),
+        "stddev_cents": pa.array(std, pa.float64())})
+
+
+# ---------------------------------------------------------------------------
+# quarterly revenue rollup: bounded (year, quarter) partial-agg fold.
+# ---------------------------------------------------------------------------
+
+def q_orders_quarterly(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        y = pc.cast(pc.year(batch.column("o_orderdate")), pa.int64())
+        qr = pc.cast(pc.quarter(batch.column("o_orderdate")), pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(batch.column("o_totalprice"),
+                                             100.0)), pa.int64())
+        g = (pa.table({"y": y, "quarter": qr, "cents": cents})
+             .group_by(["y", "quarter"])
+             .aggregate([("cents", "sum"), ("cents", "count")]))
+        return g.rename_columns(["y", "quarter", "p_cents", "p_n"])
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["y", "quarter"])
+           .aggregate(Sum("p_cents", alias_name="revenue_cents"),
+                      Sum("p_n", alias_name="n_orders"))
+           .to_pandas().sort_values(["y", "quarter"]).reset_index(drop=True))
+    out["revenue_cents"] = out["revenue_cents"].astype("int64")
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# part-size histogram: bounded-domain count fold (sizes 1..50).
+# ---------------------------------------------------------------------------
+
+def q_part_size_histogram(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_size"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("p_size").aggregate([("p_size", "count")])
+        return g.rename_columns(["p_size", "pn"])
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("p_size").aggregate(Sum("pn", alias_name="n"))
+           .to_pandas().sort_values("p_size").reset_index(drop=True))
+    out["p_size"] = out["p_size"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
 QUERIES = {
     "doc_count": q_doc_count,
     "doc_chars_sum": q_doc_chars_sum,
@@ -5264,6 +5348,9 @@ QUERIES = {
     "curation": q_curation,
     "curation_extended": q_curation_extended,
     "embedding_knn_diverse": q_embedding_knn_diverse,
+    "events_value_stddev_by_type": q_events_value_stddev_by_type,
+    "orders_quarterly": q_orders_quarterly,
+    "part_size_histogram": q_part_size_histogram,
     "user_event_gaps": q_user_event_gaps,
     "events_hopping_2h": q_events_hopping_2h,
     "building_orders": q_building_orders,
@@ -5846,6 +5933,30 @@ ORACLE_SQL = {
         "SELECT y, m, cents, CAST(prev AS BIGINT) AS prev_year_cents, "
         "CAST(cents - prev AS BIGINT) AS yoy_delta_cents "
         "FROM l WHERE prev IS NOT NULL ORDER BY y, m"
+    ),
+    "events_value_stddev_by_type": (
+        "WITH m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s, "
+        "CAST(sum(CAST(round(value * 100) AS BIGINT) "
+        "* CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s2 "
+        "FROM events GROUP BY event_type) "
+        "SELECT event_type, n, "
+        "sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) "
+        "- CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) "
+        "/ (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0e0))) "
+        "AS stddev_cents FROM m ORDER BY event_type"
+    ),
+    "orders_quarterly": (
+        "SELECT CAST(year(o_orderdate) AS BIGINT) AS y, "
+        "CAST(quarter(o_orderdate) AS BIGINT) AS quarter, "
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+        "AS revenue_cents, CAST(count(*) AS BIGINT) AS n_orders "
+        "FROM orders GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
+    "part_size_histogram": (
+        "SELECT CAST(p_size AS BIGINT) AS p_size, "
+        "CAST(count(*) AS BIGINT) AS n FROM part "
+        "GROUP BY p_size ORDER BY p_size"
     ),
     "events_burst_days_robust": (
         "WITH d AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, "
