@@ -51,6 +51,24 @@ def _file_may_contain(path: pathlib.Path, key_col: str, keys) -> bool:
     return False
 
 
+def _tmp_path(path: pathlib.Path) -> pathlib.Path:
+    """Temp name that NO ``*.parquet`` glob can match (``x.parquet.tmp``):
+    a crash between write and rename must leave a file readers ignore,
+    otherwise the documented 'never a half-written file visible' invariant
+    is broken and compaction could merge a stale temp back in."""
+    return path.parent / (path.name + ".tmp")
+
+
+def _sweep_stale_tmps(root: pathlib.Path) -> int:
+    """Remove leftovers from a crashed rewrite/compaction before starting a
+    new maintenance pass (they are always safe to delete: the source files
+    they were replacing are still intact until the atomic rename)."""
+    stale = list(root.rglob("*.parquet.tmp"))
+    for p in stale:
+        p.unlink(missing_ok=True)
+    return len(stale)
+
+
 def _rewrite_one(path: pathlib.Path, key_col: str, keys_arr: pa.Array):
     t = pq.read_table(path)
     keep = pc.invert(pc.is_in(t.column(key_col), value_set=keys_arr))
@@ -58,7 +76,7 @@ def _rewrite_one(path: pathlib.Path, key_col: str, keys_arr: pa.Array):
     if kept.num_rows == t.num_rows:
         return {"file": str(path), "rows_before": t.num_rows,
                 "rows_after": t.num_rows, "rewritten": False}
-    tmp = path.with_suffix(".tmp.parquet")
+    tmp = _tmp_path(path)
     pq.write_table(kept, tmp)
     os.replace(tmp, path)  # atomic on POSIX
     return {"file": str(path), "rows_before": t.num_rows,
@@ -78,6 +96,7 @@ def delete_keys(data_dir: str, keys, key_col: str = "doc_id") -> dict:
                 "rows_removed": 0, "records": []}
     keys_arr = pa.array(keys)
     root = pathlib.Path(data_dir)
+    _sweep_stale_tmps(root)
     files = sorted(p for p in root.rglob("*.parquet"))
     records, pruned = [], 0
     for f in files:
@@ -109,6 +128,7 @@ def compact_dir(data_dir: str, target_rows: int = 1_000_000) -> dict:
     after the rename).  Directories whose files are already >= half the
     target are left untouched."""
     root = pathlib.Path(data_dir)
+    _sweep_stale_tmps(root)
     dirs = sorted({p.parent for p in root.rglob("*.parquet")})
     records = []
     for d in dirs:
@@ -128,17 +148,31 @@ def compact_dir(data_dir: str, target_rows: int = 1_000_000) -> dict:
                 cur, cur_rows = [], 0
         if cur:
             groups.append(cur)
-        for gi, grp in enumerate(groups):
+        existing = set(files)
+        next_id = 0
+        for grp in groups:
             if len(grp) < 2:
                 continue
             merged = pa.concat_tables([pq.read_table(f) for f in grp])
-            out = d / f"compact-{gi:05d}.parquet"
-            tmp = out.with_suffix(".tmp.parquet")
+            # Output name must be either a member of THIS group (its rows
+            # are in `merged`, so replacing it is safe) or a name verified
+            # absent from the directory — a fixed per-index name could
+            # silently overwrite an earlier compaction's output that sorted
+            # into a later group, permanently losing its rows.
+            grp_set = set(grp)
+            while True:
+                out = d / f"compact-{next_id:05d}.parquet"
+                next_id += 1
+                if out in grp_set or out not in existing:
+                    break
+            tmp = _tmp_path(out)
             pq.write_table(merged, tmp)
             os.replace(tmp, out)
+            existing.add(out)
             for f in grp:
                 if f != out:
                     f.unlink()
+                    existing.discard(f)
             records.append({"dir": str(d), "merged_files": len(grp),
                             "rows": merged.num_rows, "out": str(out)})
     return {"partitions_compacted": len({r["dir"] for r in records}),

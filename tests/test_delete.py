@@ -110,3 +110,55 @@ def test_compact_leaves_singletons(tmp_path):
                    d / "only.parquet")
     audit = compact_dir(str(tmp_path))
     assert audit["files_merged"] == 0
+
+
+def test_recompaction_never_loses_rows(tmp_path):
+    """Regression: a second compaction whose new small files sort BEFORE a
+    previous compact-00000.parquet must not overwrite it — output names are
+    verified absent (or group members) before the rename."""
+    from ocr_main_ray.state.delete import compact_dir
+
+    d = tmp_path / "part=a"
+    d.mkdir(parents=True)
+    for i in range(4):
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(i * 10, i * 10 + 10), pa.int64())}),
+            d / f"f{i}.parquet")
+    compact_dir(str(tmp_path), target_rows=100)   # -> one compact-*.parquet
+    # new small appends that sort BEFORE "compact-..." in name order
+    for i in range(3):
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(100 + i * 10, 110 + i * 10), pa.int64())}),
+            d / f"append-{i}.parquet")
+    compact_dir(str(tmp_path), target_rows=25)    # groups split; old file in a later group
+    got = sorted(sum((pq.read_table(f).column("doc_id").to_pylist()
+                      for f in d.glob("*.parquet")), []))
+    assert got == list(range(40)) + list(range(100, 130))
+
+
+def test_stale_tmp_invisible_and_swept(tmp_path):
+    """A crashed rewrite's temp must not match *.parquet globs and must be
+    cleaned up by the next maintenance pass."""
+    from ocr_main_ray.state.delete import compact_dir
+
+    _write_parts(tmp_path)
+    stale = tmp_path / "part=a" / "data.parquet.tmp"
+    pq.write_table(pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                             "text": pa.array(["x", "y"])}), stale)
+    assert stale not in set(tmp_path.rglob("*.parquet"))
+    audit = delete_keys(str(tmp_path), [0])
+    assert audit["files_scanned"] == 3            # stale tmp never counted
+    assert not stale.exists()                     # swept at pass start
+    stale2 = tmp_path / "part=b" / "data.parquet.tmp"
+    stale2.write_bytes(b"garbage half-written")
+    compact_dir(str(tmp_path))
+    assert not stale2.exists()
+
+
+def test_content_hash_is_64_bit():
+    """Regression: crc32("plumless") == crc32("buckeroo") (same length) —
+    the old 32-bit-per-length-class key silently dropped one of them."""
+    from ocr_main_ray.stages.dedup import _content_hash64
+
+    assert _content_hash64("plumless") != _content_hash64("buckeroo")
+    assert _content_hash64("a") == _content_hash64("a")  # deterministic
