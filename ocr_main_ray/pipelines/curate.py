@@ -18,9 +18,13 @@ engine's own primitives:
 Scale notes: the text column never crosses a shuffle — hashing and quality
 scoring happen scan-side, so the exact-dup exchange moves (doc_id, hash,
 score) only.  The near-dup pair set is the OUTPUT of LSH + verification,
-bounded by the near-dup rate (typically ~1 % of docs), so the union-find
-runs driver-side over int pairs and the resulting {doc: canonical} map is
-broadcast once via ``ray.put`` and read inside an actor pool.
+bounded by the near-dup rate (typically ~1 % of docs); while it fits the
+``driver_pair_budget`` the union-find runs driver-side over int pairs and
+the {doc: canonical} map is broadcast once via ``ray.put``.  Past the
+budget the pipeline switches to :func:`cluster_pairs_distributed` — a
+min-label-propagation over the pair set (``functions.graph.cc_join``)
+whose labels live in a node-keyed Dataset, joined (not broadcast) onto the
+flag table — so NO driver structure scales with the pair count.
 """
 from __future__ import annotations
 
@@ -65,23 +69,48 @@ def cluster_pairs(pairs: pa.Table) -> dict[int, int]:
     return {x: find(x) for x in seen}
 
 
-def near_dup_canonical_map(docs_ds, threshold: float = 0.5,
-                           num_perm: int = 128, bands: int = 32):
-    """MinHash-LSH -> distributed verify -> union-find; returns the
-    {doc_id: canonical_doc_id} dict for verified-near-dup members."""
+def cluster_pairs_distributed(pairs_ds, num_partitions: int | None = None):
+    """Distributed equivalent of :func:`cluster_pairs`: ``(a, b)`` pair
+    Dataset -> ``(doc_id, canonical)`` Dataset via min-label propagation
+    (``functions.graph.cc_join``).  Bit-equal to the union-find map — one
+    row per doc that appears in a pair, canonical = min doc_id of its
+    component — with no driver structure sized by the pair set."""
+    from ..functions.graph import cc_join
+
+    lab = cc_join(pairs_ds, src="a", dst="b", num_partitions=num_partitions)
+    return lab.map_batches(
+        lambda t: t.rename_columns(["doc_id", "canonical"]),
+        batch_format="pyarrow")
+
+
+def _verified_pairs_ds(docs_ds, threshold: float, num_perm: int = 128,
+                       bands: int = 32):
+    """MinHash-LSH candidates -> distributed exact-Jaccard verification;
+    returns the verified-pair Dataset (a, b, jaccard)."""
     from ..functions.dedup import (minhash_candidate_pairs,
                                    verify_pairs_distributed)
 
+    cand = minhash_candidate_pairs(docs_ds, num_perm=num_perm, bands=bands)
+    return verify_pairs_distributed(cand, docs_ds, threshold=threshold)
+
+
+def _pairs_to_dict(verified) -> dict[int, int]:
     from ..rayops import concat_batches
 
-    cand = minhash_candidate_pairs(docs_ds, num_perm=num_perm, bands=bands)
-    verified = verify_pairs_distributed(cand, docs_ds, threshold=threshold)
     pairs = concat_batches(
         verified.iter_batches(batch_size=1 << 20, batch_format="pyarrow"),
         pa.schema([("a", pa.int64()), ("b", pa.int64())]))
     if pairs.num_rows == 0:
         return {}
     return cluster_pairs(pairs.select(["a", "b"]))
+
+
+def near_dup_canonical_map(docs_ds, threshold: float = 0.5,
+                           num_perm: int = 128, bands: int = 32):
+    """MinHash-LSH -> distributed verify -> union-find; returns the
+    {doc_id: canonical_doc_id} dict for verified-near-dup members."""
+    return _pairs_to_dict(
+        _verified_pairs_ds(docs_ds, threshold, num_perm, bands))
 
 
 class _ClusterAssign:
@@ -160,9 +189,35 @@ def _exact_winners(g: pd.DataFrame) -> pd.DataFrame:
     return g[keep_cols]
 
 
+def _verdict_frame(batch: pd.DataFrame, near_dup: "np.ndarray",
+                   min_quality: float, min_distinct_ratio: float,
+                   min_alpha_ratio: float) -> pd.DataFrame:
+    """Shared per-doc verdict: drop-reason precedence is
+    exact_dup > near_dup (non-canonical member) > low_quality >
+    high_repetition > low_alpha."""
+    exact_dup = batch["exact_dup"].to_numpy().astype(bool)
+    low_q = (batch["q"] < min_quality).to_numpy()
+    n = len(batch)
+    rep = (batch["distinct_ratio"].to_numpy() < min_distinct_ratio
+           if "distinct_ratio" in batch.columns else np.zeros(n, bool))
+    sym = (batch["alpha_ratio"].to_numpy() < min_alpha_ratio
+           if "alpha_ratio" in batch.columns else np.zeros(n, bool))
+    reason = np.where(exact_dup, "exact_dup",
+                      np.where(near_dup, "near_dup",
+                               np.where(low_q, "low_quality",
+                                        np.where(rep, "high_repetition",
+                                                 np.where(sym, "low_alpha",
+                                                          "")))))
+    return pd.DataFrame({
+        "doc_id": batch["doc_id"],
+        "keep": (reason == "").astype("int64"),
+        "drop_reason": reason,
+        "quality": batch["q"],
+    })
+
+
 class _CurationFlags:
-    """Final per-doc verdict: drop-reason precedence is
-    exact_dup > near_dup (non-canonical member) > low_quality."""
+    """Broadcast-map path: canonical ids fetched once per actor."""
 
     def __init__(self, canon_ref, min_quality: float,
                  min_distinct_ratio: float = 0.0,
@@ -176,73 +231,107 @@ class _CurationFlags:
         ids = batch["doc_id"]
         cluster = ids.map(self.canon).fillna(ids).astype("int64")
         near_dup = (cluster != ids).to_numpy()
-        exact_dup = batch["exact_dup"].to_numpy().astype(bool)
-        low_q = (batch["q"] < self.min_quality).to_numpy()
-        n = len(batch)
-        rep = (batch["distinct_ratio"].to_numpy() < self.min_distinct_ratio
-               if "distinct_ratio" in batch.columns else np.zeros(n, bool))
-        sym = (batch["alpha_ratio"].to_numpy() < self.min_alpha_ratio
-               if "alpha_ratio" in batch.columns else np.zeros(n, bool))
-        reason = np.where(exact_dup, "exact_dup",
-                          np.where(near_dup, "near_dup",
-                                   np.where(low_q, "low_quality",
-                                            np.where(rep, "high_repetition",
-                                                     np.where(sym, "low_alpha",
-                                                              "")))))
-        return pd.DataFrame({
-            "doc_id": ids,
-            "keep": (reason == "").astype("int64"),
-            "drop_reason": reason,
-            "quality": batch["q"],
-        })
+        return _verdict_frame(batch, near_dup, self.min_quality,
+                              self.min_distinct_ratio, self.min_alpha_ratio)
 
 
-def curate_documents(docs_ds, min_quality: float = 30.0,
-                     near_dup_threshold: float = 0.5):
-    """documents(doc_id, text) -> (doc_id, keep, drop_reason, quality).
+def _flags_from_join(batch: pd.DataFrame, min_quality: float,
+                     min_distinct_ratio: float = 0.0,
+                     min_alpha_ratio: float = 0.0) -> pd.DataFrame:
+    """Join path: ``canonical`` arrived as a column (left-outer join against
+    the distributed label table; null -> own id)."""
+    ids = batch["doc_id"]
+    canonical = batch["canonical"].fillna(ids).astype("int64")
+    near_dup = (canonical != ids).to_numpy()
+    return _verdict_frame(batch, near_dup, min_quality,
+                          min_distinct_ratio, min_alpha_ratio)
 
-    One content-hash shuffle (ids + scores only), one broadcast of the
-    near-dup canonical map; everything else is scan-side map_batches.
-    """
-    canon = near_dup_canonical_map(docs_ds, threshold=near_dup_threshold)
-    canon_ref = ray.put(canon)
+
+DRIVER_PAIR_BUDGET = 50_000_000  # ~800 MB of int64 pairs on the driver
+
+
+def _curate_core(docs_ds, min_quality: float, near_dup_threshold: float,
+                 extended: bool, min_distinct_ratio: float,
+                 min_alpha_ratio: float, driver_pair_budget: int):
+    """Shared plan: scan-side hash/quality prep, coarse-bucket exact-dup
+    shuffle, then the near-dup verdict via EITHER the broadcast union-find
+    map (pair set within ``driver_pair_budget``) or the distributed
+    min-label-propagation table joined on (no driver structure sized by the
+    pair set)."""
     from ..config import cluster_cpus
+
+    verified = _verified_pairs_ds(docs_ds,
+                                  threshold=near_dup_threshold).materialize()
+    n_pairs = verified.count()
+
     nb = max(16, cluster_cpus() * 2)
-    prepped = docs_ds.map_batches(_hash_quality_batch, batch_format="pandas",
-                                  batch_size=8192).map_batches(
+    kwargs = {"extended": True} if extended else {}
+    prepped = docs_ds.map_batches(
+        _hash_quality_batch, fn_kwargs=kwargs,
+        batch_format="pandas", batch_size=8192).map_batches(
         _hash_bucket, fn_kwargs={"num_buckets": nb}, batch_format="pandas")
     flagged = prepped.groupby("hbucket").map_groups(_exact_winners,
                                                     batch_format="pandas")
-    return flagged.map_batches(
-        _CurationFlags,
-        fn_constructor_kwargs={"canon_ref": canon_ref,
-                               "min_quality": min_quality},
-        batch_format="pandas", concurrency=(1, 4), num_cpus=1)
+
+    if n_pairs <= driver_pair_budget:
+        canon_ref = ray.put(_pairs_to_dict(verified))
+        return flagged.map_batches(
+            _CurationFlags,
+            fn_constructor_kwargs={"canon_ref": canon_ref,
+                                   "min_quality": min_quality,
+                                   "min_distinct_ratio": min_distinct_ratio,
+                                   "min_alpha_ratio": min_alpha_ratio},
+            batch_format="pandas", concurrency=(1, 4), num_cpus=1)
+
+    # distributed fallback: labels stay a Dataset, joined onto the flags
+    from ..rayops import fit_for_join
+
+    canon_ds = cluster_pairs_distributed(verified)
+    flag_fields = [("doc_id", pa.int64()), ("q", pa.float64()),
+                   ("exact_dup", pa.int64())]
+    if extended:
+        flag_fields += [("distinct_ratio", pa.float64()),
+                        ("alpha_ratio", pa.float64())]
+    nparts = max(2, min(16, cluster_cpus() // 2))
+    joined = fit_for_join(flagged, pa.schema(flag_fields)).join(
+        fit_for_join(canon_ds, pa.schema([("doc_id", pa.int64()),
+                                          ("canonical", pa.int64())])),
+        join_type="left_outer", num_partitions=nparts,
+        on=("doc_id",), right_on=("doc_id",))
+    return joined.map_batches(
+        _flags_from_join,
+        fn_kwargs={"min_quality": min_quality,
+                   "min_distinct_ratio": min_distinct_ratio,
+                   "min_alpha_ratio": min_alpha_ratio},
+        batch_format="pandas")
+
+
+def curate_documents(docs_ds, min_quality: float = 30.0,
+                     near_dup_threshold: float = 0.5,
+                     driver_pair_budget: int = DRIVER_PAIR_BUDGET):
+    """documents(doc_id, text) -> (doc_id, keep, drop_reason, quality).
+
+    One content-hash shuffle (ids + scores only); the near-dup canonical
+    assignment is a single broadcast while the verified pair set fits
+    ``driver_pair_budget``, else a distributed label join (identical
+    output — tests pin both paths equal)."""
+    return _curate_core(docs_ds, min_quality, near_dup_threshold,
+                        extended=False, min_distinct_ratio=0.0,
+                        min_alpha_ratio=0.0,
+                        driver_pair_budget=driver_pair_budget)
 
 
 def curate_documents_extended(docs_ds, min_quality: float = 30.0,
                               near_dup_threshold: float = 0.5,
                               min_distinct_ratio: float = 0.2,
-                              min_alpha_ratio: float = 0.4):
+                              min_alpha_ratio: float = 0.4,
+                              driver_pair_budget: int = DRIVER_PAIR_BUDGET):
     """The Gopher/FineWeb-style extended filter chain: the base curation
     reasons plus high_repetition (distinct-word ratio floor) and low_alpha
     (symbol-soup floor).  Precedence: exact_dup > near_dup > low_quality >
     high_repetition > low_alpha.  Same exchange plan as curate_documents —
     the extra signals are scan-side integers riding the existing shuffle."""
-    canon = near_dup_canonical_map(docs_ds, threshold=near_dup_threshold)
-    canon_ref = ray.put(canon)
-    from ..config import cluster_cpus
-    nb = max(16, cluster_cpus() * 2)
-    prepped = docs_ds.map_batches(
-        _hash_quality_batch, fn_kwargs={"extended": True},
-        batch_format="pandas", batch_size=8192).map_batches(
-        _hash_bucket, fn_kwargs={"num_buckets": nb}, batch_format="pandas")
-    flagged = prepped.groupby("hbucket").map_groups(_exact_winners,
-                                                    batch_format="pandas")
-    return flagged.map_batches(
-        _CurationFlags,
-        fn_constructor_kwargs={"canon_ref": canon_ref,
-                               "min_quality": min_quality,
-                               "min_distinct_ratio": min_distinct_ratio,
-                               "min_alpha_ratio": min_alpha_ratio},
-        batch_format="pandas", concurrency=(1, 4), num_cpus=1)
+    return _curate_core(docs_ds, min_quality, near_dup_threshold,
+                        extended=True, min_distinct_ratio=min_distinct_ratio,
+                        min_alpha_ratio=min_alpha_ratio,
+                        driver_pair_budget=driver_pair_budget)

@@ -4950,8 +4950,9 @@ def q_bpe_merges(sf_dir: str):
 # tests/test_graph.py.
 # ---------------------------------------------------------------------------
 
-def q_source_pagerank(sf_dir: str):
-    from ..functions.graph import pagerank_distributed
+def _source_edges(sf_dir: str):
+    """Edge Dataset (src, dst int64 node ids) + the bounded source-name
+    list for the citation-graph queries."""
     from ..rayops import fit_for_join
 
     docs = _docs(sf_dir, ["doc_id", "source"])
@@ -4985,10 +4986,33 @@ def q_source_pagerank(sf_dir: str):
         on=("k",), right_on=("k",))
     edges = edges.map_batches(lambda t: t.select(["src", "dst"]),
                               batch_format="pyarrow").materialize()
+    return edges, src_names
+
+
+def q_source_pagerank(sf_dir: str):
+    from ..functions.graph import pagerank_distributed
+
+    edges, src_names = _source_edges(sf_dir)
     rank = pagerank_distributed(edges, len(src_names), n_iter=10)
     return pa.table({
         "source": pa.array(src_names, pa.string()),
         "rank": pa.array(rank, pa.float64())})
+
+
+def q_source_pagerank_join(sf_dir: str):
+    """The 10^10-node scale path: identical output to ``source_pagerank``
+    but rank/degree state lives in a node-keyed Dataset and every power
+    iteration is a hash join against the edge table — no driver array
+    sized by |nodes| (functions/graph.py pagerank_join; tests pin the two
+    paths equal to 1e-12)."""
+    from ..functions.graph import pagerank_join
+
+    edges, src_names = _source_edges(sf_dir)
+    out = (pagerank_join(edges, len(src_names), n_iter=10)
+           .to_pandas().sort_values("node"))  # bounded by |sources|
+    return pa.table({
+        "source": pa.array(src_names, pa.string()),
+        "rank": pa.array(out["rank"].to_numpy(), pa.float64())})
 
 
 # ---------------------------------------------------------------------------
@@ -5399,6 +5423,7 @@ QUERIES = {
     "bpe_merges": q_bpe_merges,
     "bigram_logprob": q_bigram_logprob,
     "source_pagerank": q_source_pagerank,
+    "source_pagerank_join": q_source_pagerank_join,
     "customer_best_order": q_customer_best_order,
     "orders_yoy_growth": q_orders_yoy_growth,
     "source_vocab_overlap": q_source_vocab_overlap,

@@ -140,3 +140,32 @@ def test_curation_extended_precedence_base_reasons_first(ray_session):
            .to_pandas().set_index("doc_id"))
     assert out.loc[11, "drop_reason"] == "exact_dup"  # precedence holds
     assert out.loc[10, "drop_reason"] == "high_repetition"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cluster_pairs_distributed_equals_union_find():
+    """Min-label-propagation labels == the driver union-find map, including
+    transitive chains and min-id canonical election."""
+    import ray.data as rd
+
+    from ocr_main_ray.pipelines.curate import cluster_pairs_distributed
+
+    rows = [(2, 5), (5, 9), (20, 21), (7, 9), (9, 3), (100, 40), (40, 41)]
+    want = cluster_pairs(_pairs(rows))
+    got = (cluster_pairs_distributed(rd.from_arrow(_pairs(rows))
+                                     .repartition(3))
+           .to_pandas().set_index("doc_id")["canonical"].to_dict())
+    assert got == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_curation_join_path_equals_broadcast_path():
+    """Forcing the pair set over the driver budget must flip to the
+    distributed label join and produce the identical verdict table."""
+    base = (curate_documents(_planted_docs(), min_quality=30.0)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    joined = (curate_documents(_planted_docs(), min_quality=30.0,
+                               driver_pair_budget=0)
+              .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert joined.equals(base)
+    assert (joined["drop_reason"] == "near_dup").sum() >= 1  # path exercised
