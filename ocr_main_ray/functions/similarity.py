@@ -232,7 +232,16 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.9, block: int = 4096):
     for i in range(len(refs)):
         for j in range(i, len(refs)):
             futures.append(block_pair.remote(refs[i], refs[j], i == j))
-    parts = [t for t in ray.get(futures) if t.num_rows]
+    # stream completions (ray.wait) instead of one bulk ray.get: a dense
+    # pair burst arrives one pair-table at a time, so the driver's peak
+    # memory is the RESULT size, never #futures × table at once
+    parts = []
+    pending = futures
+    while pending:
+        done, pending = ray.wait(pending, num_returns=min(32, len(pending)))
+        for t in ray.get(done):
+            if t.num_rows:
+                parts.append(t)
     out = (pa.concat_tables(parts) if parts else
            pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
                      "cos_sim": pa.array([], pa.float64())}))
@@ -293,6 +302,27 @@ def _bucket_near_dups(group: pa.Table, threshold: float) -> pa.Table:
         sims = m[:1] @ m.T
         return _pairs_from_sims(ids[:1], ids, sims, threshold, same_block=False)
     return _pairs_from_sims(ids, ids, m @ m.T, threshold, same_block=True)
+
+
+# above this row count the exact O(n^2) block-pair sweep stops being the
+# sensible default (10^6 rows = ~30k block-pair tasks at block=4096)
+EXACT_ALLPAIRS_ROW_LIMIT = 1_000_000
+
+
+def embedding_near_dups_auto(ds, dim: int, threshold: float = 0.9,
+                             k: int = 2, L: int = 16):
+    """Curation-facing default: route by corpus size.  Small inputs take
+    the exact all-pairs sweep (the oracle baseline); past
+    ``EXACT_ALLPAIRS_ROW_LIMIT`` rows the LSH-bucketed path — whose cost is
+    within-bucket only — is the correct shape.  Always returns a Dataset
+    of (a, b, cos_sim)."""
+    import ray.data as rd
+
+    n = ds.count()
+    if n <= EXACT_ALLPAIRS_ROW_LIMIT:
+        return rd.from_arrow(embedding_near_dup_pairs(ds, threshold=threshold))
+    return embedding_near_dup_pairs_lsh(ds, dim=dim, threshold=threshold,
+                                        k=k, L=L)
 
 
 def embedding_near_dup_pairs_lsh(ds, dim: int, threshold: float = 0.45,

@@ -834,10 +834,14 @@ def q_embedding_near_dups(sf_dir: str):
 
 
 def q_embedding_near_dups_lsh(sf_dir: str):
-    """Bucketed near-dup pairs — the 100-TB path: L=16 hyperplane tables of
-    k=2 planes, within-bucket exact cosine, groupby dedup.  Same pair set
-    as the exact query on this corpus (asserted in tests); rows-only here
-    because LSH membership is probabilistic by construction."""
+    """Bucketed near-dup pairs — the 100-TB path and the curation-facing
+    DEFAULT (the exact sibling is the oracle baseline; its O(n^2) block
+    pairs stop being sensible past ~10^6 rows —
+    similarity.embedding_near_dups_auto routes).  L=16 hyperplane tables
+    of k=2 planes, within-bucket exact cosine, groupby dedup.
+    Oracle-checked against the same brute-force cosine SQL as the exact
+    query: at k=2/L=16 every qualifying pair collides in >= 1 table on
+    this corpus, so the pair set is bit-equal."""
     from ..functions.similarity import embedding_near_dup_pairs_lsh
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
@@ -5616,6 +5620,11 @@ ORACLE_SQL = {
         "ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id LIMIT 10"
     ),
     "embedding_near_dups": (
+        "SELECT a.vec_id AS a, b.vec_id AS b "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45"
+    ),
+    "embedding_near_dups_lsh": (
         "SELECT a.vec_id AS a, b.vec_id AS b "
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
         "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45"
