@@ -54,29 +54,36 @@ def sniff_batch(batch: pa.Table) -> pa.Table:
     ctype = np.full(n, CT_EMPTY, dtype=object)
     error = np.full(n, None, dtype=object)
 
-    # non-PDF rows: feed-vs-html-vs-empty from a small prefix (only
-    # prefixes cross into Python, via binary_slice -> tiny buffers; 512 B
-    # so the feed root element is visible past an xml declaration)
+    # non-PDF rows: feed-vs-json-vs-html-vs-empty, fully VECTORIZED on the
+    # 512 B prefix column (the dominant html path never enters Python):
+    # pc.match_substring(_regex) run in Arrow/RE2 byte mode.  Semantics are
+    # the scalar predicates' (feed.is_feed / jsondoc.looks_json /
+    # _looks_html): containment is lstrip-invariant, the anchored regexes
+    # use Python's bytes-whitespace class explicitly, and `^\s*<` subsumes
+    # the doctype/html startswith checks.
     from ..config import CT_FEED, CT_JSON
-    from .feed import is_feed
-    from .jsondoc import looks_json as _looks_json
 
-    prefixes = pc.binary_slice(html_col, 0, 512).to_pylist()
-    for i in range(n):
-        if pdf_mask[i]:
-            continue
-        sz = size_np[i]
-        if sz == 0:
-            ctype[i] = CT_EMPTY
-        elif prefixes[i] is not None and is_feed(prefixes[i]):
-            ctype[i] = CT_FEED
-        elif prefixes[i] is not None and _looks_json(prefixes[i]):
-            ctype[i] = CT_JSON
-        elif prefixes[i] is not None and _looks_html(prefixes[i]):
-            ctype[i] = CT_HTML
-        else:
-            ctype[i] = CT_EMPTY
-            error[i] = "unknown_payload"
+    prefix = pc.binary_slice(html_col, 0, 512)
+
+    def _contains(pat: bytes) -> np.ndarray:
+        return (pc.match_substring(prefix, pat, ignore_case=True)
+                .fill_null(False).to_numpy(zero_copy_only=False))
+
+    def _matches(regex: bytes) -> np.ndarray:
+        return (pc.match_substring_regex(prefix, regex)
+                .fill_null(False).to_numpy(zero_copy_only=False))
+
+    _WS = rb"[ \t\n\r\f\x0b]*"
+    feed_m = _contains(b"<rss") | (_contains(b"<feed") & ~_contains(b"<html"))
+    json_m = _matches(rb"^" + _WS + rb"[\[{]")
+    html_m = _matches(rb"^" + _WS + rb"<")
+
+    rem = ~pdf_mask & (size_np > 0)
+    for mask, ct in ((feed_m, CT_FEED), (json_m, CT_JSON), (html_m, CT_HTML)):
+        hit = rem & mask
+        ctype[hit] = ct
+        rem &= ~mask
+    error[rem] = "unknown_payload"  # non-empty, unrecognized -> CT_EMPTY
 
     # PDF rows: validity gate (D2) then first-page text probe (C4)
     pdf_idx = np.nonzero(pdf_mask)[0]
