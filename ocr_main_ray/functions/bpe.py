@@ -6,12 +6,16 @@ table (word -> corpus count), orders of magnitude smaller than the corpus
 (Heaps' law), and each merge iteration is one partial-agg round over it:
 
   pass 0   distributed word counts (the top_words partial/combiner shape)
-  per merge:
+  per cluster pass:
     1. map_batches: per-block adjacent-pair counts weighted by word count
        (one (pair, n) partial row per distinct pair per block)
     2. groupby(pair).sum  — the ONLY exchange, vocabulary-sized, tiny rows
-    3. driver: argmax pair (count desc, pair asc tiebreak -> deterministic)
-    4. map_batches: apply the merge to each word's symbol list (vectorized
+    3. driver: select the longest PROVABLY-INDEPENDENT prefix of the
+       (count desc, pair asc) ranking — symbol-disjoint pairs whose counts
+       strictly dominate anything an earlier merge in the batch could
+       create (``_select_safe_merge_batch``) — so one pass commits many
+       merges with a sequence IDENTICAL to one-at-a-time training
+    4. map_batches: apply the batch to each word's symbol list (vectorized
        over the block's words; symbols stay python tuples inside the block)
 
 The driver holds only the merge list (N_merges pairs) and per-iteration
@@ -51,31 +55,103 @@ def _pair_counts_block(batch: pd.DataFrame) -> pd.DataFrame:
                                          dtype="int64")})
 
 
-def _apply_merge_block(batch: pd.DataFrame, a: str, b: str) -> pd.DataFrame:
-    ab = a + b
+def _merge_one(syms: tuple, a: str, b: str, ab: str) -> tuple:
+    if len(syms) < 2:
+        return syms
+    merged, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            merged.append(ab)
+            i += 2
+        else:
+            merged.append(syms[i])
+            i += 1
+    return tuple(merged)
+
+
+def _apply_merges_block(batch: pd.DataFrame,
+                        merge_list: list[tuple[str, str]]) -> pd.DataFrame:
+    """Apply a BATCH of merges in selection order in ONE pass over the
+    block's words (the batched pairs are symbol-disjoint, so sequential
+    application equals one-merge-per-pass application)."""
+    prepared = [(a, b, a + b) for a, b in merge_list]
     out = []
     for syms in batch["symbols"]:
-        if len(syms) < 2:
-            out.append(syms)
-            continue
-        merged, i = [], 0
-        while i < len(syms):
-            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
-                merged.append(ab)
-                i += 2
-            else:
-                merged.append(syms[i])
-                i += 1
-        out.append(tuple(merged))
+        for a, b, ab in prepared:
+            syms = _merge_one(syms, a, b, ab)
+        out.append(syms)
     return pd.DataFrame({"symbols": pd.Series(out, dtype=object),
                          "n": batch["n"].astype("int64")})
 
 
+def _select_safe_merge_batch(pairs: pd.DataFrame,
+                             limit: int) -> list[tuple[str, str]]:
+    """Greedy prefix of the (count desc, lex asc) pair ranking that is
+    PROVABLY order-equivalent to one-merge-at-a-time training:
+
+    - merging (a,b) DECREASES only pairs with second==a (their ``a`` gets
+      consumed: x·a·b) or first==b (a·b·y) — so a candidate with
+      second in {selected firsts} or first in {selected seconds} STOPS
+      the batch (its current count may be stale; skipping it could
+      reorder the reference sequence).  Any other overlap — e.g. (a,x)
+      sharing the first symbol, or (x,b) sharing the second — is
+      count-INVARIANT under the earlier merges and may join the batch
+      (sequential application in selection order equals the reference's
+      one-at-a-time application);
+    - every later candidate's count must STRICTLY exceed the upper bound
+      of any pair a previous merge can create: merging (a,b) creates only
+      (x,ab) with count <= count(x,a) and (ab,y) with count <= count(b,y),
+      so the bound is max(max count with second==a, max count with
+      first==b) — which also covers chained creations like (ab,cd) via
+      count(b,c) <= max_first[b].
+
+    Under those rules the reference's next argmax after applying the
+    selected prefix is exactly the next selected pair, so the merge
+    SEQUENCE is identical — only the number of cluster passes drops.
+    """
+    a_l = pairs["a"].tolist()
+    b_l = pairs["b"].tolist()
+    n_l = pairs["n"].tolist()
+    max_first: dict[str, int] = {}
+    max_second: dict[str, int] = {}
+    for a, b, c in zip(a_l, b_l, n_l):
+        c = int(c)
+        if c > max_first.get(a, -1):
+            max_first[a] = c
+        if c > max_second.get(b, -1):
+            max_second[b] = c
+    sel: list[tuple[str, str]] = []
+    sel_firsts: set[str] = set()
+    sel_seconds: set[str] = set()
+    bound = -1
+    for a, b, c in zip(a_l, b_l, n_l):
+        c = int(c)
+        if c < 2:
+            break
+        if sel and (b in sel_firsts or a in sel_seconds or c <= bound):
+            break
+        sel.append((a, b))
+        sel_firsts.add(a)
+        sel_seconds.add(b)
+        bound = max(bound, max_second.get(a, -1), max_first.get(b, -1))
+        if len(sel) >= limit:
+            break
+    return sel
+
+
 def train_bpe_distributed(docs_ds, n_merges: int = 50,
-                          text_col: str = "text") -> list[tuple[str, str]]:
+                          text_col: str = "text",
+                          pass_counter: list | None = None
+                          ) -> list[tuple[str, str]]:
     """Train ``n_merges`` BPE merges over a documents Dataset; returns the
     merge list in order.  Word-boundary BPE (no cross-word merges), no
-    end-of-word marker — the variant ``bpe_reference`` mirrors."""
+    end-of-word marker — the variant ``bpe_reference`` mirrors.
+
+    Each cluster pass applies a BATCH of provably-independent merges
+    (``_select_safe_merge_batch``), so a GPT-scale vocabulary costs far
+    fewer than n_merges plan executions while the merge sequence stays
+    identical to one-at-a-time training.  ``pass_counter`` (a list) gets
+    one element appended per cluster pass — test instrumentation only."""
     import ray.data as rd
 
     def wc_partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -95,7 +171,7 @@ def train_bpe_distributed(docs_ds, n_merges: int = 50,
     merges: list[tuple[str, str]] = []
     # materialize once: the word table re-feeds every iteration
     current = words.materialize()
-    for _ in range(n_merges):
+    while len(merges) < n_merges:
         pairs = (current.map_batches(_pair_counts_block,
                                      batch_format="pandas")
                  .groupby(["a", "b"]).aggregate(Sum("pn", alias_name="n"))
@@ -104,13 +180,17 @@ def train_bpe_distributed(docs_ds, n_merges: int = 50,
             break
         pairs = pairs.sort_values(["n", "a", "b"],
                                   ascending=[False, True, True])
-        best = (str(pairs.iloc[0]["a"]), str(pairs.iloc[0]["b"]))
-        if int(pairs.iloc[0]["n"]) < 2:
-            break  # nothing left worth merging
-        merges.append(best)
-        a, b = best
+        # batch all provably-independent top merges into ONE cluster pass
+        # (sequence-identical to one-at-a-time; see _select_safe_merge_batch)
+        batch_sel = _select_safe_merge_batch(pairs,
+                                             limit=n_merges - len(merges))
+        if not batch_sel:
+            break  # best pair count < 2: nothing left worth merging
+        if pass_counter is not None:
+            pass_counter.append(len(batch_sel))
+        merges.extend(batch_sel)
         current = current.map_batches(
-            lambda batch, a=a, b=b: _apply_merge_block(batch, a, b),
+            lambda batch, ms=list(batch_sel): _apply_merges_block(batch, ms),
             batch_format="pandas").materialize()
     return merges
 

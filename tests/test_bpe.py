@@ -46,3 +46,46 @@ def test_apply_bpe_roundtrip():
     toks = apply_bpe("lowest", merges)
     assert "".join(toks) == "lowest"
     assert len(toks) < len("lowest")  # merges actually fired
+
+
+def test_batched_merges_sequence_identical_on_documents(ray_session):
+    """Safety on natural text: n_merges=200 over real documents must
+    produce the EXACT reference merge sequence (batching may win little
+    here — this corpus's merge DAG is a near-pure dependency chain, so
+    even oracle batching is bounded; the capability criterion lives in
+    the parallel-corpus test below)."""
+    import ray.data as rd
+
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text"]).head(200)
+    ds = rd.from_arrow(pa.Table.from_pandas(docs, preserve_index=False))
+    passes = []
+    got = train_bpe_distributed(ds, n_merges=200, pass_counter=passes)
+    want = bpe_reference(list(docs["text"]), n_merges=200)
+    assert got == want
+    assert sum(passes) == len(got)
+    assert len(passes) < len(got)  # batching engaged at least somewhere
+
+
+def test_batched_merges_4x_fewer_passes_when_dag_allows(ray_session):
+    """Capability criterion: when the merge DAG has parallelism (a
+    GPT-scale vocabulary over a heterogeneous corpus, modeled here by
+    independent word families with separated counts), the batch selector
+    must commit >=4x fewer cluster passes with the IDENTICAL sequence."""
+    import ray.data as rd
+
+    import string
+    alphabet = [a + b for a in string.ascii_lowercase
+                for b in string.ascii_lowercase]  # 2-char "words"
+    texts = []
+    for i, w in enumerate(alphabet[:240]):
+        texts.extend([w] * (1000 - 4 * i))  # separated counts
+    # a few chained words too: the selector must serialize those safely
+    texts.extend(["chain"] * 3000)
+    ds = rd.from_arrow(pa.table({"text": pa.array(texts, pa.string())}))
+    passes = []
+    got = train_bpe_distributed(ds, n_merges=200, pass_counter=passes)
+    want = bpe_reference(texts, n_merges=200)
+    assert got == want
+    assert sum(passes) == len(got) == 200
+    assert len(passes) <= len(got) // 4, (len(passes), len(got))
