@@ -5,8 +5,11 @@ with typed metadata columns beside it; decode / feature-extract / resize /
 frame-sample are actor-pool ``map_batches`` stages with small batch sizes
 (payloads are large — batch_size * concurrency must fit the worker heap).
 
-The actual codec calls (PIL/ffmpeg/librosa) are NOT available in this
-sandbox, so each stage has two modes:
+Codec availability: PNG images decode FOR REAL via the pure-Python codec
+in ``functions/png.py`` (``fake="real"`` on the image stage — stdlib zlib
++ the five scanline filters; no PIL needed).  Audio/video codec calls
+(ffmpeg/librosa) are NOT available in this sandbox, so those stages keep
+two modes:
 
 - real codecs: clearly-marked NotImplementedError raise points where the
   library call belongs;
@@ -81,13 +84,26 @@ class ImageDecodeFeatures:
     stage's sizing."""
 
     def __init__(self, fake: str = "deterministic", thumb: int = 8):
+        if fake not in ("deterministic", "real"):
+            raise ValueError(f"unknown mode {fake!r}")
         self.fake = fake
         self.thumb = thumb
-        if fake == "real":
-            raise NotImplementedError(
-                "real image decode needs PIL/opencv — unavailable in this "
-                "sandbox; construct with fake='deterministic'"
-            )
+
+    def _decode(self, payload: bytes, w: int, h: int) -> "np.ndarray | None":
+        if self.fake == "deterministic":
+            return _fake_pixels(payload, max(w, 1), max(h, 1))
+        # real mode: pure-Python PNG codec (functions/png.py); a payload
+        # the codec rejects degrades that ROW (None features), never the
+        # batch — the dataplane's per-row error discipline
+        from .png import PngError, decode_png
+
+        try:
+            px = decode_png(payload)
+        except PngError:
+            return None
+        if px.ndim == 3:  # luma for the scalar/thumbnail features
+            px = px[:, :, : min(3, px.shape[2])].mean(axis=2)
+        return px.astype(np.float64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         means, stds, thumbs = [], [], []
@@ -95,10 +111,11 @@ class ImageDecodeFeatures:
                                        batch.column("kind").to_pylist(),
                                        batch.column("width").to_pylist(),
                                        batch.column("height").to_pylist()):
-            if kind != "image":
+            px = (self._decode(payload, w, h)
+                  if kind == "image" else None)
+            if px is None:
                 means.append(None); stds.append(None); thumbs.append(None)
                 continue
-            px = _fake_pixels(payload, max(w, 1), max(h, 1))
             means.append(float(px.mean()))
             stds.append(float(px.std()))
             # "resize": block-mean thumbnail, flattened
@@ -170,7 +187,8 @@ class VideoFrameSample:
         )
 
 
-def media_feature_pipeline(ds, concurrency=(1, 4), batch_size: int = 8):
+def media_feature_pipeline(ds, concurrency=(1, 4), batch_size: int = 8,
+                           image_mode: str = "deterministic"):
     """media Dataset -> per-kind feature Dataset (three actor-pool stages in
     one pass each; payload column dropped at the first stage that consumes
     it would break later stages, so each stage runs on the original ds and
@@ -179,7 +197,7 @@ def media_feature_pipeline(ds, concurrency=(1, 4), batch_size: int = 8):
 
     class Combined:
         def __init__(self):
-            self.img = ImageDecodeFeatures()
+            self.img = ImageDecodeFeatures(fake=image_mode)
             self.aud = AudioFeatures()
             self.vid = VideoFrameSample()
 
