@@ -927,6 +927,39 @@ def q_extract_markdown(sf_dir: str):
     return out.map_batches(to_md, batch_format="pandas").to_pandas()
 
 
+def q_extract_markdown_ref(sf_dir: str):
+    """B8 reference-EXACT mode: the full markdown_generator.py template —
+    'Información del Documento' header block + 'Información Técnica'
+    footer — with the two non-deterministic fields (processed date,
+    document id) INJECTED as fixed values so the column stays a pure
+    function (rows-only; template bytes pinned in tests/test_assemble.py)."""
+    import json as _json
+
+    from ..stages.assemble import render_markdown_reference_exact
+
+    def to_md(batch: pd.DataFrame) -> pd.DataFrame:
+        md = [
+            render_markdown_reference_exact(
+                u, t, _json.loads(tj) if tj else [], int(n), c, p / 1000.0,
+                processed_date="1970-01-01 00:00:00",
+                document_id=u,  # url IS the stable document id here
+                dpi=300, language=lang)
+            for u, t, tj, c, n, p, lang in zip(
+                batch["url"], batch["extracted_text"], batch["tables_json"],
+                batch["confidence"], batch["n_pages"], batch["processing_ms"],
+                batch["lang"])
+        ]
+        return pd.DataFrame({"url": batch["url"], "markdown": md,
+                             "md_len": [len(m) for m in md]})
+
+    from ..pipelines.extract import extract_pages_table
+    from ..sources.synth import pages_from_documents
+
+    pages = pages_from_documents(sf_dir, limit=100)
+    out = extract_pages_table(pages)
+    return out.map_batches(to_md, batch_format="pandas").to_pandas()
+
+
 def q_pdf_classify(sf_dir: str):
     """C1 PDFType classifier histogram over the synthetic pdf payloads
     (rows-only; the 5-class taxonomy + thresholds of pdf_analyzer.py)."""
@@ -5339,6 +5372,7 @@ QUERIES = {
     "extract_flagship": q_extract_flagship,
     "pages_sniff_counts": q_pages_sniff_counts,
     "extract_markdown": q_extract_markdown,
+    "extract_markdown_ref": q_extract_markdown_ref,
     "pdf_classify": q_pdf_classify,
     "pdf_doc_info": q_pdf_doc_info,
     "extract_summary_md": q_extract_summary_md,

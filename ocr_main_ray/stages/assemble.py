@@ -92,6 +92,89 @@ def render_markdown(url: str, extracted_text: str, tables_json: str,
     return "\n".join(parts)
 
 
+REFERENCE_HEADER_TEMPLATE = """# {filename}
+
+## Información del Documento
+
+- **Archivo Original**: {filename}
+- **Páginas Procesadas**: {total_pages}
+- **Confianza OCR**: {confidence_score:.2%}
+- **Tiempo de Procesamiento**: {processing_time:.2f} segundos
+- **Fecha de Procesamiento**: {processed_date}
+- **ID de Documento**: {document_id}
+
+---
+
+## Contenido Extraído
+
+"""
+
+REFERENCE_FOOTER_TEMPLATE = """---
+
+## Información Técnica
+
+- **Motor OCR**: Tesseract
+- **Configuración**: {tesseract_config}
+- **DPI**: {dpi}
+- **Idioma**: {language}
+
+*Documento generado automáticamente por OCR Processing System v2.0.0*
+"""
+
+
+def _format_tables_reference(tables: list[dict]) -> str:
+    """The reference's _format_tables (markdown_generator.py:102-136),
+    byte-for-byte: numbered '### Tabla i' sections, first data row as the
+    pipe header, '|---|'-style separator, '*(Tabla vacía)*' placeholder,
+    optional truthy-gated confidence line."""
+    if not tables:
+        return ""
+    out = "## Tablas Extraídas\n\n"
+    for i, table in enumerate(tables, 1):
+        out += f"### Tabla {i}\n\n"
+        data = table.get("data", [])
+        if not data:
+            out += "*(Tabla vacía)*\n\n"
+            continue
+        headers = data[0] if data else []
+        if headers:
+            out += "| " + " | ".join(str(c) for c in headers) + " |\n"
+            out += "|" + "---|" * len(headers) + "\n"
+            for row in data[1:]:
+                out += "| " + " | ".join(str(c) for c in row) + " |\n"
+        out += "\n"
+        if table.get("confidence"):
+            out += f"*Confianza: {table['confidence']:.2%}*\n\n"
+    return out
+
+
+def render_markdown_reference_exact(
+        filename: str, extracted_text: str, tables: list[dict] | None,
+        total_pages: int, confidence_score: float, processing_time_s: float,
+        processed_date: str, document_id: str,
+        tesseract_config: str = "--oem 3 --psm 6", dpi: int = 300,
+        language: str = "spa") -> str:
+    """B8, reference-EXACT mode: the full template from
+    markdown_generator.py:13-28 + generate_markdown:60-76, including the
+    'Información del Documento' block the default renderer drops for
+    determinism.  The two non-deterministic fields are INJECTED
+    (``processed_date``, ``document_id``) instead of stamped with
+    datetime.now(), so the output is a pure function and golden-testable;
+    pass the run's wall time from the driver when reference behavior is
+    wanted."""
+    md = REFERENCE_HEADER_TEMPLATE.format(
+        filename=filename, total_pages=total_pages,
+        confidence_score=confidence_score,
+        processing_time=processing_time_s,
+        processed_date=processed_date, document_id=document_id)
+    md += format_text_structure(extracted_text)
+    if tables:
+        md += _format_tables_reference(tables)
+    md += REFERENCE_FOOTER_TEMPLATE.format(
+        tesseract_config=tesseract_config, dpi=dpi, language=language)
+    return md
+
+
 def render_summary_markdown(doc_rows: list[dict], total_docs: int,
                             total_pages: int, avg_confidence: float,
                             total_time_s: float) -> str:

@@ -84,3 +84,83 @@ def test_document_projection():
     d = document_projection("u", "hello world", "[]", 0.0, 1500.0)
     assert d == {"url": "u", "text_length": 11, "tables_count": 0,
                  "confidence": 0.0, "processing_time": 1.5}
+
+
+def test_reference_exact_markdown_template_bytes():
+    """B8 reference-exact mode: full template pinned byte-for-byte against
+    the reference's format strings (markdown_generator.py:13-28 header,
+    :102-136 tables, :138-150 footer) with injected date/id."""
+    from ocr_main_ray.stages.assemble import render_markdown_reference_exact
+
+    md = render_markdown_reference_exact(
+        filename="informe.pdf",
+        extracted_text="INTRO\n\ncuerpo del documento",
+        tables=[{"data": [["a", "b"], [1, 2]], "confidence": 0.5},
+                {"data": []}],
+        total_pages=3, confidence_score=0.875, processing_time_s=1.5,
+        processed_date="2024-05-01 10:20:30", document_id="doc-42")
+    want = (
+        "# informe.pdf\n"
+        "\n"
+        "## Información del Documento\n"
+        "\n"
+        "- **Archivo Original**: informe.pdf\n"
+        "- **Páginas Procesadas**: 3\n"
+        "- **Confianza OCR**: 87.50%\n"
+        "- **Tiempo de Procesamiento**: 1.50 segundos\n"
+        "- **Fecha de Procesamiento**: 2024-05-01 10:20:30\n"
+        "- **ID de Documento**: doc-42\n"
+        "\n"
+        "---\n"
+        "\n"
+        "## Contenido Extraído\n"
+        "\n"
+        "### INTRO\n"
+        "\n"
+        "cuerpo del documento\n"
+        "\n"
+        "## Tablas Extraídas\n"
+        "\n"
+        "### Tabla 1\n"
+        "\n"
+        "| a | b |\n"
+        "|---|---|\n"
+        "| 1 | 2 |\n"
+        "\n"
+        "*Confianza: 50.00%*\n"
+        "\n"
+        "### Tabla 2\n"
+        "\n"
+        "*(Tabla vacía)*\n"
+        "\n"
+        "---\n"
+        "\n"
+        "## Información Técnica\n"
+        "\n"
+        "- **Motor OCR**: Tesseract\n"
+        "- **Configuración**: --oem 3 --psm 6\n"
+        "- **DPI**: 300\n"
+        "- **Idioma**: spa\n"
+        "\n"
+        "*Documento generado automáticamente por OCR Processing System v2.0.0*\n"
+    )
+    assert md == want
+
+
+def test_reference_exact_markdown_empty_text_and_zero_confidence():
+    from ocr_main_ray.stages.assemble import render_markdown_reference_exact
+
+    md = render_markdown_reference_exact(
+        filename="x.pdf", extracted_text="   ", tables=None, total_pages=0,
+        confidence_score=0.0, processing_time_s=0.0,
+        processed_date="d", document_id="i")
+    assert "*(No se extrajo texto del documento)*\n\n" in md
+    assert "- **Confianza OCR**: 0.00%\n" in md
+    # falsy table confidence is DROPPED (reference's truthy gate), and a
+    # zero-confidence table renders without the confidence line
+    md2 = render_markdown_reference_exact(
+        filename="x.pdf", extracted_text="t", total_pages=1,
+        tables=[{"data": [["h"], ["v"]], "confidence": 0.0}],
+        confidence_score=1.0, processing_time_s=2.0,
+        processed_date="d", document_id="i")
+    assert "*Confianza:" not in md2
