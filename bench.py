@@ -323,7 +323,7 @@ def run_scaling() -> dict:
         f"| {s['value']} | {s.get('kernel_eff', '-')} | "
         f"{s.get('engine_eff_vs_ceiling', '-')} | "
         f"{s['docs_per_sec_lo']} | {s['docs_per_sec_hi']} | "
-        f"{s.get('host_steal_pct', '-')} |"
+        f"{s.get('host_steal_pct', '-')} | {s.get('mix', 'ocr-heavy')} |"
         for s in samples)
     history_md = (
         "\n\n## Sample history (every recorded run of this protocol)\n\n"
@@ -334,7 +334,7 @@ def run_scaling() -> dict:
         f"(lo {best['docs_per_sec_lo']} -> hi {best['docs_per_sec_hi']} "
         "docs/s).\n\n"
         "| raw eff | kernel ceiling | engine/ceiling | lo docs/s | "
-        "hi docs/s | steal % |\n|---|---|---|---|---|---|\n"
+        "hi docs/s | steal % | mix |\n|---|---|---|---|---|---|---|\n"
         + hist_rows + "\n")
     (bench_dir / "BASELINE.md").write_text(
         "# BENCH — measured two-scale results\n\n"

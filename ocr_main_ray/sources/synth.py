@@ -121,13 +121,20 @@ def build_native_pdf(key: int, text: str) -> bytes:
     return data
 
 
-def build_scanned_pdf(key: int, text: str) -> bytes:
+def build_scanned_pdf(key: int, text: str, deep_tail: bool = False) -> bytes:
     """Image-only PDF whose rasters are deskew-stable realistic pages:
-    ruled header/footer + >= 4 body lines (see stages/preprocess deskew)."""
+    ruled header/footer + >= 4 body lines (see stages/preprocess deskew).
+
+    ``deep_tail`` (the "skewed" mix): ~1% of scanned docs get 50-100x the
+    median page count — the OCR-cost skew profile a real crawl has (court
+    filings, scanned books) that the (content_type, size_bucket) staging
+    defense is designed for."""
     words = normalize_for_scan(text).split() or ["EMPTY", "SCAN", str(key)]
     n_pages = 1 + key % 3
     if key % 97 == 0:  # ~1-2% deep documents: OCR-cost skew tail
         n_pages = 8 + key % 5
+    if deep_tail and key % 103 == 0:  # ~1% EXTREME tail: 60-119 pages
+        n_pages = 60 + key % 60
     per_line = 6 + key % 4
     body_lines = [
         " ".join(words[i : i + per_line]) for i in range(0, len(words), per_line)
@@ -167,6 +174,8 @@ MIXES = {
     # mode thresholds over key % 10: (last html, last native, last scanned)
     "default": (3, 6, 8),      # 40% html / 30% native / 20% scanned / 10% edge
     "ocr-heavy": (2, 4, 8),    # 30% html / 20% native / 40% scanned / 10% edge
+    # ocr-heavy shares + a ~1% 50-100x page-count scanned tail (skew bench)
+    "skewed": (2, 4, 8),
 }
 
 
@@ -184,7 +193,8 @@ def build_payload(key: int, text: str, mix: str = "default") -> tuple[bytes, str
     if mode <= nv:
         return build_native_pdf(key, text), "pdf_native"
     if mode <= sc:
-        return build_scanned_pdf(key, text), "pdf_scanned"
+        return build_scanned_pdf(key, text,
+                                 deep_tail=(mix == "skewed")), "pdf_scanned"
     return build_edge(key), "edge"
 
 
