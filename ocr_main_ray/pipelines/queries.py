@@ -1169,6 +1169,78 @@ def q_user_running_value(sf_dir: str):
     return out
 
 
+def _interarrival_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    """Whole coarse bucket vectorized: sort by (user, ts, event_id), diff
+    within user runs, one integer-microsecond aggregate row per user."""
+    g = g.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    us = g["ts"].astype("datetime64[us]").astype("int64")
+    gap = us.diff()
+    same_user = g["user_id"].eq(g["user_id"].shift())
+    gaps = pd.DataFrame({"user_id": g["user_id"], "gap_us": gap})[same_user]
+    agg = gaps.groupby("user_id", sort=False)["gap_us"].agg(
+        n_gaps="count", sum_gap_us="sum", max_gap_us="max").reset_index()
+    return pd.DataFrame({
+        "user_id": agg["user_id"].astype("int64"),
+        "n_gaps": agg["n_gaps"].astype("int64"),
+        "sum_gap_us": agg["sum_gap_us"].astype("int64"),
+        "max_gap_us": agg["max_gap_us"].astype("int64")})
+
+
+def q_user_interarrival(sf_dir: str):
+    """Per-user inter-arrival LAG-window stats (gap count / total / max, in
+    exact integer microseconds).  Same shape as the other window queries:
+    coarse user-hash buckets (O(cpus) map_groups dispatches), everything
+    inside a bucket one vectorized pandas pass — never a per-user UDF."""
+    nb = _session_buckets()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+    ds = ds.map_batches(lambda t: _bucket_users(t, nb), batch_format="pyarrow")
+    out = (ds.groupby("ubucket").map_groups(_interarrival_bucket,
+                                            batch_format="pandas")
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    return out
+
+
+# bands for the broadcast range join (cents; right-open intervals).  The
+# small side of a range join never shuffles: the edge array is broadcast
+# and each batch does one vectorized searchsorted — the canonical
+# dimension-banding shape at 100 TB.
+VALUE_BANDS = [("micro", 0, 1_000), ("small", 1_000, 5_000),
+               ("medium", 5_000, 20_000), ("large", 20_000, 100_000)]
+
+
+def _band_partial(batch: pa.Table) -> pa.Table:
+    cents = pc.cast(pc.round(pc.multiply(batch.column("value"), 100.0)),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+    edges = np.asarray([b[1] for b in VALUE_BANDS] + [VALUE_BANDS[-1][2]],
+                       dtype=np.int64)
+    idx = np.searchsorted(edges, cents, side="right") - 1
+    ok = (idx >= 0) & (idx < len(VALUE_BANDS))
+    names = np.asarray([b[0] for b in VALUE_BANDS], dtype=object)
+    g = (pd.DataFrame({"band": names[idx[ok]], "cents": cents[ok]})
+         .groupby("band", sort=False)["cents"]
+         .agg(pn="count", psum="sum").reset_index())
+    return pa.table({"band": pa.array(g["band"], pa.string()),
+                     "pn": pa.array(g["pn"], pa.int64()),
+                     "psum": pa.array(g["psum"], pa.int64())})
+
+
+def q_events_value_band_join(sf_dir: str):
+    """Range join events -> value bands (cents BETWEEN lo AND hi-1): the
+    band table is broadcast as a sorted edge array, membership is one
+    vectorized searchsorted per batch, then per-band partials -> a 4-row
+    groupby — the small side never enters a shuffle."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    out = (ds.map_batches(_band_partial, batch_format="pyarrow")
+           .groupby("band")
+           .aggregate(Sum("pn", alias_name="n_events"),
+                      Sum("psum", alias_name="sum_cents"))
+           .to_pandas().sort_values("band").reset_index(drop=True))
+    out["n_events"] = out["n_events"].astype("int64")
+    out["sum_cents"] = out["sum_cents"].astype("int64")
+    return out
+
+
 # ---------------------------------------------------------------------------
 # exact distributed percentiles (quantile_disc semantics): integer-cents
 # histogram — per-batch value_counts partial, groupby-sum over <= distinct
@@ -5395,6 +5467,8 @@ QUERIES = {
     "customers_lapsed": q_customers_lapsed,
     "top_events_per_user": q_top_events_per_user,
     "user_running_value": q_user_running_value,
+    "user_interarrival": q_user_interarrival,
+    "events_value_band_join": q_events_value_band_join,
     "events_value_percentiles": q_events_value_percentiles,
     "orders_status_pivot": q_orders_status_pivot,
     "events_value_tiers": q_events_value_tiers,
@@ -5680,6 +5754,25 @@ ORACLE_SQL = {
         "CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER ("
         "PARTITION BY user_id ORDER BY ts, event_id "
         "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents FROM events"
+    ),
+    "user_interarrival": (
+        "SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps, "
+        "CAST(sum(gap_us) AS BIGINT) AS sum_gap_us, "
+        "CAST(max(gap_us) AS BIGINT) AS max_gap_us FROM ("
+        "SELECT user_id, epoch_us(ts) - lag(epoch_us(ts)) OVER ("
+        "PARTITION BY user_id ORDER BY ts, event_id) AS gap_us FROM events) "
+        "WHERE gap_us IS NOT NULL GROUP BY user_id ORDER BY user_id"
+    ),
+    "events_value_band_join": (
+        "WITH bands(band, lo, hi) AS (VALUES "
+        "('micro', 0, 1000), ('small', 1000, 5000), "
+        "('medium', 5000, 20000), ('large', 20000, 100000)) "
+        "SELECT b.band, CAST(count(*) AS BIGINT) AS n_events, "
+        "CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS sum_cents "
+        "FROM events e JOIN bands b "
+        "ON CAST(round(e.value * 100) AS BIGINT) >= b.lo "
+        "AND CAST(round(e.value * 100) AS BIGINT) < b.hi "
+        "GROUP BY b.band ORDER BY b.band"
     ),
     "events_value_percentiles": (
         "SELECT quantile_disc(CAST(round(value * 100) AS BIGINT), 0.5) AS p50_cents, "
