@@ -128,6 +128,20 @@ def cmd_delete(args) -> int:
 
     keys = [int(k) if k.lstrip("-").isdigit() else k
             for k in args.ids.split(",") if k != ""]
+    if not keys:
+        print(json.dumps({"status": "error",
+                          "error": "no keys given"}), file=sys.stderr)
+        return 1
+    # mixed int/str keys would raise an opaque TypeError inside
+    # sorted()/min() and make the pc.is_in filter fail against a typed key
+    # column — reject them up front with a usable message
+    kinds = {type(k).__name__ for k in keys}
+    if len(kinds) > 1:
+        print(json.dumps({
+            "status": "error",
+            "error": f"mixed key types {sorted(kinds)}: all ids must parse "
+                     f"as the same type (got {args.ids!r})"}), file=sys.stderr)
+        return 1
     audit = delete_keys(args.data_dir, keys, key_col=args.key_col)
     if not args.verbose:
         audit.pop("records", None)

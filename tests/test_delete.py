@@ -78,6 +78,18 @@ def test_delete_cli_roundtrip(tmp_path):
     assert out["status"] == "ok" and out["rows_removed"] == 2
 
 
+def test_delete_cli_rejects_mixed_key_types(tmp_path, capsys):
+    from ocr_main_ray.cli import main
+
+    _write_parts(tmp_path)
+    rc = main(["delete", str(tmp_path), "12,abc"])
+    assert rc == 1
+    err = capsys.readouterr().err
+    assert "mixed key types" in err
+    rc = main(["delete", str(tmp_path), ","])
+    assert rc == 1
+
+
 def test_compact_merges_small_files(tmp_path):
     from ocr_main_ray.state.delete import compact_dir
 
