@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 
 import numpy as np
 import pandas as pd
@@ -1257,6 +1258,43 @@ def _cents_hist_partial(batch: pa.Table) -> pa.Table:
     return g.rename_columns(["cents", "pn"])
 
 
+def _type_cents_hist_partial(batch: pa.Table) -> pa.Table:
+    cents = pc.cast(pc.round(pc.multiply(batch.column("value"), 100.0)),
+                    pa.int64())
+    g = (pa.table({"event_type": batch.column("event_type"), "cents": cents})
+         .group_by(["event_type", "cents"]).aggregate([("cents", "count")]))
+    return g.rename_columns(["event_type", "cents", "pn"])
+
+
+def q_events_type_percentiles(sf_dir: str):
+    """GROUPED exact percentiles (quantile_disc semantics per event_type):
+    same cents-histogram shape as the global query — the exchange moves one
+    row per (type, distinct cent) per block, never one per event; the
+    driver folds a table bounded by |types| x |distinct cents|."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    hist = (ds.map_batches(_type_cents_hist_partial, batch_format="pyarrow")
+            .groupby(["event_type", "cents"])
+            .aggregate(Sum("pn", alias_name="n"))
+            .to_pandas().sort_values(["event_type", "cents"])
+            .reset_index(drop=True))
+    rows = []
+    for etype, g in hist.groupby("event_type", sort=True):
+        cum = g["n"].cumsum().to_numpy()
+        total = int(cum[-1])
+
+        def pick(q: float) -> int:
+            rank = min(total, max(1, math.ceil(q * total)))
+            return int(g["cents"].iloc[int(np.searchsorted(cum, rank))])
+
+        rows.append((etype, pick(0.5), pick(0.9), total))
+    return pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "p50_cents": pa.array([r[1] for r in rows], pa.int64()),
+        "p90_cents": pa.array([r[2] for r in rows], pa.int64()),
+        "n_events": pa.array([r[3] for r in rows], pa.int64())})
+
+
 def q_events_value_percentiles(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
     hist = (ds.map_batches(_cents_hist_partial, batch_format="pyarrow")
@@ -1426,6 +1464,102 @@ def q_word_diversity(sf_dir: str):
             .map_batches(_diversity_batch, batch_format="pandas",
                          batch_size=8192)
             .to_pandas())
+
+
+# ---------------------------------------------------------------------------
+# exact duplicated n-gram spans (ExactSubstr-style dedup signal, after Lee
+# et al. 2022, "Deduplicating Training Data Makes Language Models Better"):
+# word 8-grams that occur in >= 2 distinct documents, plus a per-document
+# duplicated-span coverage score.  Shape: per-batch (gram, doc, occ)
+# partials are pre-aggregated before any exchange (one row per distinct
+# gram per doc, never one per token position); grams are coarse-bucketed by
+# crc32 so each bucket runs ONE vectorized pandas groupby (no per-gram UDF
+# dispatch), and only bounded aggregates ever reach the driver.  At
+# 10^12-doc scale, swap the string group key for a 128-bit content hash and
+# resolve the surviving gram strings with a second semi-join pass — strings
+# are kept here because the oracle output includes them and the shuffle
+# payload is already collapsed to one row per (distinct gram, doc).
+# ---------------------------------------------------------------------------
+
+DUP_NGRAM_K = 8
+
+
+def _gram_partials(batch: pd.DataFrame) -> pd.DataFrame:
+    """One (gram, doc_id, occ) row per DISTINCT gram per doc in the batch —
+    the vectorized explode is _grams_frame_all (decontamination shares it),
+    collapsed to counts before anything crosses the network."""
+    g = _grams_frame_all(batch, DUP_NGRAM_K)
+    if g.empty:
+        return pd.DataFrame({"g": pd.Series([], dtype=object),
+                             "doc_id": pd.Series([], dtype="int64"),
+                             "occ": pd.Series([], dtype="int64")})
+    out = g.groupby(["gram", "doc_id"], as_index=False, sort=False).size()
+    return (out.rename(columns={"gram": "g", "size": "occ"})
+            .astype({"occ": "int64"})[["g", "doc_id", "occ"]])
+
+
+def _add_gram_bucket(tb: pa.Table, nb: int) -> pa.Table:
+    import zlib as _zlib
+    b = np.fromiter((_zlib.crc32(g.encode()) % nb
+                     for g in tb.column("g").to_pylist()),
+                    dtype=np.int64, count=tb.num_rows)
+    return tb.append_column("gbucket", pa.array(b, pa.int64()))
+
+
+def q_dup_ngrams_topk(sf_dir: str):
+    """Top-100 corpus-duplicated word 8-grams by (n_docs, n_occ).  The
+    post-filter result is bounded by the corpus duplication rate, so the
+    driver merge is small; a gram's doc set never leaves its bucket."""
+    nb = _session_buckets()
+
+    def bucket_agg(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("g", sort=False).agg(
+            n_docs=("doc_id", "nunique"), n_occ=("occ", "sum"))
+        agg = agg[agg["n_docs"] >= 2].reset_index()
+        return agg.astype({"n_docs": "int64", "n_occ": "int64"})
+
+    dup = (_docs(sf_dir, ["doc_id", "text"])
+           .map_batches(_gram_partials, batch_format="pandas")
+           .map_batches(lambda t: _add_gram_bucket(t, nb),
+                        batch_format="pyarrow")
+           .groupby("gbucket")
+           .map_groups(bucket_agg, batch_format="pandas")
+           .to_pandas())
+    return (dup.sort_values(["n_docs", "n_occ", "g"],
+                            ascending=[False, False, True])
+            .head(100).reset_index(drop=True)[["g", "n_docs", "n_occ"]])
+
+
+def q_doc_dup_ngram_coverage(sf_dir: str):
+    """Per-document ExactSubstr contamination score: the fraction of a
+    doc's word 8-grams that occur in >= 2 distinct docs corpus-wide.  The
+    bucket pass folds (gram, doc, occ) rows to (doc, total, dup) partials,
+    so the second exchange is keyed by doc and carries two ints per
+    (bucket, doc) — text and grams never cross it."""
+    nb = _session_buckets()
+
+    def bucket_doc_partials(g: pd.DataFrame) -> pd.DataFrame:
+        dup_g = g.groupby("g", sort=False)["doc_id"].nunique() >= 2
+        is_dup = g["g"].map(dup_g).to_numpy()
+        occ = g["occ"].to_numpy()
+        out = pd.DataFrame({"doc_id": g["doc_id"], "p_total": occ,
+                            "p_dup": np.where(is_dup, occ, 0)})
+        return out.groupby("doc_id", as_index=False).sum().astype(
+            {"p_total": "int64", "p_dup": "int64"})
+
+    per_doc = (_docs(sf_dir, ["doc_id", "text"])
+               .map_batches(_gram_partials, batch_format="pandas")
+               .map_batches(lambda t: _add_gram_bucket(t, nb),
+                            batch_format="pyarrow")
+               .groupby("gbucket")
+               .map_groups(bucket_doc_partials, batch_format="pandas")
+               .groupby("doc_id")
+               .aggregate(Sum("p_total", alias_name="n_grams"),
+                          Sum("p_dup", alias_name="n_dup"))
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    per_doc["dup_coverage"] = (per_doc["n_dup"].to_numpy().astype(np.float64)
+                               / per_doc["n_grams"].to_numpy())
+    return per_doc[["doc_id", "n_grams", "n_dup", "dup_coverage"]]
 
 
 # ---------------------------------------------------------------------------
@@ -4373,17 +4507,30 @@ def q_set_similarity_join(sf_dir: str):
                 .groupby("dbucket")
                 .map_groups(prefix_bucket, batch_format="pandas"))
 
+    # Degenerate-token guard: 0 (default) = uncapped, keeping the query
+    # EXACT — prefix filtering already bounds per-doc candidate tokens, so
+    # only a boilerplate token shared by >cap docs can blow up a segment.
+    # Set OCR_SETSIM_TOKEN_CAP>0 to trade exactness for skew protection;
+    # every truncation is logged so a silent miss can't masquerade as exact.
+    tok_cap = int(os.environ.get("OCR_SETSIM_TOKEN_CAP", "0"))
+
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         # whole coarse TOKEN bucket (per-token map_groups would be
         # dispatch-bound at vocabulary scale): loop over token segments
-        # inside, all-pairs per segment with the degenerate-token cap
+        # inside, all-pairs per segment
         out_a, out_b = [], []
         for _w, grp in g.groupby("w", sort=False):
             ids = np.unique(grp["doc_id"].to_numpy())
             if len(ids) < 2:
                 continue
-            if len(ids) > 1000:  # degenerate bucket guard (boilerplate)
-                ids = ids[:1000]
+            if tok_cap and len(ids) > tok_cap:
+                import logging
+                logging.getLogger("ocr_main_ray").warning(
+                    "set_similarity_join: token %r candidate list truncated "
+                    "%d -> %d (OCR_SETSIM_TOKEN_CAP); result is approximate "
+                    "for pairs only linked by this token", _w, len(ids),
+                    tok_cap)
+                ids = ids[:tok_cap]
             ai, bi = np.triu_indices(len(ids), k=1)
             out_a.append(ids[ai])
             out_b.append(ids[bi])
@@ -5470,6 +5617,9 @@ QUERIES = {
     "user_interarrival": q_user_interarrival,
     "events_value_band_join": q_events_value_band_join,
     "events_value_percentiles": q_events_value_percentiles,
+    "events_type_percentiles": q_events_type_percentiles,
+    "dup_ngrams_topk": q_dup_ngrams_topk,
+    "doc_dup_ngram_coverage": q_doc_dup_ngram_coverage,
     "orders_status_pivot": q_orders_status_pivot,
     "events_value_tiers": q_events_value_tiers,
     "repeat_customers": q_repeat_customers,
@@ -5773,6 +5923,42 @@ ORACLE_SQL = {
         "ON CAST(round(e.value * 100) AS BIGINT) >= b.lo "
         "AND CAST(round(e.value * 100) AS BIGINT) < b.hi "
         "GROUP BY b.band ORDER BY b.band"
+    ),
+    "dup_ngrams_topk": (
+        "WITH toks AS (SELECT doc_id, "
+        "regexp_split_to_array(trim(text), '\\s+') AS w FROM documents), "
+        "pos AS (SELECT doc_id, w, "
+        "unnest(generate_series(1, greatest(len(w)-7, 0))) AS i FROM toks), "
+        "grams AS (SELECT doc_id, array_to_string(w[i:i+7], ' ') AS g "
+        "FROM pos), "
+        "agg AS (SELECT g, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, "
+        "CAST(count(*) AS BIGINT) AS n_occ FROM grams GROUP BY g "
+        "HAVING count(DISTINCT doc_id) >= 2) "
+        "SELECT g, n_docs, n_occ FROM agg "
+        "ORDER BY n_docs DESC, n_occ DESC, g LIMIT 100"
+    ),
+    "doc_dup_ngram_coverage": (
+        "WITH toks AS (SELECT doc_id, "
+        "regexp_split_to_array(trim(text), '\\s+') AS w FROM documents), "
+        "pos AS (SELECT doc_id, w, "
+        "unnest(generate_series(1, greatest(len(w)-7, 0))) AS i FROM toks), "
+        "grams AS (SELECT doc_id, array_to_string(w[i:i+7], ' ') AS g "
+        "FROM pos), "
+        "dup AS (SELECT g FROM grams GROUP BY g "
+        "HAVING count(DISTINCT doc_id) >= 2) "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams, "
+        "CAST(sum(CASE WHEN g IN (SELECT g FROM dup) THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_dup, "
+        "CAST(sum(CASE WHEN g IN (SELECT g FROM dup) THEN 1 ELSE 0 END) "
+        "AS DOUBLE) / count(*) AS dup_coverage "
+        "FROM grams GROUP BY doc_id ORDER BY doc_id"
+    ),
+    "events_type_percentiles": (
+        "SELECT event_type, "
+        "quantile_disc(CAST(round(value * 100) AS BIGINT), 0.5) AS p50_cents, "
+        "quantile_disc(CAST(round(value * 100) AS BIGINT), 0.9) AS p90_cents, "
+        "CAST(count(*) AS BIGINT) AS n_events "
+        "FROM events GROUP BY event_type ORDER BY event_type"
     ),
     "events_value_percentiles": (
         "SELECT quantile_disc(CAST(round(value * 100) AS BIGINT), 0.5) AS p50_cents, "

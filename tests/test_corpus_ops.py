@@ -7,7 +7,9 @@ import pandas as pd
 
 from ocr_main_ray.pipelines.queries import (
     DECON_NGRAM,
+    DUP_NGRAM_K,
     _bigram_partial,
+    _gram_partials,
     _grams_frame,
     _grams_frame_all,
     _quota_partial,
@@ -47,6 +49,27 @@ def test_grams_frame_distinct_vs_all():
 def test_grams_frame_leading_trailing_whitespace():
     out = _grams_frame(_docs_df(["  a b c d  "]), n=4)
     assert out["gram"].tolist() == ["a b c d"]
+
+
+def test_gram_partials_planted_duplicates():
+    # two docs sharing an exact 8-gram span, one unrelated short doc
+    span = "one two three four five six seven eight"
+    assert len(span.split()) == DUP_NGRAM_K
+    out = _gram_partials(_docs_df([f"{span} tail", f"head {span}", "short"]))
+    assert list(out.columns) == ["g", "doc_id", "occ"]
+    hits = out[out["g"] == span]
+    assert sorted(hits["doc_id"]) == [0, 1]
+    assert (hits["occ"] == 1).all()
+    # repeats inside one doc collapse to one row with occ = count
+    rep = _gram_partials(_docs_df([" ".join(["w"] * (DUP_NGRAM_K + 2))]))
+    assert rep["g"].tolist() == [" ".join(["w"] * DUP_NGRAM_K)]
+    assert rep["occ"].tolist() == [3]
+
+
+def test_gram_partials_empty_and_short():
+    out = _gram_partials(_docs_df(["", "   ", "a b c"]))
+    assert out.empty
+    assert out["occ"].dtype == "int64" and out["doc_id"].dtype == "int64"
 
 
 def test_bigram_partial_counts_and_boundaries():
