@@ -5565,6 +5565,83 @@ def q_part_size_histogram(sf_dir: str):
     return out
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape (rich idle customers): global-average threshold + exact
+# distributed ANTI-join.  The above-average test is an exact integer
+# cross-multiplication (cents * n > sum_cents) so no float average crosses
+# the boundary differently on the two engines; the NOT EXISTS is the
+# customers_lapsed left_outer + null-probe idiom over the distinct-key fold
+# of the filtered orders side.  Per-nation rollup is bounded by |nation|.
+# ---------------------------------------------------------------------------
+
+def q_rich_idle_customers(sf_dir: str):
+    from ..rayops import fit_for_join
+
+    # exact positive-balance average as (sum_cents, n)
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def bal_partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t.column("c_acctbal"), 100.0)),
+                        pa.int64())
+        pos = pc.greater(t.column("c_acctbal"), 0.0)
+        kept = pa.table({"cents": cents}).filter(pos)
+        return pa.table({"s": pa.array([pc.sum(kept.column("cents")).as_py()
+                                        or 0], pa.int64()),
+                         "n": pa.array([kept.num_rows], pa.int64())})
+
+    stats = (cust.map_batches(bal_partial, batch_format="pyarrow")
+             .sum(["s", "n"]))
+    s_cents, n_pos = int(stats["sum(s)"]), int(stats["sum(n)"])
+
+    def rich_filter(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t.column("c_acctbal"), 100.0)),
+                        pa.int64())
+        keep = pc.greater(pc.multiply(cents, n_pos), s_cents)
+        return pa.table({"c_custkey": t.column("c_custkey"),
+                         "c_nationkey": t.column("c_nationkey"),
+                         "cents": cents}).filter(keep)
+
+    rich = cust.map_batches(rich_filter, batch_format="pyarrow")
+
+    # distinct custkeys among URGENT orders (the anti-join's right side)
+    nparts = _join_parts(sf_dir, "orders")
+    keys_schema = pa.schema([("o_custkey", pa.int64()), ("pn", pa.int64())])
+    urgent = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+        filter=pds.field("o_orderpriority") == "1-URGENT")
+    keys = fit_for_join(
+        urgent.map_batches(
+            lambda t: t.group_by("o_custkey").aggregate(
+                [("o_custkey", "count")]).rename_columns(["o_custkey", "pn"]),
+            batch_format="pyarrow")
+        .groupby("o_custkey").aggregate(Sum("pn", alias_name="pn")),
+        keys_schema)
+    joined = rich.join(keys, join_type="left_outer", num_partitions=nparts,
+                       on=("c_custkey",), right_on=("o_custkey",))
+
+    def idle_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_null(t.column("pn")))
+        g = t.group_by("c_nationkey").aggregate(
+            [("c_custkey", "count"), ("cents", "sum")])
+        return g.rename_columns(["c_nationkey", "pc", "ps"])
+
+    per_nation = (joined.map_batches(idle_partial, batch_format="pyarrow")
+                  .groupby("c_nationkey")
+                  .aggregate(Sum("pc", alias_name="n_cust"),
+                             Sum("ps", alias_name="bal_cents"))
+                  .to_pandas())   # <= |nation| rows
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_name"])
+    out = per_nation.merge(nation, left_on="c_nationkey",
+                           right_on="n_nationkey")
+    out = out.rename(columns={"n_name": "nation"})
+    out["n_cust"] = out["n_cust"].astype("int64")
+    out["bal_cents"] = out["bal_cents"].astype("int64")
+    return (out[["nation", "n_cust", "bal_cents"]]
+            .sort_values("nation").reset_index(drop=True))
+
+
 QUERIES = {
     "doc_count": q_doc_count,
     "doc_chars_sum": q_doc_chars_sum,
@@ -5727,6 +5804,7 @@ QUERIES = {
     "bm25_topk": q_bm25_topk,
     "dsir_weights": q_dsir_weights,
     "weighted_sample": q_weighted_sample,
+    "rich_idle_customers": q_rich_idle_customers,
 }
 
 ORACLE_SQL = {
@@ -6861,6 +6939,24 @@ ORACLE_SQL = {
         "SELECT a, b FROM inter "
         "JOIN s sa ON sa.doc_id = a JOIN s sb ON sb.doc_id = b "
         "WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.3 ORDER BY a, b"
+    ),
+    # TPC-H Q22 shape: above-average balance as an exact integer
+    # cross-multiplication (cents * n > sum_cents, no float average), NOT
+    # EXISTS vs URGENT orders, per-nation rollup.
+    "rich_idle_customers": (
+        "WITH c AS (SELECT c_custkey, c_nationkey, "
+        "CAST(round(c_acctbal * 100) AS BIGINT) AS cents, c_acctbal "
+        "FROM customer), "
+        "st AS (SELECT CAST(sum(cents) AS BIGINT) AS s, count(*) AS n "
+        "FROM c WHERE c_acctbal > 0.0), "
+        "rich AS (SELECT c.* FROM c, st WHERE cents * n > s), "
+        "idle AS (SELECT r.* FROM rich r WHERE NOT EXISTS ("
+        "SELECT 1 FROM orders o WHERE o.o_custkey = r.c_custkey "
+        "AND o.o_orderpriority = '1-URGENT')) "
+        "SELECT n_name AS nation, CAST(count(*) AS BIGINT) AS n_cust, "
+        "CAST(sum(cents) AS BIGINT) AS bal_cents "
+        "FROM idle JOIN nation ON n_nationkey = c_nationkey "
+        "GROUP BY n_name ORDER BY nation"
     ),
     # not SQL-expressible -> rows-only checks recorded by the driver:
     #   extract_flagship, pages_sniff_counts (synthetic binary payloads +
