@@ -5642,6 +5642,223 @@ def q_rich_idle_customers(sf_dir: str):
             .sort_values("nation").reset_index(drop=True))
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q13 shape (customer order-count distribution): the zero-order
+# bucket forces a left_outer join — a semi-join or inner join silently
+# drops exactly the customers the distribution exists to expose.  Orders
+# fold to one (custkey, n) row per key BEFORE the join (partial combine),
+# and the final distribution is a second partial-combined rollup keyed by
+# n_orders (cardinality <= max orders per customer, tiny).
+# ---------------------------------------------------------------------------
+
+def q_customer_distribution(sf_dir: str):
+    from ..rayops import fit_for_join
+
+    nparts = _join_parts(sf_dir, "orders")
+    counts_schema = pa.schema([("o_custkey", pa.int64()), ("n", pa.int64())])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    counts = fit_for_join(
+        orders.map_batches(
+            lambda t: t.group_by("o_custkey").aggregate(
+                [("o_custkey", "count")]).rename_columns(["o_custkey", "pn"]),
+            batch_format="pyarrow")
+        .groupby("o_custkey").aggregate(Sum("pn", alias_name="n")),
+        counts_schema)
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    joined = cust.join(counts, join_type="left_outer", num_partitions=nparts,
+                       on=("c_custkey",), right_on=("o_custkey",))
+
+    def dist_partial(t: pa.Table) -> pa.Table:
+        n = pc.fill_null(pc.cast(t.column("n"), pa.int64()), 0)
+        g = pa.table({"n_orders": n}).group_by("n_orders").aggregate(
+            [("n_orders", "count")])
+        return g.rename_columns(["n_orders", "pc"])
+
+    out = (joined.map_batches(dist_partial, batch_format="pyarrow")
+           .groupby("n_orders").aggregate(Sum("pc", alias_name="n_cust"))
+           .to_pandas())
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["n_cust"] = out["n_cust"].astype("int64")
+    return (out[["n_orders", "n_cust"]]
+            .sort_values("n_orders").reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17 shape (small-quantity revenue for one brand): the brand filter
+# bounds the part side to ~1/|brands| of the part table, so its partkeys
+# broadcast (ray.put once, probed per batch) and lineitem is NEVER
+# shuffled — two pruned scans: (1) per-part quantity partials folded to a
+# driver dict (bounded by the brand's part count), (2) the below-average
+# filter + revenue partial.  The 0.2*avg threshold is evaluated as the
+# exact integer cross-multiplication qty * 5 * n < sum_qty, so no float
+# average can round differently between the two engines.
+# ---------------------------------------------------------------------------
+
+def q_small_qty_part_revenue(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    brand_keys = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"],
+        filters=[("p_brand", "=", "Brand#13")]).column("p_partkey")
+    keys_ref = ray.put(np.sort(brand_keys.to_numpy()))
+
+    def li(cols):
+        return rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=cols)
+
+    class _QtyPartial:
+        def __init__(self):
+            self.keys = ray.get(keys_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            pk = t.column("l_partkey").to_numpy()
+            pos = np.searchsorted(self.keys, pk)
+            pos = np.clip(pos, 0, max(len(self.keys) - 1, 0))
+            hit = (self.keys[pos] == pk) if len(self.keys) else \
+                np.zeros(len(pk), bool)
+            kept = pa.table({
+                "l_partkey": t.column("l_partkey"),
+                "q": pc.cast(t.column("l_quantity"), pa.int64()),
+            }).filter(pa.array(hit))
+            g = kept.group_by("l_partkey").aggregate(
+                [("q", "sum"), ("q", "count")])
+            return g.rename_columns(["l_partkey", "sq", "nq"])
+
+    stats = (li(["l_partkey", "l_quantity"])
+             .map_batches(_QtyPartial, batch_format="pyarrow",
+                          concurrency=(1, 8))
+             .groupby("l_partkey")
+             .aggregate(Sum("sq", alias_name="sq"),
+                        Sum("nq", alias_name="nq"))
+             .to_pandas())  # <= |brand parts| rows
+    sq_of = dict(zip(stats["l_partkey"], stats["sq"].astype("int64")))
+    nq_of = dict(zip(stats["l_partkey"], stats["nq"].astype("int64")))
+    stats_ref = ray.put((sq_of, nq_of))
+
+    class _RevPartial:
+        def __init__(self):
+            self.sq, self.nq = ray.get(stats_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            pk = t.column("l_partkey").to_pylist()
+            q = pc.cast(t.column("l_quantity"), pa.int64()).to_numpy()
+            ec = pc.cast(pc.round(pc.multiply(
+                t.column("l_extendedprice"), 100.0)), pa.int64()).to_numpy()
+            keep = np.fromiter(
+                (k in self.sq and qi * 5 * self.nq[k] < self.sq[k]
+                 for k, qi in zip(pk, q)), bool, count=len(pk))
+            return pa.table({
+                "pr": pa.array([int(ec[keep].sum())], pa.int64()),
+                "pn": pa.array([int(keep.sum())], pa.int64())})
+
+    agg = (li(["l_partkey", "l_quantity", "l_extendedprice"])
+           .map_batches(_RevPartial, batch_format="pyarrow",
+                        concurrency=(1, 8))
+           .sum(["pr", "pn"]))
+    return pd.DataFrame({"revenue_cents": [int(agg["sum(pr)"])],
+                         "n_items": [int(agg["sum(pn)"])]})
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4 shape (EXISTS semi-join rollup): orders with at least one
+# lineitem shipped > 90 days after the order date, counted per priority.
+# The EXISTS collapses to a per-orderkey MAX(l_shipdate) partial fold
+# (one row per orderkey leaves each block), then ONE hash join against
+# orders and a priority-keyed rollup bounded by |priorities|.  Timestamp
+# arithmetic is exact int64 microseconds on both engines.
+# ---------------------------------------------------------------------------
+
+def q_slow_orders_by_priority(sf_dir: str):
+    from ..rayops import fit_for_join
+
+    nparts = _join_parts(sf_dir, "lineitem")
+    ship_schema = pa.schema([("l_orderkey", pa.int64()),
+                             ("max_ship", pa.timestamp("us"))])
+    ships = fit_for_join(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_orderkey", "l_shipdate"])
+        .map_batches(
+            lambda t: t.group_by("l_orderkey").aggregate(
+                [("l_shipdate", "max")])
+            .rename_columns(["l_orderkey", "pm"]),
+            batch_format="pyarrow")
+        .groupby("l_orderkey").aggregate(Max("pm", alias_name="max_ship")),
+        ship_schema)
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderdate",
+                                      "o_orderpriority"])
+    joined = orders.join(ships, join_type="inner", num_partitions=nparts,
+                         on=("o_orderkey",), right_on=("l_orderkey",))
+    lag_us = 90 * 86400 * 1_000_000
+
+    def slow_partial(t: pa.Table) -> pa.Table:
+        ship_us = pc.cast(t.column("max_ship"), pa.int64())
+        order_us = pc.cast(t.column("o_orderdate"), pa.int64())
+        keep = pc.greater(ship_us, pc.add(order_us, lag_us))
+        kept = pa.table({"o_orderpriority": t.column("o_orderpriority")}
+                        ).filter(keep)
+        g = kept.group_by("o_orderpriority").aggregate(
+            [("o_orderpriority", "count")])
+        return g.rename_columns(["o_orderpriority", "pc"])
+
+    out = (joined.map_batches(slow_partial, batch_format="pyarrow")
+           .groupby("o_orderpriority")
+           .aggregate(Sum("pc", alias_name="n_orders"))
+           .to_pandas())
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return (out[["o_orderpriority", "n_orders"]]
+            .sort_values("o_orderpriority").reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16 shape (distinct-supplier counts per part group): lineitem is
+# decorated with (p_brand, p_size) — the part table shuffles ONCE through
+# a hash join keyed by partkey (at TPC-H shape part is ~30x smaller than
+# lineitem) — then the distinct is a two-level fold: per-block distinct
+# (map_batches) -> global distinct (groupby first) -> bounded rollup per
+# (brand, size).  No row-level data ever reaches the driver.
+# ---------------------------------------------------------------------------
+
+def q_brand_supplier_counts(sf_dir: str):
+    from ..rayops import fit_for_join
+
+    nparts = _join_parts(sf_dir, "lineitem")
+    part_schema = pa.schema([("p_partkey", pa.int64()),
+                             ("p_brand", pa.string()),
+                             ("p_size", pa.int32())])
+    part = fit_for_join(
+        rd.read_parquet(f"{sf_dir}/part.parquet",
+                        columns=["p_partkey", "p_brand", "p_size"]),
+        part_schema)
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_suppkey"])
+    # pre-distinct inside each block BEFORE the join: (partkey, suppkey)
+    # repeats collapse early, shrinking the shuffle.
+    li = li.map_batches(
+        lambda t: t.group_by(["l_partkey", "l_suppkey"]).aggregate([]),
+        batch_format="pyarrow")
+    joined = li.join(part, join_type="inner", num_partitions=nparts,
+                     on=("l_partkey",), right_on=("p_partkey",))
+    # global distinct of (brand, size, suppkey), then count per (brand, size)
+    distinct = (joined.map_batches(
+        lambda t: t.group_by(["p_brand", "p_size", "l_suppkey"]).aggregate([]),
+        batch_format="pyarrow")
+        .groupby(["p_brand", "p_size", "l_suppkey"])
+        .aggregate(Count(alias_name="_c")))
+
+    def cnt_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["p_brand", "p_size"]).aggregate([("_c", "count")])
+        return g.rename_columns(["p_brand", "p_size", "pc"])
+
+    out = (distinct.map_batches(cnt_partial, batch_format="pyarrow")
+           .groupby(["p_brand", "p_size"])
+           .aggregate(Sum("pc", alias_name="n_suppliers"))
+           .to_pandas())
+    out["p_size"] = out["p_size"].astype("int32")
+    out["n_suppliers"] = out["n_suppliers"].astype("int64")
+    return (out[["p_brand", "p_size", "n_suppliers"]]
+            .sort_values(["p_brand", "p_size"]).reset_index(drop=True))
+
+
 QUERIES = {
     "doc_count": q_doc_count,
     "doc_chars_sum": q_doc_chars_sum,
@@ -5805,6 +6022,10 @@ QUERIES = {
     "dsir_weights": q_dsir_weights,
     "weighted_sample": q_weighted_sample,
     "rich_idle_customers": q_rich_idle_customers,
+    "customer_distribution": q_customer_distribution,
+    "small_qty_part_revenue": q_small_qty_part_revenue,
+    "slow_orders_by_priority": q_slow_orders_by_priority,
+    "brand_supplier_counts": q_brand_supplier_counts,
 }
 
 ORACLE_SQL = {
@@ -6957,6 +7178,41 @@ ORACLE_SQL = {
         "CAST(sum(cents) AS BIGINT) AS bal_cents "
         "FROM idle JOIN nation ON n_nationkey = c_nationkey "
         "GROUP BY n_name ORDER BY nation"
+    ),
+    # TPC-H Q13 shape: zero-order customers included via LEFT OUTER JOIN.
+    "customer_distribution": (
+        "SELECT n_orders, CAST(count(*) AS BIGINT) AS n_cust FROM ("
+        "SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders "
+        "FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey "
+        "GROUP BY c_custkey) GROUP BY n_orders ORDER BY n_orders"
+    ),
+    # TPC-H Q17 shape: below-0.2*avg quantity test as the exact integer
+    # cross-multiplication qty * 5 * n < sum_qty (no float average).
+    "small_qty_part_revenue": (
+        "WITH pk AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#13'), "
+        "l AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qc, "
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS ec "
+        "FROM lineitem JOIN pk ON l_partkey = p_partkey), "
+        "a AS (SELECT l_partkey, CAST(sum(qc) AS BIGINT) AS sq, "
+        "count(*) AS n FROM l GROUP BY l_partkey) "
+        "SELECT CAST(sum(ec) AS BIGINT) AS revenue_cents, "
+        "CAST(count(*) AS BIGINT) AS n_items "
+        "FROM l JOIN a USING (l_partkey) WHERE qc * 5 * n < sq"
+    ),
+    # TPC-H Q4 shape: EXISTS == per-orderkey MAX(l_shipdate) fold + join.
+    "slow_orders_by_priority": (
+        "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders "
+        "FROM orders WHERE EXISTS (SELECT 1 FROM lineitem "
+        "WHERE l_orderkey = o_orderkey "
+        "AND l_shipdate > o_orderdate + INTERVAL 90 DAY) "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    ),
+    # TPC-H Q16 shape: distinct suppliers per (brand, size) via lineitem.
+    "brand_supplier_counts": (
+        "SELECT p_brand, p_size, "
+        "CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "GROUP BY p_brand, p_size ORDER BY p_brand, p_size"
     ),
     # not SQL-expressible -> rows-only checks recorded by the driver:
     #   extract_flagship, pages_sniff_counts (synthetic binary payloads +
