@@ -5943,6 +5943,106 @@ def q_part_triangles(sf_dir: str):
                                                   dtype="int64")})
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q6 shape (forecasting revenue change): the purest predicate-pushdown
+# demonstration — date window + discount band + quantity cap ALL evaluated
+# in the parquet scan (row-group pruning on l_shipdate statistics), a single
+# per-batch integer partial, one global sum.  No shuffle, no join, nothing
+# row-level on the driver.  Revenue is reported in exact 1e-4-dollar units
+# (cents x discount-percent) so no float product ordering can differ.
+# ---------------------------------------------------------------------------
+
+def q_discounted_revenue(sf_dir: str):
+    import datetime as _dt
+
+    lo = _dt.datetime(1996, 1, 1)
+    hi = _dt.datetime(1997, 1, 1)
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount", "l_quantity"],
+        filter=((pds.field("l_shipdate") >= lo)
+                & (pds.field("l_shipdate") < hi)))
+
+    def partial(t: pa.Table) -> pa.Table:
+        d100 = pc.cast(pc.round(pc.multiply(t.column("l_discount"), 100.0)),
+                       pa.int64())
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(d100, 5), pc.less_equal(d100, 7)),
+            pc.less(t.column("l_quantity"), 24.0))
+        ec = pc.cast(pc.round(pc.multiply(t.column("l_extendedprice"), 100.0)),
+                     pa.int64())
+        kept = pa.table({"ec": ec, "d100": d100}).filter(keep)
+        rev = pc.sum(pc.multiply(kept.column("ec"),
+                                 kept.column("d100"))).as_py() or 0
+        return pa.table({"pr": pa.array([int(rev)], pa.int64()),
+                         "pn": pa.array([kept.num_rows], pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").sum(["pr", "pn"])
+    return pd.DataFrame({"revenue_c4": [int(agg["sum(pr)"])],
+                         "n_items": [int(agg["sum(pn)"])]})
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 shape (disjunctive predicate revenue): an OR-of-ANDs across BOTH
+# join sides.  The part-side conditions bound the part table to three
+# (type, size-range) families, so the qualifying partkeys broadcast as
+# sorted arrays with a per-key family tag; each lineitem batch probes them
+# with ONE searchsorted and evaluates the family-specific quantity band
+# vectorized — the disjunction never forces a join or a shuffle.  Revenue is
+# exact integer cents x (100 - discount-percent), 1e-4-dollar units.
+# ---------------------------------------------------------------------------
+
+def q_disjunctive_revenue(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type", "p_size"])
+    ptype = part.column("p_type").to_numpy(zero_copy_only=False)
+    psize = part.column("p_size").to_numpy()
+    pkey = part.column("p_partkey").to_numpy()
+    fam = np.full(len(pkey), -1, np.int8)
+    fam[(ptype == "PROMO") & (psize >= 1) & (psize <= 15)] = 0
+    fam[(ptype == "ECONOMY") & (psize >= 10) & (psize <= 30)] = 1
+    fam[(ptype == "LARGE") & (psize >= 20) & (psize <= 50)] = 2
+    hit = fam >= 0
+    order = np.argsort(pkey[hit])
+    keys_ref = ray.put((pkey[hit][order], fam[hit][order]))
+    qlo = np.array([1, 10, 20], np.int64)
+    qhi = np.array([20, 35, 50], np.int64)
+
+    class _Probe:
+        def __init__(self):
+            self.keys, self.fam = ray.get(keys_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            pk = t.column("l_partkey").to_numpy()
+            q = pc.cast(t.column("l_quantity"), pa.int64()).to_numpy()
+            ec = pc.cast(pc.round(pc.multiply(
+                t.column("l_extendedprice"), 100.0)), pa.int64()).to_numpy()
+            d100 = pc.cast(pc.round(pc.multiply(
+                t.column("l_discount"), 100.0)), pa.int64()).to_numpy()
+            pos = np.searchsorted(self.keys, pk)
+            pos_c = np.clip(pos, 0, max(len(self.keys) - 1, 0))
+            m = (self.keys[pos_c] == pk) if len(self.keys) else \
+                np.zeros(len(pk), bool)
+            f = self.fam[pos_c[m]].astype(np.int64)
+            qm = q[m]
+            band = (qm >= qlo[f]) & (qm <= qhi[f])
+            keep = np.zeros(len(pk), bool)
+            keep[np.nonzero(m)[0][band]] = True
+            rev = int((ec[keep] * (100 - d100[keep])).sum())
+            return pa.table({"pr": pa.array([rev], pa.int64()),
+                             "pn": pa.array([int(keep.sum())], pa.int64())})
+
+    agg = (rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_partkey", "l_quantity",
+                                    "l_extendedprice", "l_discount"])
+           .map_batches(_Probe, batch_format="pyarrow", concurrency=(1, 8))
+           .sum(["pr", "pn"]))
+    return pd.DataFrame({"revenue_c4": [int(agg["sum(pr)"])],
+                         "n_items": [int(agg["sum(pn)"])]})
+
+
 QUERIES = {
     "doc_count": q_doc_count,
     "doc_chars_sum": q_doc_chars_sum,
@@ -6111,6 +6211,8 @@ QUERIES = {
     "slow_orders_by_priority": q_slow_orders_by_priority,
     "brand_supplier_counts": q_brand_supplier_counts,
     "part_triangles": q_part_triangles,
+    "discounted_revenue": q_discounted_revenue,
+    "disjunctive_revenue": q_disjunctive_revenue,
 }
 
 ORACLE_SQL = {
@@ -7309,6 +7411,29 @@ ORACLE_SQL = {
         "SELECT CAST(count(*) AS BIGINT) AS n_triangles "
         "FROM e e1 JOIN e e2 ON e2.a = e1.b "
         "JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b"
+    ),
+    # TPC-H Q6 shape: all predicates scan-side; exact 1e-4-dollar units.
+    "discounted_revenue": (
+        "SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+        "CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_c4, "
+        "CAST(count(*) AS BIGINT) AS n_items FROM lineitem "
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+        "AND l_shipdate < TIMESTAMP '1997-01-01' "
+        "AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7 "
+        "AND l_quantity < 24"
+    ),
+    # TPC-H Q19 shape: OR-of-ANDs across both sides, exact integer revenue.
+    "disjunctive_revenue": (
+        "SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+        "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) "
+        "AS revenue_c4, CAST(count(*) AS BIGINT) AS n_items "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey WHERE "
+        "(p_type = 'PROMO' AND p_size BETWEEN 1 AND 15 "
+        "AND l_quantity BETWEEN 1 AND 20) OR "
+        "(p_type = 'ECONOMY' AND p_size BETWEEN 10 AND 30 "
+        "AND l_quantity BETWEEN 10 AND 35) OR "
+        "(p_type = 'LARGE' AND p_size BETWEEN 20 AND 50 "
+        "AND l_quantity BETWEEN 20 AND 50)"
     ),
     # not SQL-expressible -> rows-only checks recorded by the driver:
     #   extract_flagship, pages_sniff_counts (synthetic binary payloads +
