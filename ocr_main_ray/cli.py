@@ -149,6 +149,31 @@ def cmd_delete(args) -> int:
     return 0
 
 
+def cmd_export_sorted(args) -> int:
+    ray, owns = _init_ray(args.num_cpus)
+    try:
+        import ray.data as rd
+
+        from .state.export import sorted_export
+
+        ds = rd.read_parquet(args.input)
+        if args.key not in ds.schema().names:
+            print(json.dumps({
+                "status": "error",
+                "error": f"key column {args.key!r} not in input schema "
+                         f"{ds.schema().names}"}), file=sys.stderr)
+            return 2
+        man = sorted_export(ds, args.key, args.output,
+                            descending=args.descending)
+        print(json.dumps({"status": "ok", "key": man["key"],
+                          "files": len(man["files"]),
+                          "total_rows": man["total_rows"]}))
+        return 0
+    finally:
+        if owns:
+            ray.shutdown()
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="ocr_main_ray",
                                 description="Ray-Data-native extraction engine")
@@ -193,6 +218,14 @@ def build_parser() -> argparse.ArgumentParser:
     dl.add_argument("--verbose", action="store_true",
                     help="include the per-file audit records")
     dl.set_defaults(fn=cmd_delete)
+
+    ex = sub.add_parser("export-sorted", help="globally-sorted range-"
+                        "partitioned export with a _RANGES.json manifest")
+    ex.add_argument("input", help="parquet file/dir to sort")
+    ex.add_argument("output", help="export dir")
+    ex.add_argument("--key", default="doc_id", help="sort key column")
+    ex.add_argument("--descending", action="store_true")
+    ex.set_defaults(fn=cmd_export_sorted)
     return p
 
 

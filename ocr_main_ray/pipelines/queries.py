@@ -5881,7 +5881,10 @@ def q_brand_supplier_counts(sf_dir: str):
 # edges on (degree, id) order before step 2.
 # ---------------------------------------------------------------------------
 
-def q_part_triangles(sf_dir: str):
+def _co_order_edges(sf_dir: str):
+    """Distinct canonical (a < b) part-pair edges of the co-order graph,
+    materialized for reuse: vectorized ragged all-pairs per order-hash
+    bucket, local pre-dedup, global (a, b) dedup."""
     from ..config import cluster_cpus
     from ..rayops import fit_for_join
 
@@ -5925,8 +5928,11 @@ def q_part_triangles(sf_dir: str):
                           ("_m", pa.int64())])
     edges = fit_for_join(edges, e_schema).map_batches(
         lambda t: t.select(["a", "b"]), batch_format="pyarrow")
-    edges = edges.materialize()  # reused three times below
+    return edges.materialize()
 
+
+def q_part_triangles(sf_dir: str):
+    edges = _co_order_edges(sf_dir)  # reused three times below
     nparts = _join_parts(sf_dir, "lineitem")
     right = edges.map_batches(
         lambda t: t.rename_columns(["mid", "c"]), batch_format="pyarrow")
@@ -5935,6 +5941,77 @@ def q_part_triangles(sf_dir: str):
     # wedge (a < b < c) closes iff (a, c) is an edge
     closed = wedges.map_batches(
         lambda t: t.select(["a", "c"]), batch_format="pyarrow").join(
+        edges.map_batches(lambda t: t.rename_columns(["ea", "eb"]),
+                          batch_format="pyarrow"),
+        join_type="inner", num_partitions=nparts,
+        on=("a", "c"), right_on=("ea", "eb"))
+    return pd.DataFrame({"n_triangles": pd.Series([closed.count()],
+                                                  dtype="int64")})
+
+
+def q_part_triangles_ordered(sf_dir: str):
+    """The O(m^1.5) skew-defended triangle count: identical result to
+    ``part_triangles`` (same SQL oracle), but wedges pivot at each edge's
+    LOWEST-(degree, id) endpoint instead of the canonical middle vertex.
+    Orienting every edge from its lower- to its higher-degree endpoint
+    bounds per-pivot out-degree by O(sqrt(m)), so the wedge fan-out is
+    O(m^1.5) total regardless of hub skew — the standard mitigation for
+    power-law web graphs where the id-canonical pivot explodes at hubs.
+    Each triangle is produced exactly once (at its unique lowest-(deg,id)
+    vertex); the closure probe stays id-canonical so no second degree
+    lookup is needed.  Degrees are broadcast as sorted parallel arrays
+    (bounded by |parts| — the pagerank-broadcast regime; the node-keyed
+    join swap in functions/graph.py is the documented 10^10-node path).
+    """
+    edges = _co_order_edges(sf_dir)
+
+    # degree fold: one (node, deg) row per node, << |edges|
+    def deg_partial(t: pa.Table) -> pa.Table:
+        node = pa.concat_arrays([t.column("a").combine_chunks(),
+                                 t.column("b").combine_chunks()])
+        g = pa.table({"node": node}).group_by("node").aggregate(
+            [("node", "count")])
+        return g.rename_columns(["node", "pd"])
+
+    deg = (edges.map_batches(deg_partial, batch_format="pyarrow")
+           .groupby("node").aggregate(Sum("pd", alias_name="deg"))
+           .to_pandas().sort_values("node"))
+    deg_ref = ray.put((deg["node"].to_numpy(np.int64),
+                       deg["deg"].to_numpy(np.int64)))
+
+    class _Orient:
+        """(a, b) -> (u, v) with (deg, id)(u) < (deg, id)(v)."""
+
+        def __init__(self):
+            self.nodes, self.degs = ray.get(deg_ref)
+
+        def _deg(self, x: np.ndarray) -> np.ndarray:
+            return self.degs[np.searchsorted(self.nodes, x)]
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            a = t.column("a").to_numpy()
+            b = t.column("b").to_numpy()
+            da, db = self._deg(a), self._deg(b)
+            a_first = (da < db) | ((da == db) & (a < b))
+            return pa.table({"u": np.where(a_first, a, b),
+                             "v": np.where(a_first, b, a)})
+
+    oriented = edges.map_batches(_Orient, batch_format="pyarrow",
+                                 concurrency=(1, 4)).materialize()
+    nparts = _join_parts(sf_dir, "lineitem")
+    right = oriented.map_batches(
+        lambda t: t.rename_columns(["u2", "w"]), batch_format="pyarrow")
+    wedge = oriented.join(right, join_type="inner", num_partitions=nparts,
+                          on=("u",), right_on=("u2",))
+
+    def half(t: pa.Table) -> pa.Table:
+        # keep each unordered out-pair once, id-canonical for the probe
+        v = t.column("v").to_numpy()
+        w = t.column("w").to_numpy()
+        keep = v < w
+        return pa.table({"a": v[keep], "c": w[keep]})
+
+    closed = wedge.map_batches(half, batch_format="pyarrow").join(
         edges.map_batches(lambda t: t.rename_columns(["ea", "eb"]),
                           batch_format="pyarrow"),
         join_type="inner", num_partitions=nparts,
@@ -6211,6 +6288,7 @@ QUERIES = {
     "slow_orders_by_priority": q_slow_orders_by_priority,
     "brand_supplier_counts": q_brand_supplier_counts,
     "part_triangles": q_part_triangles,
+    "part_triangles_ordered": q_part_triangles_ordered,
     "discounted_revenue": q_discounted_revenue,
     "disjunctive_revenue": q_disjunctive_revenue,
 }
@@ -7404,6 +7482,16 @@ ORACLE_SQL = {
     # triangle count over the co-order part graph (canonical a<b<c, each
     # triangle counted exactly once).
     "part_triangles": (
+        "WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+        "e AS (SELECT DISTINCT p1.l_partkey AS a, p2.l_partkey AS b "
+        "FROM pp p1 JOIN pp p2 ON p1.l_orderkey = p2.l_orderkey "
+        "AND p1.l_partkey < p2.l_partkey) "
+        "SELECT CAST(count(*) AS BIGINT) AS n_triangles "
+        "FROM e e1 JOIN e e2 ON e2.a = e1.b "
+        "JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b"
+    ),
+    # same oracle for the degree-ordered O(m^1.5) plan — identical count.
+    "part_triangles_ordered": (
         "WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
         "e AS (SELECT DISTINCT p1.l_partkey AS a, p2.l_partkey AS b "
         "FROM pp p1 JOIN pp p2 ON p1.l_orderkey = p2.l_orderkey "

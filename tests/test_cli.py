@@ -41,3 +41,19 @@ def test_cli_error_paths(tmp_path, capsys):
     assert main(["run", "/nonexistent/path", str(tmp_path / "o")]) == 1
     assert main(["nope"]) == 2
     assert main(["run", "x", "y", "--profile", "bogus"]) == 2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cli_export_sorted(tmp_path, capsys):
+    rc = main(["export-sorted", "/root/testdata/sf0.001/documents.parquet",
+               str(tmp_path / "sorted"), "--key", "doc_id"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["status"] == "ok" and out["total_rows"] == 500
+    man = json.loads((tmp_path / "sorted" / "_RANGES.json").read_text())
+    assert man["key"] == "doc_id" and len(man["files"]) == out["files"]
+
+    # bad key column -> usage error
+    rc = main(["export-sorted", "/root/testdata/sf0.001/documents.parquet",
+               str(tmp_path / "s2"), "--key", "nope"])
+    assert rc == 2
