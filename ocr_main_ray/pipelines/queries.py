@@ -6020,6 +6020,65 @@ def q_part_triangles_ordered(sf_dir: str):
                                                   dtype="int64")})
 
 
+def q_part_clustering_coeff(sf_dir: str):
+    """Local clustering coefficient per node over the co-order part graph:
+    coeff(v) = 2 * triangles(v) / (deg(v) * (deg(v) - 1)).  Triangle and
+    degree counts are exact distributed integer folds (the id-canonical
+    wedge/closure plan keeping all three vertices per closed triangle,
+    then a 3-way explode + per-node sum); the ONLY float op is the single
+    final division, performed identically by the oracle, so the double
+    output hashes bit-equal.  The final (node, n_tri, deg) merge happens
+    driver-side — bounded by |parts|, the graph family's documented
+    broadcast regime."""
+    edges = _co_order_edges(sf_dir)
+    nparts = _join_parts(sf_dir, "lineitem")
+
+    # wedges keeping the middle vertex: (a, b, c) with a < b < c
+    right = edges.map_batches(
+        lambda t: t.rename_columns(["mid", "c"]), batch_format="pyarrow")
+    wedges = edges.join(right, join_type="inner", num_partitions=nparts,
+                        on=("b",), right_on=("mid",))
+    closed = wedges.map_batches(
+        lambda t: t.select(["a", "b", "c"]), batch_format="pyarrow").join(
+        edges.map_batches(lambda t: t.rename_columns(["ea", "eb"]),
+                          batch_format="pyarrow"),
+        join_type="inner", num_partitions=nparts,
+        on=("a", "c"), right_on=("ea", "eb"))
+
+    def tri_explode(t: pa.Table) -> pa.Table:
+        node = pa.concat_arrays(
+            [t.column(c).combine_chunks() for c in ("a", "b", "c")])
+        g = pa.table({"node": node}).group_by("node").aggregate(
+            [("node", "count")])
+        return g.rename_columns(["node", "pt"])
+
+    tri = (closed.map_batches(tri_explode, batch_format="pyarrow")
+           .groupby("node").aggregate(Sum("pt", alias_name="n_tri"))
+           .to_pandas())  # <= |parts| rows
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        node = pa.concat_arrays([t.column("a").combine_chunks(),
+                                 t.column("b").combine_chunks()])
+        g = pa.table({"node": node}).group_by("node").aggregate(
+            [("node", "count")])
+        return g.rename_columns(["node", "pd"])
+
+    deg = (edges.map_batches(deg_partial, batch_format="pyarrow")
+           .groupby("node").aggregate(Sum("pd", alias_name="deg"))
+           .to_pandas())  # <= |parts| rows
+    out = deg.merge(tri, on="node", how="left")
+    out["n_tri"] = out["n_tri"].fillna(0).astype("int64")
+    out["deg"] = out["deg"].astype("int64")
+    d = out["deg"].to_numpy(np.int64)
+    t2 = out["n_tri"].to_numpy(np.int64)
+    coeff = np.zeros(len(out), np.float64)
+    m = d >= 2
+    coeff[m] = (2.0 * t2[m]) / (d[m] * (d[m] - 1))
+    out["coeff"] = coeff
+    return (out[["node", "n_tri", "deg", "coeff"]]
+            .sort_values("node").reset_index(drop=True))
+
+
 # ---------------------------------------------------------------------------
 # TPC-H Q6 shape (forecasting revenue change): the purest predicate-pushdown
 # demonstration — date window + discount band + quantity cap ALL evaluated
@@ -6289,6 +6348,7 @@ QUERIES = {
     "brand_supplier_counts": q_brand_supplier_counts,
     "part_triangles": q_part_triangles,
     "part_triangles_ordered": q_part_triangles_ordered,
+    "part_clustering_coeff": q_part_clustering_coeff,
     "discounted_revenue": q_discounted_revenue,
     "disjunctive_revenue": q_disjunctive_revenue,
 }
@@ -7499,6 +7559,27 @@ ORACLE_SQL = {
         "SELECT CAST(count(*) AS BIGINT) AS n_triangles "
         "FROM e e1 JOIN e e2 ON e2.a = e1.b "
         "JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b"
+    ),
+    # local clustering coefficient: exact int triangle/degree folds, ONE
+    # mirrored division (2*t / (d*(d-1))) so the double hashes bit-equal.
+    "part_clustering_coeff": (
+        "WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+        "e AS (SELECT DISTINCT p1.l_partkey AS a, p2.l_partkey AS b "
+        "FROM pp p1 JOIN pp p2 ON p1.l_orderkey = p2.l_orderkey "
+        "AND p1.l_partkey < p2.l_partkey), "
+        "tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z "
+        "FROM e e1 JOIN e e2 ON e2.a = e1.b "
+        "JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b), "
+        "tn AS (SELECT node, count(*) AS n_tri FROM ("
+        "SELECT x AS node FROM tri UNION ALL SELECT y FROM tri "
+        "UNION ALL SELECT z FROM tri) GROUP BY node), "
+        "dn AS (SELECT node, count(*) AS deg FROM ("
+        "SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY node) "
+        "SELECT dn.node, CAST(coalesce(tn.n_tri, 0) AS BIGINT) AS n_tri, "
+        "CAST(dn.deg AS BIGINT) AS deg, "
+        "CASE WHEN dn.deg >= 2 THEN CAST(2 * coalesce(tn.n_tri, 0) "
+        "AS DOUBLE) / (dn.deg * (dn.deg - 1)) ELSE 0.0 END AS coeff "
+        "FROM dn LEFT JOIN tn USING (node) ORDER BY dn.node"
     ),
     # TPC-H Q6 shape: all predicates scan-side; exact 1e-4-dollar units.
     "discounted_revenue": (
