@@ -2197,6 +2197,49 @@ def q_doc_chunks(sf_dir: str):
     return out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
 
 
+# sliding-window chunking (size 200, stride 150 -> 50-char overlap): the
+# embedding-pipeline standard, so a sentence straddling a boundary appears
+# whole in at least one chunk.  Same scan-side shape as _chunk_batch: the
+# loop is over CHUNK INDICES (bounded by the longest doc), each iteration
+# one vectorized slice over the still-active rows.
+OVERLAP_SIZE = 200
+OVERLAP_STRIDE = 150
+
+
+def _overlap_chunk_batch(b: pd.DataFrame) -> pd.DataFrame:
+    lens = b["text"].str.len()
+    outs = []
+    i = 0
+    while True:
+        # chunk i exists iff i == 0 (every doc emits one chunk, empty text
+        # included) or the doc extends past the previous window:
+        # len > SIZE + (i-1)*STRIDE
+        sel = (lens > OVERLAP_SIZE + (i - 1) * OVERLAP_STRIDE) if i else \
+            pd.Series(True, index=b.index)
+        if not sel.any():
+            break
+        start = i * OVERLAP_STRIDE
+        outs.append(pd.DataFrame({
+            "doc_id": b.loc[sel, "doc_id"].to_numpy(),
+            "chunk_id": np.full(int(sel.sum()), i, dtype="int64"),
+            "chunk": b.loc[sel, "text"].str.slice(
+                start, start + OVERLAP_SIZE).to_numpy(),
+        }))
+        i += 1
+    if not outs:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "chunk_id": pd.Series([], dtype="int64"),
+                             "chunk": pd.Series([], dtype="object")})
+    return pd.concat(outs, ignore_index=True)
+
+
+def q_doc_chunks_overlap(sf_dir: str):
+    out = (_docs(sf_dir, ["doc_id", "text"])
+           .map_batches(_overlap_chunk_batch, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # sequence packing (token-budget binning) via a DISTRIBUTED PREFIX SUM:
 # pass 1 computes per-range-bucket token totals (P tiny rows to the driver,
@@ -6332,6 +6375,7 @@ QUERIES = {
     "orders_rollup": q_orders_rollup,
     "segment_dedup": q_segment_dedup,
     "doc_chunks": q_doc_chunks,
+    "doc_chunks_overlap": q_doc_chunks_overlap,
     "sequence_pack": q_sequence_pack,
     "embedding_kmeans": q_embedding_kmeans,
     "semantic_dedup": q_semantic_dedup,
@@ -7399,6 +7443,15 @@ ORACLE_SQL = {
         "length(text) / 200.0) AS BIGINT))) AS chunk_id FROM documents) "
         "SELECT doc_id, chunk_id, substr(text, CAST(chunk_id * 200 + 1 AS INT)"
         ", 200) AS chunk FROM c"
+    ),
+    # sliding-window overlap chunking: same windows as the Ray side
+    # (size 200, stride 150; every doc emits chunk 0, empty text included).
+    "doc_chunks_overlap": (
+        "WITH c AS (SELECT doc_id, text, length(text) AS n FROM documents), "
+        "k AS (SELECT doc_id, text, unnest(range(CASE WHEN n <= 200 THEN 1 "
+        "ELSE CAST(ceil((n - 200) / 150.0) AS BIGINT) + 1 END)) AS chunk_id "
+        "FROM c) SELECT doc_id, chunk_id, "
+        "substr(text, CAST(chunk_id * 150 + 1 AS INT), 200) AS chunk FROM k"
     ),
     "weighted_sample": (
         "SELECT doc_id, ln((CAST(('0x' || substr(md5(text), 1, 8)) "
