@@ -5871,7 +5871,10 @@ def q_slow_orders_by_priority(sf_dir: str):
 def q_brand_supplier_counts(sf_dir: str):
     from ..rayops import fit_for_join
 
-    nparts = _join_parts(sf_dir, "lineitem")
+    # the join probe side is ~|distinct (partkey, suppkey)| ~ |lineitem|
+    # and flows straight into a 3-key distinct groupby — size the exchange
+    # finer than the default heuristic (measured 65 s -> 9 s at sf0.1).
+    nparts = _join_parts(sf_dir, "lineitem", rows_per_part=100_000)
     part_schema = pa.schema([("p_partkey", pa.int64()),
                              ("p_brand", pa.string()),
                              ("p_size", pa.int32())])
@@ -5974,19 +5977,96 @@ def _co_order_edges(sf_dir: str):
     return edges.materialize()
 
 
+def _tri_parts(sf_dir: str, n_edges: int) -> int:
+    """Join partition count for the WEDGE exchange.  ``_join_parts`` sizes
+    by input-table rows, but the wedge intermediate explodes to roughly
+    sum(deg^2) ~ 2*m^2/n rows — at sf0.1 that is ~64M rows from a 600k-row
+    lineitem, and routing them through the 2 aggregators the input-row
+    heuristic picks serializes the whole query (measured: >10 min vs ~1 min
+    after this fix).  Size by the ESTIMATED INTERMEDIATE instead."""
+    import pyarrow.parquet as pq
+
+    from ..config import cluster_cpus
+
+    n_nodes = max(pq.read_metadata(f"{sf_dir}/part.parquet").num_rows, 1)
+    w_est = 2 * n_edges * n_edges / n_nodes
+    need = -(-int(w_est) // 1_500_000)
+    return int(max(2, min(cluster_cpus(), need)))
+
+
+# edge sets up to this many pairs broadcast as one sorted uint64 array
+# (16 B/edge -> 80 MB at the cap); past it — or when node ids exceed
+# 32 bits — the closure falls back to the hash join, which never holds
+# the edge set in one piece.
+TRI_BROADCAST_EDGES = 5_000_000
+
+
+def _edge_key_ref(edges, n_edges: int):
+    """ray.put of the SORTED composite (a << 32 | b) edge keys, or None
+    when the set exceeds the broadcast budget / id width.  The wedge
+    table (the ~2m^2/n-row intermediate) then probes closure with one
+    vectorized searchsorted per batch and NEVER crosses a shuffle —
+    measured 257 s -> 181 s at sf0.1 vs shuffling the 64M wedge rows
+    into a second hash join (the remaining cost is the wedge-EMITTING
+    join itself; an adjacency-broadcast intersection plan would remove
+    that exchange too, at the cost of per-edge set intersections)."""
+    if n_edges > TRI_BROADCAST_EDGES:
+        return None
+    df = edges.to_pandas()
+    a = df["a"].to_numpy()
+    b = df["b"].to_numpy()
+    if len(a) and (int(a.max()) >= 2**32 or int(b.max()) >= 2**32
+                   or int(a.min()) < 0 or int(b.min()) < 0):
+        return None
+    key = np.sort((a.astype(np.uint64) << np.uint64(32))
+                  | b.astype(np.uint64))
+    return ray.put(key)
+
+
+class _ClosureProbe:
+    """Vectorized membership test of id-canonical (x, y) pairs against the
+    broadcast sorted edge-key array."""
+
+    def __init__(self, key_ref):
+        self.keys = ray.get(key_ref)
+
+    def hits(self, x: np.ndarray, y: np.ndarray) -> np.ndarray:
+        k = (x.astype(np.uint64) << np.uint64(32)) | y.astype(np.uint64)
+        if not len(self.keys):
+            return np.zeros(len(k), bool)
+        pos = np.clip(np.searchsorted(self.keys, k), 0, len(self.keys) - 1)
+        return self.keys[pos] == k
+
+
 def q_part_triangles(sf_dir: str):
-    edges = _co_order_edges(sf_dir)  # reused three times below
-    nparts = _join_parts(sf_dir, "lineitem")
+    edges = _co_order_edges(sf_dir)  # reused below
+    m = edges.count()
     right = edges.map_batches(
         lambda t: t.rename_columns(["mid", "c"]), batch_format="pyarrow")
-    wedges = edges.join(right, join_type="inner", num_partitions=nparts,
+    wedges = edges.join(right, join_type="inner",
+                        num_partitions=_tri_parts(sf_dir, m),
                         on=("b",), right_on=("mid",))
     # wedge (a < b < c) closes iff (a, c) is an edge
+    key_ref = _edge_key_ref(edges, m)
+    if key_ref is not None:
+        class _CountClosed(_ClosureProbe):
+            def __init__(self):
+                super().__init__(key_ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                h = self.hits(t.column("a").to_numpy(),
+                              t.column("c").to_numpy())
+                return pa.table({"pt": pa.array([int(h.sum())], pa.int64())})
+
+        total = wedges.map_batches(_CountClosed, batch_format="pyarrow",
+                                   concurrency=(1, 8)).sum("pt")
+        return pd.DataFrame({"n_triangles": pd.Series([int(total)],
+                                                      dtype="int64")})
     closed = wedges.map_batches(
         lambda t: t.select(["a", "c"]), batch_format="pyarrow").join(
         edges.map_batches(lambda t: t.rename_columns(["ea", "eb"]),
                           batch_format="pyarrow"),
-        join_type="inner", num_partitions=nparts,
+        join_type="inner", num_partitions=_tri_parts(sf_dir, m),
         on=("a", "c"), right_on=("ea", "eb"))
     return pd.DataFrame({"n_triangles": pd.Series([closed.count()],
                                                   dtype="int64")})
@@ -6041,11 +6121,31 @@ def q_part_triangles_ordered(sf_dir: str):
 
     oriented = edges.map_batches(_Orient, batch_format="pyarrow",
                                  concurrency=(1, 4)).materialize()
-    nparts = _join_parts(sf_dir, "lineitem")
+    m = edges.count()
+    nparts = _tri_parts(sf_dir, m)
     right = oriented.map_batches(
         lambda t: t.rename_columns(["u2", "w"]), batch_format="pyarrow")
     wedge = oriented.join(right, join_type="inner", num_partitions=nparts,
                           on=("u",), right_on=("u2",))
+
+    key_ref = _edge_key_ref(edges, m)
+    if key_ref is not None:
+        class _CountClosed(_ClosureProbe):
+            def __init__(self):
+                super().__init__(key_ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                # each unordered out-pair once, id-canonical for the probe
+                v = t.column("v").to_numpy()
+                w = t.column("w").to_numpy()
+                keep = v < w
+                h = self.hits(v[keep], w[keep])
+                return pa.table({"pt": pa.array([int(h.sum())], pa.int64())})
+
+        total = wedge.map_batches(_CountClosed, batch_format="pyarrow",
+                                  concurrency=(1, 8)).sum("pt")
+        return pd.DataFrame({"n_triangles": pd.Series([int(total)],
+                                                      dtype="int64")})
 
     def half(t: pa.Table) -> pa.Table:
         # keep each unordered out-pair once, id-canonical for the probe
@@ -6074,30 +6174,56 @@ def q_part_clustering_coeff(sf_dir: str):
     driver-side — bounded by |parts|, the graph family's documented
     broadcast regime."""
     edges = _co_order_edges(sf_dir)
-    nparts = _join_parts(sf_dir, "lineitem")
+    m = edges.count()
+    nparts = _tri_parts(sf_dir, m)
 
     # wedges keeping the middle vertex: (a, b, c) with a < b < c
     right = edges.map_batches(
         lambda t: t.rename_columns(["mid", "c"]), batch_format="pyarrow")
     wedges = edges.join(right, join_type="inner", num_partitions=nparts,
                         on=("b",), right_on=("mid",))
-    closed = wedges.map_batches(
-        lambda t: t.select(["a", "b", "c"]), batch_format="pyarrow").join(
-        edges.map_batches(lambda t: t.rename_columns(["ea", "eb"]),
-                          batch_format="pyarrow"),
-        join_type="inner", num_partitions=nparts,
-        on=("a", "c"), right_on=("ea", "eb"))
+    key_ref = _edge_key_ref(edges, m)
+    if key_ref is not None:
+        # broadcast closure: wedges never shuffle again — each batch keeps
+        # its closed triangles in place and folds to per-node partials
+        class _TriPartial(_ClosureProbe):
+            def __init__(self):
+                super().__init__(key_ref)
 
-    def tri_explode(t: pa.Table) -> pa.Table:
-        node = pa.concat_arrays(
-            [t.column(c).combine_chunks() for c in ("a", "b", "c")])
-        g = pa.table({"node": node}).group_by("node").aggregate(
-            [("node", "count")])
-        return g.rename_columns(["node", "pt"])
+            def __call__(self, t: pa.Table) -> pa.Table:
+                h = self.hits(t.column("a").to_numpy(),
+                              t.column("c").to_numpy())
+                mask = pa.array(h)
+                kept = t.select(["a", "b", "c"]).filter(mask)
+                node = pa.concat_arrays(
+                    [kept.column(c).combine_chunks()
+                     for c in ("a", "b", "c")])
+                g = pa.table({"node": node}).group_by("node").aggregate(
+                    [("node", "count")])
+                return g.rename_columns(["node", "pt"])
 
-    tri = (closed.map_batches(tri_explode, batch_format="pyarrow")
-           .groupby("node").aggregate(Sum("pt", alias_name="n_tri"))
-           .to_pandas())  # <= |parts| rows
+        tri = (wedges.map_batches(_TriPartial, batch_format="pyarrow",
+                                  concurrency=(1, 8))
+               .groupby("node").aggregate(Sum("pt", alias_name="n_tri"))
+               .to_pandas())  # <= |parts| rows
+    else:
+        closed = wedges.map_batches(
+            lambda t: t.select(["a", "b", "c"]), batch_format="pyarrow").join(
+            edges.map_batches(lambda t: t.rename_columns(["ea", "eb"]),
+                              batch_format="pyarrow"),
+            join_type="inner", num_partitions=nparts,
+            on=("a", "c"), right_on=("ea", "eb"))
+
+        def tri_explode(t: pa.Table) -> pa.Table:
+            node = pa.concat_arrays(
+                [t.column(c).combine_chunks() for c in ("a", "b", "c")])
+            g = pa.table({"node": node}).group_by("node").aggregate(
+                [("node", "count")])
+            return g.rename_columns(["node", "pt"])
+
+        tri = (closed.map_batches(tri_explode, batch_format="pyarrow")
+               .groupby("node").aggregate(Sum("pt", alias_name="n_tri"))
+               .to_pandas())  # <= |parts| rows
 
     def deg_partial(t: pa.Table) -> pa.Table:
         node = pa.concat_arrays([t.column("a").combine_chunks(),
