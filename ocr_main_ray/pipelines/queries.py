@@ -6348,6 +6348,277 @@ def q_disjunctive_revenue(sf_dir: str):
                          "n_items": [int(agg["sum(pn)"])]})
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q21 shape (suppliers who kept multi-supplier orders waiting —
+# EXISTS other-supplier + NOT EXISTS other-late-supplier per order): one
+# lineitem ⋈ orders hash join date-decorates the lineitems, per-batch
+# (orderkey, suppkey) max-late partials shrink the exchange, then ONE
+# orderkey-hash coarse-bucket map_groups resolves both quantified
+# predicates with vectorized segment folds — no second shuffle keyed by
+# orderkey and no per-order UDF dispatch.  The supplier-name decoration
+# joins the (<= |supplier|-row) count table, never lineitem, and the final
+# top-25 is the local-top-k merge, not a global sort.
+# ---------------------------------------------------------------------------
+
+WAIT_LAG_US = 60 * 86400 * 1_000_000
+
+
+def _maxship_partial(t: pa.Table) -> pa.Table:
+    # "any line late" == "max(shipdate) late", so the per-(orderkey,
+    # suppkey) max folds BEFORE the join and the probe side shrinks from
+    # |lineitem| to ~|distinct (orderkey, suppkey)|
+    g = (pa.table({"l_orderkey": t.column("l_orderkey"),
+                   "l_suppkey": t.column("l_suppkey"),
+                   "ship_us": pc.cast(t.column("l_shipdate"), pa.int64())})
+         .group_by(["l_orderkey", "l_suppkey"])
+         .aggregate([("ship_us", "max")]))
+    return g.rename_columns(["l_orderkey", "l_suppkey", "ship_us"])
+
+
+def _late_partial(t: pa.Table) -> pa.Table:
+    late = pc.cast(
+        pc.greater(t.column("ship_us"),
+                   pc.add(pc.cast(t.column("o_orderdate"), pa.int64()),
+                          WAIT_LAG_US)), pa.int8())
+    g = (pa.table({"l_orderkey": t.column("l_orderkey"),
+                   "l_suppkey": t.column("l_suppkey"),
+                   "late": late})
+         .group_by(["l_orderkey", "l_suppkey"]).aggregate([("late", "max")]))
+    return g.rename_columns(["l_orderkey", "l_suppkey", "late"])
+
+
+def _waiting_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    # finish the (orderkey, suppkey) max-late fold — complete inside the
+    # bucket because the bucket key is a pure function of orderkey —
+    # then both EXISTS predicates are per-order scalar aggregates
+    gg = (g.groupby(["l_orderkey", "l_suppkey"], sort=False)["late"].max()
+          .reset_index())
+    st = gg.groupby("l_orderkey", sort=False)["late"].agg(
+        n_supp="count", n_late="sum")
+    gg = gg.join(st, on="l_orderkey")
+    hit = gg[(gg["late"] == 1) & (gg["n_supp"] >= 2) & (gg["n_late"] == 1)]
+    return (hit.groupby("l_suppkey", sort=False).size()
+            .reset_index(name="pn"))
+
+
+def q_suppliers_kept_waiting(sf_dir: str):
+    """TPC-H Q21 shape: suppliers whose late lineitem (shipdate more than
+    60 days after the order date) is the ONLY late one in an order served
+    by >= 2 distinct suppliers; count per supplier, top 25 by (numwait
+    desc, s_name)."""
+    from ..rayops import fit_for_join
+
+    nparts = _join_parts(sf_dir, "lineitem")
+    nb = _session_buckets()
+    ord_schema = pa.schema([("o_orderkey", pa.int64()),
+                            ("o_orderdate", pa.timestamp("us"))])
+    orders = fit_for_join(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_orderdate"]), ord_schema)
+    li = (rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                          columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+          .map_batches(_maxship_partial, batch_format="pyarrow"))
+    joined = li.join(orders, join_type="inner", num_partitions=nparts,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+    flags = joined.map_batches(_late_partial, batch_format="pyarrow")
+
+    def add_obucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.subtract(
+            t.column("l_orderkey"),
+            pc.multiply(pc.divide(t.column("l_orderkey"), nb), nb)),
+            pa.int32())
+        return t.append_column("obucket", b)
+
+    counts = (flags.map_batches(add_obucket, batch_format="pyarrow")
+              .groupby("obucket")
+              .map_groups(_waiting_bucket, batch_format="pandas")
+              .groupby("l_suppkey")
+              .aggregate(Sum("pn", alias_name="numwait")))
+    supp_schema = pa.schema([("s_suppkey", pa.int64()),
+                             ("s_name", pa.string())])
+    supp = fit_for_join(
+        rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name"]), supp_schema)
+    named = counts.join(supp, join_type="inner", num_partitions=2,
+                        on=("l_suppkey",), right_on=("s_suppkey",))
+    out = _topk(named, "numwait", "s_name", 25)
+    out["numwait"] = out["numwait"].astype("int64")
+    return out[["s_name", "numwait"]].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands (longest consecutive-day streak per user): the classic
+# "day - rank(day)" island id, computed distributedly — per-batch distinct
+# (user, day) partials shrink the exchange to one row per user-day per
+# block, then ONE user-hash coarse-bucket map_groups finds islands in a
+# single vectorized pass.  No global sort, no per-user dispatch.
+# ---------------------------------------------------------------------------
+
+def _streak_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    gg = (g.drop_duplicates(["user_id", "day"])
+          .sort_values(["user_id", "day"]).reset_index(drop=True))
+    rn = gg.groupby("user_id", sort=False).cumcount()
+    isl = gg["day"].to_numpy() - rn.to_numpy()
+    runs = (pd.DataFrame({"user_id": gg["user_id"], "isl": isl})
+            .groupby(["user_id", "isl"], sort=False).size()
+            .reset_index(name="len"))
+    out = (runs.groupby("user_id", sort=False)["len"]
+           .agg(n_days="sum", longest_streak="max").reset_index())
+    out["n_days"] = out["n_days"].astype("int64")
+    out["longest_streak"] = out["longest_streak"].astype("int64")
+    return out
+
+
+def q_user_streaks(sf_dir: str):
+    """Per-user distinct active days + longest run of consecutive calendar
+    days (UTC epoch days, exact integer arithmetic end to end)."""
+    nb = _session_buckets()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t.column("ts"), pa.int64()), 86_400_000_000)
+        g = (pa.table({"user_id": t.column("user_id"), "day": day})
+             .group_by(["user_id", "day"]).aggregate([]))
+        b = pc.cast(pc.subtract(
+            g.column("user_id"),
+            pc.multiply(pc.divide(g.column("user_id"), nb), nb)), pa.int32())
+        return g.append_column("ubucket", b)
+
+    return (ds.map_batches(day_partial, batch_format="pyarrow")
+            .groupby("ubucket")
+            .map_groups(_streak_bucket, batch_format="pandas")
+            .to_pandas().sort_values("user_id").reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# Skyline / Pareto frontier (parts minimal in size while maximal in retail
+# price): local skyline per block, union, one refine pass.  Soundness: a
+# true frontier row is dominated by nobody, so every block keeps it; a
+# pruned row's pruner (or its transitive dominator) survives into the
+# union, so the refine pass over the small candidate set removes exactly
+# the globally-dominated rows.  The exchange is the candidate union —
+# bounded by |distinct sizes| x per-size ties per block — never the table.
+# ---------------------------------------------------------------------------
+
+def _local_skyline(t: pa.Table) -> pa.Table:
+    if t.num_rows == 0:
+        return t
+    size = t.column("p_size").to_numpy()
+    price = t.column("p_retailprice").to_numpy()
+    order = np.lexsort((-price, size))
+    s, p = size[order], price[order]
+    first = np.ones(len(s), bool)
+    first[1:] = s[1:] != s[:-1]
+    gidx = np.cumsum(first) - 1
+    # per size-group max price is its first row (price sorted desc in group)
+    cmax_le = np.maximum.accumulate(p[first])   # max price over size <= g
+    cmax_lt = np.empty_like(cmax_le)            # max price over size <  g
+    cmax_lt[0] = -np.inf
+    cmax_lt[1:] = cmax_le[:-1]
+    dominated = (cmax_lt[gidx] >= p) | (cmax_le[gidx] > p)
+    keep = np.sort(order[~dominated])
+    return t.take(pa.array(keep, pa.int64()))
+
+
+def q_part_skyline(sf_dir: str):
+    """Pareto-dominance filter: keep parts for which no other part has
+    size <= AND retailprice >= with at least one strict inequality (ties
+    on both axes are mutually non-dominating and all kept)."""
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_size", "p_retailprice"])
+    cand = pa.concat_tables(
+        ds.map_batches(_local_skyline, batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    refined = _local_skyline(cand.combine_chunks())
+    return refined.take(
+        pc.sort_indices(refined, sort_keys=[("p_partkey", "ascending")]))
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance-1 similarity join over the distinct part-name vocabulary
+# (FastSS / SymSpell deletion-neighborhood): d(a, b) <= 1 implies a and b
+# share a member of {s} ∪ deletions1(s), so emitting |s|+1 keys per
+# distinct name and grouping by key yields a provably complete candidate
+# set; each candidate pair is then verified with an exact O(len) distance-
+# <=1 check.  Everything past the first distinct runs at VOCABULARY size
+# (distinct names), never at row count — the standard shape for fuzzy
+# joins over categorical string columns at 100 TB.  No candidate cap: the
+# per-key group size is bounded by the deletion-neighborhood fan-in
+# (alphabet x length), not by data skew.
+# ---------------------------------------------------------------------------
+
+def _lev_le1(a: str, b: str) -> bool:
+    la, lb = len(a), len(b)
+    if a == b:
+        return True
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) == 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def _emit_del1(t: pa.Table, nb: int) -> pa.Table:
+    import zlib
+
+    ks, ns, bs = [], [], []
+    for name in t.column("p_name").to_pylist():
+        for k in [name] + [name[:i] + name[i + 1:] for i in range(len(name))]:
+            ks.append(k)
+            ns.append(name)
+            bs.append(zlib.crc32(k.encode("utf-8")) % nb)
+    return pa.table({"kbucket": pa.array(bs, pa.int32()),
+                     "k": pa.array(ks, pa.string()),
+                     "p_name": pa.array(ns, pa.string())})
+
+
+def _editpairs_bucket(g: pd.DataFrame) -> pa.Table:
+    pairs = set()
+    for _, grp in g.groupby("k", sort=False):
+        names = sorted(set(grp["p_name"]))
+        for i in range(len(names)):
+            for j in range(i + 1, len(names)):
+                a, b = names[i], names[j]
+                if (a, b) not in pairs and _lev_le1(a, b):
+                    pairs.add((a, b))
+    srt = sorted(pairs)
+    # typed Arrow output (not object-dtype pandas) so empty buckets carry
+    # a real string schema through the exchange
+    return pa.table({"name_a": pa.array([p[0] for p in srt], pa.string()),
+                     "name_b": pa.array([p[1] for p in srt], pa.string())})
+
+
+def q_name_edit_pairs(sf_dir: str):
+    """All unordered pairs of DISTINCT part names within Levenshtein
+    distance 1, via complete deletion-neighborhood candidate generation
+    plus exact verification (bit-equal to brute-force levenshtein SQL)."""
+    nb = _session_buckets()
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_name"])
+    distinct = (ds.map_batches(
+        lambda t: t.group_by("p_name").aggregate([]),
+        batch_format="pyarrow")
+        .groupby("p_name").aggregate(Count(alias_name="_c"))
+        .drop_columns(["_c"]))
+    pairs = (distinct
+             .map_batches(lambda t: _emit_del1(t, nb),
+                          batch_format="pyarrow")
+             .groupby("kbucket")
+             .map_groups(_editpairs_bucket, batch_format="pandas")
+             .groupby(["name_a", "name_b"])
+             .aggregate(Count(alias_name="_c")))
+    out = pairs.to_pandas()
+    if out.empty:
+        return pd.DataFrame({"name_a": pd.Series(dtype=object),
+                             "name_b": pd.Series(dtype=object)})
+    return (out.sort_values(["name_a", "name_b"]).reset_index(drop=True)
+            [["name_a", "name_b"]])
+
+
 QUERIES = {
     "doc_count": q_doc_count,
     "doc_chars_sum": q_doc_chars_sum,
@@ -6521,6 +6792,10 @@ QUERIES = {
     "part_clustering_coeff": q_part_clustering_coeff,
     "discounted_revenue": q_discounted_revenue,
     "disjunctive_revenue": q_disjunctive_revenue,
+    "suppliers_kept_waiting": q_suppliers_kept_waiting,
+    "user_streaks": q_user_streaks,
+    "part_skyline": q_part_skyline,
+    "name_edit_pairs": q_name_edit_pairs,
 }
 
 ORACLE_SQL = {
@@ -7782,6 +8057,53 @@ ORACLE_SQL = {
         "AND l_quantity BETWEEN 10 AND 35) OR "
         "(p_type = 'LARGE' AND p_size BETWEEN 20 AND 50 "
         "AND l_quantity BETWEEN 20 AND 50)"
+    ),
+    # TPC-H Q21 shape: double-quantified EXISTS / NOT EXISTS per order.
+    "suppliers_kept_waiting": (
+        "WITH ls AS ("
+        "  SELECT l_orderkey, l_suppkey, "
+        "         MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY "
+        "             THEN 1 ELSE 0 END) AS late "
+        "  FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "  GROUP BY l_orderkey, l_suppkey), "
+        "st AS (SELECT l_orderkey, COUNT(*) AS n_supp, SUM(late) AS n_late "
+        "       FROM ls GROUP BY l_orderkey) "
+        "SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait "
+        "FROM ls JOIN st USING (l_orderkey) "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "WHERE ls.late = 1 AND st.n_supp >= 2 AND st.n_late = 1 "
+        "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 25"
+    ),
+    # gaps-and-islands: longest consecutive-day streak per user.
+    "user_streaks": (
+        "WITH days AS (SELECT DISTINCT user_id, "
+        "  CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS d "
+        "  FROM events), "
+        "r AS (SELECT user_id, d, d - ROW_NUMBER() OVER "
+        "      (PARTITION BY user_id ORDER BY d) AS isl FROM days), "
+        "runs AS (SELECT user_id, isl, COUNT(*) AS len FROM r "
+        "         GROUP BY user_id, isl) "
+        "SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_days, "
+        "CAST(MAX(len) AS BIGINT) AS longest_streak "
+        "FROM runs GROUP BY user_id ORDER BY user_id"
+    ),
+    # skyline / Pareto frontier via NOT EXISTS dominance.
+    "part_skyline": (
+        "SELECT p_partkey, p_size, p_retailprice FROM part p "
+        "WHERE NOT EXISTS (SELECT 1 FROM part q "
+        "  WHERE q.p_size <= p.p_size "
+        "    AND q.p_retailprice >= p.p_retailprice "
+        "    AND (q.p_size < p.p_size "
+        "         OR q.p_retailprice > p.p_retailprice)) "
+        "ORDER BY p_partkey"
+    ),
+    # brute-force Levenshtein self-join over the distinct vocabulary.
+    "name_edit_pairs": (
+        "SELECT a.p_name AS name_a, b.p_name AS name_b "
+        "FROM (SELECT DISTINCT p_name FROM part) a, "
+        "     (SELECT DISTINCT p_name FROM part) b "
+        "WHERE a.p_name < b.p_name AND levenshtein(a.p_name, b.p_name) <= 1 "
+        "ORDER BY 1, 2"
     ),
     # not SQL-expressible -> rows-only checks recorded by the driver:
     #   extract_flagship, pages_sniff_counts (synthetic binary payloads +

@@ -1,0 +1,122 @@
+"""Kernel-level tests for the round-3 plan-shape queries (TPC-H Q21,
+gaps-and-islands, skyline, deletion-neighborhood edit join).
+
+The distributed queries themselves are oracle-checked in test_queries.py;
+these pin the block-local kernels' edge cases directly."""
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ocr_main_ray.pipelines.queries import (
+    _editpairs_bucket,
+    _lev_le1,
+    _local_skyline,
+    _streak_bucket,
+    _waiting_bucket,
+)
+
+
+# ---------------------------------------------------------------- _lev_le1
+
+def test_lev_le1_truth_table():
+    assert _lev_le1("abc", "abc")            # equal
+    assert _lev_le1("abc", "abd")            # one substitution
+    assert _lev_le1("abc", "abcd")           # one insertion at end
+    assert _lev_le1("abc", "xabc")           # one insertion at front
+    assert _lev_le1("abc", "ab")             # one deletion
+    assert _lev_le1("", "a")                 # empty vs one char
+    assert not _lev_le1("abc", "axy")        # two substitutions
+    assert not _lev_le1("abc", "abcde")      # length diff 2
+    assert not _lev_le1("ab", "ba")          # transposition costs 2
+    assert not _lev_le1("abcd", "acbd")      # swap inside costs 2
+
+
+# ---------------------------------------------------------- local skyline
+
+def _brute_skyline(size, price):
+    keep = []
+    for i in range(len(size)):
+        dominated = any(
+            size[j] <= size[i] and price[j] >= price[i]
+            and (size[j] < size[i] or price[j] > price[i])
+            for j in range(len(size)))
+        if not dominated:
+            keep.append(i)
+    return keep
+
+
+def test_local_skyline_matches_brute_force():
+    rng = np.random.default_rng(7)
+    size = rng.integers(1, 12, 60).astype(np.int32)
+    price = np.round(rng.uniform(1, 20, 60), 1)
+    t = pa.table({"p_partkey": pa.array(np.arange(60), pa.int64()),
+                  "p_size": pa.array(size),
+                  "p_retailprice": pa.array(price)})
+    got = sorted(_local_skyline(t).column("p_partkey").to_pylist())
+    assert got == _brute_skyline(size, price)
+
+
+def test_local_skyline_keeps_exact_ties():
+    # identical (size, price) rows do not dominate each other: all kept
+    t = pa.table({"p_partkey": pa.array([1, 2, 3], pa.int64()),
+                  "p_size": pa.array([5, 5, 9], pa.int32()),
+                  "p_retailprice": pa.array([10.0, 10.0, 1.0])})
+    got = sorted(_local_skyline(t).column("p_partkey").to_pylist())
+    assert got == [1, 2]  # the (9, 1.0) row is dominated by both ties
+
+
+def test_local_skyline_empty():
+    t = pa.table({"p_partkey": pa.array([], pa.int64()),
+                  "p_size": pa.array([], pa.int32()),
+                  "p_retailprice": pa.array([], pa.float64())})
+    assert _local_skyline(t).num_rows == 0
+
+
+# ------------------------------------------------------------ streaks
+
+def test_streak_bucket_islands():
+    g = pd.DataFrame({
+        "user_id": [1, 1, 1, 1, 2, 2, 1],   # user 1 day 12 duplicated
+        "day":     [10, 11, 12, 20, 5, 7, 12],
+        "ubucket": [0] * 7,
+    })
+    out = _streak_bucket(g).set_index("user_id")
+    assert out.loc[1, "n_days"] == 4          # 10,11,12,20
+    assert out.loc[1, "longest_streak"] == 3  # 10-12
+    assert out.loc[2, "n_days"] == 2
+    assert out.loc[2, "longest_streak"] == 1  # 5 and 7 not consecutive
+
+
+# --------------------------------------------------------- Q21 bucket fold
+
+def test_waiting_bucket_quantifiers():
+    # order 1: suppliers 10 (late) + 11 (on time)  -> supplier 10 qualifies
+    # order 2: suppliers 10 (late) + 11 (late)     -> two late, nobody
+    # order 3: supplier 10 alone (late)            -> single-supplier, nobody
+    # order 4: split rows for (4, 12): late on one block-partial row only
+    g = pd.DataFrame({
+        "l_orderkey": [1, 1, 2, 2, 3, 4, 4, 4],
+        "l_suppkey":  [10, 11, 10, 11, 10, 12, 12, 13],
+        "late":       [1, 0, 1, 1, 1, 0, 1, 0],
+        "obucket":    [0] * 8,
+    })
+    out = _waiting_bucket(g)
+    got = dict(zip(out["l_suppkey"], out["pn"]))
+    assert got == {10: 1, 12: 1}
+
+
+# ------------------------------------------------- deletion-neighborhood
+
+def test_editpairs_bucket_verifies_candidates():
+    # "ab" and "ba" share deletion variants ("a", "b") but are distance 2:
+    # candidate generation must propose them, verification must reject.
+    g = pd.DataFrame({
+        "k":      ["a", "a", "b", "b", "ab", "ab"],
+        "p_name": ["ab", "ba", "ab", "ba", "ab", "abc"],
+        "kbucket": [0] * 6,
+    })
+    out = _editpairs_bucket(g)
+    pairs = set(zip(out.column("name_a").to_pylist(),
+                    out.column("name_b").to_pylist()))
+    assert ("ab", "abc") in pairs
+    assert ("ab", "ba") not in pairs
