@@ -7,9 +7,10 @@ frame-sample are actor-pool ``map_batches`` stages with small batch sizes
 
 Codec availability: PNG images decode FOR REAL via the pure-Python codec
 in ``functions/png.py`` (``fake="real"`` on the image stage — stdlib zlib
-+ the five scanline filters; no PIL needed).  Audio/video codec calls
-(ffmpeg/librosa) are NOT available in this sandbox, so those stages keep
-two modes:
++ the five scanline filters; no PIL needed), and WAV audio decodes FOR
+REAL via ``functions/wav.py`` (pure-stdlib RIFF parser, PCM 8/16/24/32 +
+IEEE float).  Video codec calls (ffmpeg/pyav) are NOT available in this
+sandbox, so that stage keeps two modes:
 
 - real codecs: clearly-marked NotImplementedError raise points where the
   library call belongs;
@@ -135,23 +136,39 @@ class ImageDecodeFeatures:
 
 
 class AudioFeatures:
-    """Actor stage: audio payload -> (rms, zero-crossings) features."""
+    """Actor stage: audio payload -> (rms, zero-crossings) features.
+
+    ``fake="real"`` decodes RIFF/WAVE payloads FOR REAL via the pure-
+    stdlib parser in ``functions/wav.py`` (PCM 8/16/24/32 + IEEE float);
+    a payload the parser rejects degrades that ROW (None features), never
+    the batch.  ``fake="deterministic"`` keeps the payload-derived
+    stand-in so plumbing tests don't need valid WAV bytes."""
 
     def __init__(self, fake: str = "deterministic"):
-        if fake == "real":
-            raise NotImplementedError(
-                "real audio decode needs soundfile/librosa — unavailable; "
-                "construct with fake='deterministic'"
-            )
+        if fake not in ("deterministic", "real"):
+            raise ValueError(f"unknown mode {fake!r}")
+        self.fake = fake
+
+    def _samples(self, payload: bytes) -> "np.ndarray | None":
+        if self.fake == "deterministic":
+            return (np.frombuffer(payload, dtype=np.uint8)
+                    .astype(np.float32) - 127.5) / 127.5
+        from .wav import WavError, decode_wav
+
+        try:
+            samples, _ = decode_wav(payload)
+        except WavError:
+            return None
+        return samples.mean(axis=1)  # mono mix for the scalar features
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rms, zc = [], []
         for payload, kind in zip(batch.column("payload").to_pylist(),
                                  batch.column("kind").to_pylist()):
-            if kind != "audio":
+            wave = self._samples(payload) if kind == "audio" else None
+            if wave is None or not len(wave):
                 rms.append(None); zc.append(None)
                 continue
-            wave = (np.frombuffer(payload, dtype=np.uint8).astype(np.float32) - 127.5) / 127.5
             rms.append(float(np.sqrt((wave ** 2).mean())))
             zc.append(int(((wave[1:] * wave[:-1]) < 0).sum()))
         return batch.drop(["payload"]).append_column(
@@ -188,7 +205,8 @@ class VideoFrameSample:
 
 
 def media_feature_pipeline(ds, concurrency=(1, 4), batch_size: int = 8,
-                           image_mode: str = "deterministic"):
+                           image_mode: str = "deterministic",
+                           audio_mode: str = "deterministic"):
     """media Dataset -> per-kind feature Dataset (three actor-pool stages in
     one pass each; payload column dropped at the first stage that consumes
     it would break later stages, so each stage runs on the original ds and
@@ -198,7 +216,7 @@ def media_feature_pipeline(ds, concurrency=(1, 4), batch_size: int = 8,
     class Combined:
         def __init__(self):
             self.img = ImageDecodeFeatures(fake=image_mode)
-            self.aud = AudioFeatures()
+            self.aud = AudioFeatures(fake=audio_mode)
             self.vid = VideoFrameSample()
 
         def __call__(self, batch: pa.Table) -> pa.Table:

@@ -20,12 +20,12 @@ def test_media_schema_and_determinism():
 
 
 def test_real_codecs_are_marked_unimplemented():
-    # image gained a real pure-Python PNG codec; audio/video remain honest
-    # NotImplementedError gates (no codecs in this environment).
+    # image and audio gained real pure-Python codecs (png.py / wav.py);
+    # video remains an honest NotImplementedError gate (no ffmpeg here).
     ImageDecodeFeatures(fake="real")
-    for cls in (AudioFeatures, VideoFrameSample):
-        with pytest.raises(NotImplementedError):
-            cls(fake="real")
+    AudioFeatures(fake="real")
+    with pytest.raises(NotImplementedError):
+        VideoFrameSample(fake="real")
 
 
 def test_image_stage_direct():
