@@ -6619,6 +6619,62 @@ def q_name_edit_pairs(sf_dir: str):
             [["name_a", "name_b"]])
 
 
+# ---------------------------------------------------------------------------
+# Distributed sweep line (peak interval concurrency per day): every event
+# occupies [ts, ts + 15 min); concurrency is the running sum of ±1
+# endpoint deltas in global (t, d) order.  The global ordered prefix sum
+# is the sequence_pack shape re-used on time: per-day delta sums -> a
+# driver cumsum over the (calendar-bounded) day table -> per-day carry-in
+# offsets -> ONE day-keyed map_groups does the in-day cumsum + max
+# vectorized.  No global sort of the endpoint stream; the exchange moves
+# 2 rows per event once, partitioned by day.
+# ---------------------------------------------------------------------------
+
+CONCUR_SPAN_US = 15 * 60 * 1_000_000
+_DAY_US = 86_400_000_000
+
+
+def _endpoints_partial(t: pa.Table) -> pa.Table:
+    ts = pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+    tt = np.concatenate([ts, ts + CONCUR_SPAN_US])
+    d = np.concatenate([np.ones(len(ts), np.int64),
+                        np.full(len(ts), -1, np.int64)])
+    # pre-collapse to one row per (day, t, d) with summed deltas
+    g = (pa.table({"day": pa.array(tt // _DAY_US),
+                   "t": pa.array(tt), "d": pa.array(d),
+                   "dv": pa.array(d)})
+         .group_by(["day", "t", "d"]).aggregate([("dv", "sum")]))
+    return g.rename_columns(["day", "t", "d", "dsum"])
+
+
+def q_peak_concurrency(sf_dir: str):
+    """Max concurrent 15-minute event intervals per day (RANGE-frame
+    running-sum semantics: ties on (t, d) are folded before the max, so
+    the result is order-independent and bit-stable)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    eps = ds.map_batches(_endpoints_partial, batch_format="pyarrow")
+    # pass 1: per-day delta totals -> driver cumsum -> carry-in per day
+    day_sums = (eps.groupby("day").aggregate(Sum("dsum", alias_name="dtot"))
+                .to_pandas().sort_values("day"))
+    carry = dict(zip(day_sums["day"],
+                     day_sums["dtot"].cumsum().shift(fill_value=0)
+                     .astype("int64")))
+    carry_ref = ray.put(carry)
+
+    def peak_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        base = int(ray.get(carry_ref)[int(g["day"].iloc[0])])
+        gg = (g.groupby(["t", "d"], sort=False)["dsum"].sum().reset_index()
+              .sort_values(["t", "d"]))
+        run = base + gg["dsum"].cumsum()
+        return pd.DataFrame({"day": [int(g["day"].iloc[0])],
+                             "peak": [int(run.max())]})
+
+    out = (eps.groupby("day").map_groups(peak_bucket, batch_format="pandas")
+           .to_pandas().sort_values("day").reset_index(drop=True))
+    out["peak"] = out["peak"].astype("int64")
+    return out
+
+
 QUERIES = {
     "doc_count": q_doc_count,
     "doc_chars_sum": q_doc_chars_sum,
@@ -6796,6 +6852,7 @@ QUERIES = {
     "user_streaks": q_user_streaks,
     "part_skyline": q_part_skyline,
     "name_edit_pairs": q_name_edit_pairs,
+    "peak_concurrency": q_peak_concurrency,
 }
 
 ORACLE_SQL = {
@@ -8104,6 +8161,18 @@ ORACLE_SQL = {
         "     (SELECT DISTINCT p_name FROM part) b "
         "WHERE a.p_name < b.p_name AND levenshtein(a.p_name, b.p_name) <= 1 "
         "ORDER BY 1, 2"
+    ),
+    # sweep line: peak concurrent 15-min intervals per day (RANGE-frame
+    # running sum over ±1 endpoint deltas in (t, d) order).
+    "peak_concurrency": (
+        "WITH ep AS ("
+        "  SELECT ts AS t, 1 AS d FROM events "
+        "  UNION ALL "
+        "  SELECT ts + INTERVAL 15 MINUTE AS t, -1 AS d FROM events), "
+        "r AS (SELECT t, d, SUM(d) OVER (ORDER BY t, d) AS c FROM ep) "
+        "SELECT CAST(epoch(date_trunc('day', t)) AS BIGINT) // 86400 AS day, "
+        "CAST(MAX(c) AS BIGINT) AS peak "
+        "FROM r GROUP BY day ORDER BY day"
     ),
     # not SQL-expressible -> rows-only checks recorded by the driver:
     #   extract_flagship, pages_sniff_counts (synthetic binary payloads +

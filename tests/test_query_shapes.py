@@ -120,3 +120,18 @@ def test_editpairs_bucket_verifies_candidates():
                     out.column("name_b").to_pylist()))
     assert ("ab", "abc") in pairs
     assert ("ab", "ba") not in pairs
+
+
+# ----------------------------------------------------------- sweep line
+
+def test_endpoints_partial_collapses_ties():
+    import pyarrow as pa
+    from ocr_main_ray.pipelines.queries import (CONCUR_SPAN_US,
+                                                _endpoints_partial)
+    # two events at the same ts -> one +1 row with dsum=2, one -1 with -2
+    ts = pa.array([1_000_000, 1_000_000], pa.timestamp("us"))
+    out = _endpoints_partial(pa.table({"ts": ts}))
+    rows = sorted(zip(out.column("t").to_pylist(),
+                      out.column("d").to_pylist(),
+                      out.column("dsum").to_pylist()))
+    assert rows == [(1_000_000, 1, 2), (1_000_000 + CONCUR_SPAN_US, -1, -2)]
