@@ -6675,6 +6675,72 @@ def q_peak_concurrency(sf_dir: str):
     return out
 
 
+# ---------------------------------------------------------------------------
+# Model-based quality filtering: distributed full-batch logistic
+# regression (functions/logreg.py) trained ON THE ENGINE — per-iteration
+# exchange is one (d+2)-float partial per block, weights broadcast via
+# ray.put, bstart-ordered deterministic reduce (the kmeans shape applied
+# to gradient descent).  The feature table (4 floats + id) is
+# materialized once so the 30 GD passes don't re-tokenize text.
+# ---------------------------------------------------------------------------
+
+def _logreg_featurize(b: pd.DataFrame) -> pd.DataFrame:
+    n_chars = b["n_chars"].to_numpy(dtype=np.float64)
+    words = (b["text"].str.count(" ").to_numpy(dtype=np.float64) + 1.0)
+    return pd.DataFrame({
+        "doc_id": b["doc_id"].to_numpy(),
+        "lang": b["lang"].to_numpy(),
+        "f1": np.log1p(words),
+        "f2": n_chars / words,                 # mean word length + 1
+        "y": (n_chars >= 300).astype(np.int8),  # "long-form" label
+    })
+
+
+def q_quality_logreg(sf_dir: str):
+    """Model-based quality filtering demo: learn the long-form cut
+    (n_chars >= 300) from word-count shape features, then report per-lang
+    (docs, true long, predicted long).  The corpus labels languages over
+    one shared vocabulary, so lang itself is unlearnable by construction —
+    the length cut is the honest learnable target.  Integer outputs;
+    training is bit-deterministic (bstart-ordered reduces end to end)."""
+    from ..functions.logreg import feature_stats, logreg_fit, logreg_predict
+
+    cols = ["f1", "f2"]
+    raw = (_docs(sf_dir, ["doc_id", "text", "lang", "n_chars"])
+           .map_batches(_logreg_featurize, batch_format="pandas")
+           .materialize())
+    mu, sd = feature_stats(raw, cols, "doc_id")
+
+    def zscore(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        for i, c in enumerate(cols):
+            out[c] = (b[c].to_numpy(dtype=np.float64) - mu[i]) / sd[i]
+        return out
+
+    feats = raw.map_batches(zscore, batch_format="pandas").materialize()
+    w, hist = logreg_fit(feats, cols, "y", "doc_id", iters=60, lr=1.0)
+    scored = logreg_predict(feats, w, cols)
+
+    def perlang_partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"lang": t.column("lang"),
+                       "pred": pc.cast(t.column("pred"), pa.int64()),
+                       "yl": pc.cast(t.column("y"), pa.int64()),
+                       "one": pa.array(np.ones(t.num_rows, np.int64))})
+             .group_by("lang").aggregate([("one", "sum"), ("yl", "sum"),
+                                          ("pred", "sum")]))
+        return g.rename_columns(["lang", "pn", "py", "ppred"])
+
+    out = (scored.map_batches(perlang_partial, batch_format="pyarrow")
+           .groupby("lang")
+           .aggregate(Sum("pn", alias_name="n_docs"),
+                      Sum("py", alias_name="n_long"),
+                      Sum("ppred", alias_name="n_pred_long"))
+           .to_pandas().sort_values("lang").reset_index(drop=True))
+    for c in ("n_docs", "n_long", "n_pred_long"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
 QUERIES = {
     "doc_count": q_doc_count,
     "doc_chars_sum": q_doc_chars_sum,
@@ -6853,6 +6919,7 @@ QUERIES = {
     "part_skyline": q_part_skyline,
     "name_edit_pairs": q_name_edit_pairs,
     "peak_concurrency": q_peak_concurrency,
+    "quality_logreg": q_quality_logreg,
 }
 
 ORACLE_SQL = {
