@@ -6741,6 +6741,118 @@ def q_quality_logreg(sf_dir: str):
     return out
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q11 plan shape (per-group aggregate filtered by a correlated
+# GLOBAL-aggregate threshold): the per-part quantity table is built once
+# with the partial/combiner pattern and materialized (bounded by |part|),
+# the global total is a sum over THAT table (never a second lineitem
+# scan), and the share filter is an exact integer cross-multiplication —
+# no floats, no correlated re-scan.
+# ---------------------------------------------------------------------------
+
+def q_important_parts(sf_dir: str):
+    """Parts whose total ordered quantity exceeds 1.5x the per-part
+    average — exact integer cross-multiplication (qty * n_parts * 2 >
+    3 * total), so the threshold is SCALE-INVARIANT: the qualifying
+    fraction stays stable as |part| grows with the corpus."""
+    def qty_partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"l_partkey": t.column("l_partkey"),
+                       "q": pc.cast(t.column("l_quantity"), pa.int64())})
+             .group_by("l_partkey").aggregate([("q", "sum")]))
+        return g.rename_columns(["l_partkey", "pq"])
+
+    per_part = (rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                                columns=["l_partkey", "l_quantity"])
+                .map_batches(qty_partial, batch_format="pyarrow")
+                .groupby("l_partkey").aggregate(Sum("pq", alias_name="qty"))
+                .materialize())
+    total = int(per_part.sum("qty"))
+    n_parts = int(per_part.count())
+
+    def share_filter(t: pa.Table) -> pa.Table:
+        qty = pc.cast(t.column("qty"), pa.int64())
+        keep = pc.greater(pc.multiply(qty, 2 * n_parts), 3 * total)
+        return pa.table({"l_partkey": t.column("l_partkey"),
+                         "qty": qty}).filter(keep)
+
+    out = (per_part.map_batches(share_filter, batch_format="pyarrow")
+           .to_pandas())
+    if out.empty:
+        out = pd.DataFrame({"l_partkey": pd.Series(dtype="int64"),
+                            "qty": pd.Series(dtype="int64")})
+    return out.sort_values("l_partkey").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# INTERSECT / EXCEPT as per-key boolean flag folds: which parts were
+# ordered in BOTH 1996 and 1997, and in exactly one?  The year window is
+# pushed into the orders scan (parts outside both years contribute zero
+# to every output, so pre-filtering is lossless), lineitem pre-distincts
+# (orderkey, partkey) per batch, one hash join decorates with the year
+# flag, and two MAX folds per partkey resolve set membership — the
+# set-algebra answer without materializing either set.
+# ---------------------------------------------------------------------------
+
+def q_part_year_flags(sf_dir: str):
+    from ..rayops import fit_for_join
+
+    y96 = (pd.Timestamp("1996-01-01").value // 1000,
+           pd.Timestamp("1997-01-01").value // 1000)
+    y97 = (pd.Timestamp("1997-01-01").value // 1000,
+           pd.Timestamp("1998-01-01").value // 1000)
+    nparts = _join_parts(sf_dir, "lineitem")
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"],
+        filter=(pds.field("o_orderdate") >= pd.Timestamp("1996-01-01"))
+        & (pds.field("o_orderdate") < pd.Timestamp("1998-01-01")))
+
+    def year_flags(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("o_orderdate"), pa.int64())
+        in96 = pc.and_(pc.greater_equal(us, y96[0]), pc.less(us, y96[1]))
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey"),
+            "y1": pc.cast(in96, pa.int8()),
+            "y2": pc.cast(pc.invert(in96), pa.int8())})
+
+    orders = orders.map_batches(year_flags, batch_format="pyarrow")
+    ord_schema = pa.schema([("o_orderkey", pa.int64()),
+                            ("y1", pa.int8()), ("y2", pa.int8())])
+    li = (rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                          columns=["l_orderkey", "l_partkey"])
+          .map_batches(
+              lambda t: t.group_by(["l_orderkey", "l_partkey"]).aggregate([]),
+              batch_format="pyarrow"))
+    joined = li.join(fit_for_join(orders, ord_schema), join_type="inner",
+                     num_partitions=nparts,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def flag_partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"l_partkey": t.column("l_partkey"),
+                       "y1": t.column("y1"), "y2": t.column("y2")})
+             .group_by("l_partkey")
+             .aggregate([("y1", "max"), ("y2", "max")]))
+        return g.rename_columns(["l_partkey", "y1", "y2"])
+
+    flags = (joined.map_batches(flag_partial, batch_format="pyarrow")
+             .groupby("l_partkey")
+             .aggregate(Max("y1", alias_name="m1"),
+                        Max("y2", alias_name="m2")))
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        m1 = pc.cast(t.column("m1"), pa.int64()).to_numpy()
+        m2 = pc.cast(t.column("m2"), pa.int64()).to_numpy()
+        return pa.table({
+            "pb": pa.array([int((m1 & m2).sum())], pa.int64()),
+            "p1": pa.array([int((m1 & (1 - m2)).sum())], pa.int64()),
+            "p2": pa.array([int(((1 - m1) & m2).sum())], pa.int64())})
+
+    agg = flags.map_batches(count_partial, batch_format="pyarrow").sum(
+        ["pb", "p1", "p2"])
+    return pd.DataFrame({"n_both": [int(agg["sum(pb)"])],
+                         "n_only_1996": [int(agg["sum(p1)"])],
+                         "n_only_1997": [int(agg["sum(p2)"])]})
+
+
 QUERIES = {
     "doc_count": q_doc_count,
     "doc_chars_sum": q_doc_chars_sum,
@@ -6920,6 +7032,8 @@ QUERIES = {
     "name_edit_pairs": q_name_edit_pairs,
     "peak_concurrency": q_peak_concurrency,
     "quality_logreg": q_quality_logreg,
+    "important_parts": q_important_parts,
+    "part_year_flags": q_part_year_flags,
 }
 
 ORACLE_SQL = {
@@ -8240,6 +8354,28 @@ ORACLE_SQL = {
         "SELECT CAST(epoch(date_trunc('day', t)) AS BIGINT) // 86400 AS day, "
         "CAST(MAX(c) AS BIGINT) AS peak "
         "FROM r GROUP BY day ORDER BY day"
+    ),
+    # TPC-H Q11 shape: group aggregate vs a correlated global threshold.
+    "important_parts": (
+        "WITH pq AS (SELECT l_partkey, "
+        "  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty "
+        "  FROM lineitem GROUP BY l_partkey), "
+        "tot AS (SELECT SUM(qty) AS t, COUNT(*) AS np FROM pq) "
+        "SELECT l_partkey, qty FROM pq, tot "
+        "WHERE qty * 2 * np > 3 * t ORDER BY l_partkey"
+    ),
+    # INTERSECT / EXCEPT via per-key boolean flag folds.
+    "part_year_flags": (
+        "WITH f AS (SELECT l_partkey, "
+        "  MAX(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END) AS y1, "
+        "  MAX(CASE WHEN year(o_orderdate) = 1997 THEN 1 ELSE 0 END) AS y2 "
+        "  FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "  WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
+        "    AND o_orderdate < TIMESTAMP '1998-01-01' "
+        "  GROUP BY l_partkey) "
+        "SELECT CAST(SUM(y1 * y2) AS BIGINT) AS n_both, "
+        "CAST(SUM(y1 * (1 - y2)) AS BIGINT) AS n_only_1996, "
+        "CAST(SUM((1 - y1) * y2) AS BIGINT) AS n_only_1997 FROM f"
     ),
     # not SQL-expressible -> rows-only checks recorded by the driver:
     #   extract_flagship, pages_sniff_counts (synthetic binary payloads +
