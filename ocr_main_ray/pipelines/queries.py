@@ -6853,6 +6853,57 @@ def q_part_year_flags(sf_dir: str):
                          "n_only_1997": [int(agg["sum(p2)"])]})
 
 
+# ---------------------------------------------------------------------------
+# Corpus tokenization with a trained BPE vocabulary: train once
+# (distributed, cluster-batched merges), broadcast the merge list via
+# ray.put, tokenize per batch through a per-actor WORD CACHE — the corpus
+# re-uses each distinct word's tokenization, so encode cost scales with
+# the vocabulary inside a batch, not with token count.  Output is
+# integer per-lang stats (deterministic: BPE training and inference are
+# both exact).
+# ---------------------------------------------------------------------------
+
+def q_bpe_tokenize_stats(sf_dir: str):
+    from ..functions.bpe import apply_bpe, train_bpe_distributed
+
+    merges = train_bpe_distributed(_docs(sf_dir, ["text"]), n_merges=30)
+    merges_ref = ray.put(merges)
+
+    class _Tokenize:
+        def __init__(self):
+            self.merges = ray.get(merges_ref)
+            self.cache: dict[str, int] = {}
+
+        def _ntok(self, w: str) -> int:
+            n = self.cache.get(w)
+            if n is None:
+                n = len(apply_bpe(w, self.merges))
+                self.cache[w] = n
+            return n
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            toks = np.fromiter(
+                (sum(self._ntok(w) for w in t.split()) for t in b["text"]),
+                dtype=np.int64, count=len(b))
+            words = b["text"].str.split().str.len().fillna(0).astype("int64")
+            g = (pd.DataFrame({"lang": b["lang"], "ptok": toks,
+                               "pw": words.to_numpy(), "pn": 1})
+                 .groupby("lang", sort=False).sum().reset_index())
+            return g
+
+    out = (_docs(sf_dir, ["text", "lang"])
+           .map_batches(_Tokenize, batch_format="pandas",
+                        concurrency=(1, 8))
+           .groupby("lang")
+           .aggregate(Sum("pn", alias_name="n_docs"),
+                      Sum("pw", alias_name="n_words"),
+                      Sum("ptok", alias_name="n_tokens"))
+           .to_pandas().sort_values("lang").reset_index(drop=True))
+    for c in ("n_docs", "n_words", "n_tokens"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
 QUERIES = {
     "doc_count": q_doc_count,
     "doc_chars_sum": q_doc_chars_sum,
@@ -7034,6 +7085,7 @@ QUERIES = {
     "quality_logreg": q_quality_logreg,
     "important_parts": q_important_parts,
     "part_year_flags": q_part_year_flags,
+    "bpe_tokenize_stats": q_bpe_tokenize_stats,
 }
 
 ORACLE_SQL = {

@@ -2,6 +2,7 @@
 single-process reference, determinism, inference sanity."""
 import pandas as pd
 import pyarrow as pa
+import pytest
 
 from ocr_main_ray.functions.bpe import (apply_bpe, bpe_reference,
                                         train_bpe_distributed)
@@ -89,3 +90,46 @@ def test_batched_merges_4x_fewer_passes_when_dag_allows(ray_session):
     assert got == want
     assert sum(passes) == len(got) == 200
     assert len(passes) <= len(got) // 4, (len(passes), len(got))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_corpus_tokenize_stats_equal_reference():
+    """The full tokenize-stats pipeline (train distributed -> broadcast
+    merges -> cached per-word encode -> per-lang integer stats) must equal
+    a single-process mirror exactly."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_main_ray.functions.bpe import apply_bpe, bpe_reference
+    from ocr_main_ray.pipelines.queries import q_bpe_tokenize_stats
+
+    # build a small parquet documents table in a tmp sf dir
+    import tempfile, pathlib, pyarrow.parquet as pq
+    texts = [" ".join(["alpha beta gamma beta", "alpha alpha"][i % 2].split())
+             for i in range(24)]
+    texts[3] = ""  # empty doc must contribute 0 words / 0 tokens
+    langs = ["en", "es", "de"] * 8
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(
+            pa.table({"doc_id": pa.array(range(24), pa.int64()),
+                      "text": pa.array(texts),
+                      "lang": pa.array(langs),
+                      "n_chars": pa.array([len(t) for t in texts],
+                                          pa.int64())}),
+            pathlib.Path(d) / "documents.parquet")
+        got = q_bpe_tokenize_stats(d)
+    merges = bpe_reference(texts, n_merges=30)
+    ntok = {w: len(apply_bpe(w, merges))
+            for t in texts for w in t.split()}
+    import pandas as pd
+    ref_rows = []
+    for lang in sorted(set(langs)):
+        docs = [t for t, lg in zip(texts, langs) if lg == lang]
+        ref_rows.append({
+            "lang": lang, "n_docs": len(docs),
+            "n_words": sum(len(t.split()) for t in docs),
+            "n_tokens": sum(ntok[w] for t in docs for w in t.split())})
+    ref = pd.DataFrame(ref_rows).astype(
+        {"n_docs": "int64", "n_words": "int64", "n_tokens": "int64"})
+    assert got.equals(ref)
