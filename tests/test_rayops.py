@@ -105,3 +105,50 @@ def test_verify_pairs_distributed_with_empty_shingle_blocks():
     assert len(out) == 1
     assert (out.loc[0, "a"], out.loc[0, "b"]) == (1, 2)
     assert out.loc[0, "jaccard"] > 0.5
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_salted_join_equals_plain_join():
+    """Skewed left (80% one hot key) x small right: the salted join's row
+    set must be identical to a plain pandas merge, for inner AND
+    left_outer (incl. null propagation for unmatched keys)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_main_ray.rayops import salted_join
+
+    rng = np.random.default_rng(13)
+    n = 5000
+    keys = np.where(rng.random(n) < 0.8, 7, rng.integers(0, 50, n))
+    left_t = pa.table({"k": pa.array(keys, pa.int64()),
+                       "lval": pa.array(np.arange(n, dtype=np.int64))})
+    right_t = pa.table({"rk": pa.array(np.arange(0, 40, dtype=np.int64)),
+                        "rval": pa.array([f"r{i}" for i in range(40)])})
+    left = rd.from_arrow(left_t)
+    right = rd.from_arrow(right_t)
+
+    for how, ray_how in (("inner", "inner"), ("left", "left_outer")):
+        got = (salted_join(left, right, on="k", right_on="rk",
+                           join_type=ray_how, num_partitions=4, salt=8)
+               .to_pandas())
+        exp = left_t.to_pandas().merge(
+            right_t.to_pandas(), how=how, left_on="k", right_on="rk")
+        key_cols = ["k", "lval"]
+        got_s = got.sort_values(key_cols).reset_index(drop=True)
+        exp_s = exp.sort_values(key_cols).reset_index(drop=True)
+        assert len(got_s) == len(exp_s), ray_how
+        assert got_s["lval"].equals(exp_s["lval"]), ray_how
+        # rval: compare with NaN-safe equality
+        assert (got_s["rval"].fillna("<null>")
+                .equals(exp_s["rval"].fillna("<null>"))), ray_how
+
+
+def test_salted_join_rejects_unsupported_type():
+    import pytest as _pytest
+
+    from ocr_main_ray.rayops import salted_join
+
+    with _pytest.raises(ValueError, match="inner/left_outer"):
+        salted_join(None, None, on="k", join_type="right_outer")
