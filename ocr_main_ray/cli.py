@@ -149,6 +149,25 @@ def cmd_delete(args) -> int:
     return 0
 
 
+def cmd_upsert(args) -> int:
+    import pyarrow.parquet as pq
+
+    from .state.upsert import upsert_table
+
+    table = pq.read_table(args.batch)
+    if args.key_col not in table.column_names:
+        print(json.dumps({
+            "status": "error",
+            "error": f"key column {args.key_col!r} not in batch schema "
+                     f"{table.column_names}"}), file=sys.stderr)
+        return 1
+    audit = upsert_table(args.data_dir, table, key_col=args.key_col)
+    if not args.verbose:
+        audit.pop("records", None)
+    print(json.dumps({"status": "ok", **audit}))
+    return 0
+
+
 def cmd_export_sorted(args) -> int:
     ray, owns = _init_ray(args.num_cpus)
     try:
@@ -218,6 +237,15 @@ def build_parser() -> argparse.ArgumentParser:
     dl.add_argument("--verbose", action="store_true",
                     help="include the per-file audit records")
     dl.set_defaults(fn=cmd_delete)
+
+    up = sub.add_parser("upsert", help="keyed MERGE of a parquet batch "
+                        "into a data dir (append-first, idempotent retry)")
+    up.add_argument("data_dir", help="parquet output dir (recursed)")
+    up.add_argument("batch", help="parquet file with the rows to merge")
+    up.add_argument("--key-col", default="doc_id")
+    up.add_argument("--verbose", action="store_true",
+                    help="include the per-file audit records")
+    up.set_defaults(fn=cmd_upsert)
 
     ex = sub.add_parser("export-sorted", help="globally-sorted range-"
                         "partitioned export with a _RANGES.json manifest")
