@@ -6904,6 +6904,68 @@ def q_bpe_tokenize_stats(sf_dir: str):
     return out
 
 
+# ---------------------------------------------------------------------------
+# Variable-duration interval overlap join (concurrent session pairs per
+# day): sessions are replicated to every day bucket their interval
+# touches; each pair is counted EXACTLY ONCE at the later session start
+# (the sweep-line owner rule — the later start lies in one bucket and
+# both intervals provably reach it), so no cross-bucket dedup pass is
+# needed.  Inside a bucket the count per owner is two searchsorted
+# lookups (#starts < s  −  #ends < s); equal-start groups add C(k,2)
+# once.  The exchange moves each session ≤ (span-days + 1) times — never
+# a pairwise blowup.
+# ---------------------------------------------------------------------------
+
+def q_session_overlap_pairs(sf_dir: str):
+    """Pairs of user sessions (30-min-gap sessionization, inclusive
+    endpoint overlap) that were active simultaneously, grouped by the day
+    of the later session start.  Same-user sessions never overlap by
+    construction, so pairs are cross-user automatically."""
+    nb = _session_buckets()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+    sessions = (ds.map_batches(lambda t: _bucket_users(t, nb),
+                               batch_format="pyarrow")
+                .groupby("ubucket")
+                .map_groups(_sessionize_bucket, batch_format="pandas"))
+
+    def replicate_days(b: pd.DataFrame) -> pd.DataFrame:
+        st = b["session_start"].astype("int64").to_numpy()
+        en = b["session_end"].astype("int64").to_numpy()
+        d0 = st // _DAY_US
+        d1 = en // _DAY_US
+        reps = (d1 - d0 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(b)), reps)
+        day = np.concatenate(
+            [np.arange(a, z + 1) for a, z in zip(d0, d1)]) if len(b) else \
+            np.empty(0, np.int64)
+        return pd.DataFrame({"day": day, "st": st[idx], "en": en[idx],
+                             "owner": (day == d0[idx]).astype(np.int8)})
+
+    def overlap_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        day = int(g["day"].iloc[0])
+        starts = np.sort(g["st"].to_numpy())
+        ends = np.sort(g["en"].to_numpy())
+        own = g[g["owner"] == 1]
+        s = own["st"].to_numpy()
+        cnt = (np.searchsorted(starts, s, side="left")
+               - np.searchsorted(ends, s, side="left")).sum()
+        # equal-start owner groups overlap mutually: C(k, 2) each, once
+        _, k = np.unique(s, return_counts=True)
+        cnt += int((k * (k - 1) // 2).sum())
+        if cnt == 0:
+            return pd.DataFrame({"day": pd.Series(dtype="int64"),
+                                 "n_pairs": pd.Series(dtype="int64")})
+        return pd.DataFrame({"day": [day], "n_pairs": [int(cnt)]})
+
+    out = (sessions.map_batches(replicate_days, batch_format="pandas")
+           .groupby("day").map_groups(overlap_bucket, batch_format="pandas")
+           .to_pandas().sort_values("day").reset_index(drop=True))
+    out["day"] = out["day"].astype("int64")
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    return out
+
+
 QUERIES = {
     "doc_count": q_doc_count,
     "doc_chars_sum": q_doc_chars_sum,
@@ -7086,6 +7148,7 @@ QUERIES = {
     "important_parts": q_important_parts,
     "part_year_flags": q_part_year_flags,
     "bpe_tokenize_stats": q_bpe_tokenize_stats,
+    "session_overlap_pairs": q_session_overlap_pairs,
 }
 
 ORACLE_SQL = {
@@ -8394,6 +8457,22 @@ ORACLE_SQL = {
         "     (SELECT DISTINCT p_name FROM part) b "
         "WHERE a.p_name < b.p_name AND levenshtein(a.p_name, b.p_name) <= 1 "
         "ORDER BY 1, 2"
+    ),
+    # variable-duration interval overlap join: concurrent session pairs,
+    # counted once at the later start, grouped by its day.
+    "session_overlap_pairs": (
+        "WITH x AS (SELECT user_id, ts, "
+        "  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) "
+        "  > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM events), "
+        "y AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts "
+        "  ROWS UNBOUNDED PRECEDING) AS sid FROM x), "
+        "s AS (SELECT user_id, min(ts) AS st, max(ts) AS en FROM y "
+        "  GROUP BY user_id, sid) "
+        "SELECT CAST(epoch(date_trunc('day', greatest(a.st, b.st))) "
+        "  AS BIGINT) // 86400 AS day, CAST(COUNT(*) AS BIGINT) AS n_pairs "
+        "FROM s a JOIN s b ON a.user_id < b.user_id "
+        "  AND a.st <= b.en AND b.st <= a.en "
+        "GROUP BY day ORDER BY day"
     ),
     # sweep line: peak concurrent 15-min intervals per day (RANGE-frame
     # running sum over ±1 endpoint deltas in (t, d) order).
