@@ -6966,6 +6966,60 @@ def q_session_overlap_pairs(sf_dir: str):
     return out
 
 
+# ---------------------------------------------------------------------------
+# Sliding-window COUNT DISTINCT, exact (trailing-7-day active users per
+# day): per-batch distinct (user, day) partials; ONE user-hash bucket
+# pass finishes the per-user distinct, replicates each active day to the
+# <= 7 result days it covers, dedups (user, result-day) LOCALLY (complete
+# per user inside the bucket) and emits per-day partial counts — the
+# global exchange is (buckets x days) tiny rows, never user-level data.
+# The exact alternative to a sliding HLL, for when the answer must hash-
+# match.
+# ---------------------------------------------------------------------------
+
+ROLL_WINDOW_DAYS = 7
+
+
+def q_rolling_distinct_users(sf_dir: str):
+    nb = _session_buckets()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def ud_partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t.column("ts"), pa.int64()), _DAY_US)
+        g = (pa.table({"user_id": t.column("user_id"), "day": day})
+             .group_by(["user_id", "day"]).aggregate([]))
+        b = pc.cast(pc.subtract(
+            g.column("user_id"),
+            pc.multiply(pc.divide(g.column("user_id"), nb), nb)), pa.int32())
+        return g.append_column("ubucket", b)
+
+    ud = ds.map_batches(ud_partial, batch_format="pyarrow").materialize()
+    present = set(ud.groupby("day").aggregate(Count(alias_name="_c"))
+                  .to_pandas()["day"].astype("int64"))
+
+    def win_partial(g: pd.DataFrame) -> pd.DataFrame:
+        gg = g.drop_duplicates(["user_id", "day"])
+        days = gg["day"].to_numpy(dtype=np.int64)
+        users = gg["user_id"].to_numpy()
+        rday = (days[:, None] + np.arange(ROLL_WINDOW_DAYS)).ravel()
+        cov = (pd.DataFrame({"u": np.repeat(users, ROLL_WINDOW_DAYS),
+                             "rday": rday}).drop_duplicates()
+               .groupby("rday").size().reset_index(name="pu"))
+        cov["pu"] = cov["pu"].astype("int64")
+        return cov
+
+    counts = (ud.groupby("ubucket")
+              .map_groups(win_partial, batch_format="pandas")
+              .groupby("rday").aggregate(Sum("pu", alias_name="users_7d"))
+              .to_pandas())
+    counts = counts[counts["rday"].isin(present)]
+    out = (counts.rename(columns={"rday": "day"})
+           .sort_values("day").reset_index(drop=True))
+    out["day"] = out["day"].astype("int64")
+    out["users_7d"] = out["users_7d"].astype("int64")
+    return out
+
+
 QUERIES = {
     "doc_count": q_doc_count,
     "doc_chars_sum": q_doc_chars_sum,
@@ -7149,6 +7203,7 @@ QUERIES = {
     "part_year_flags": q_part_year_flags,
     "bpe_tokenize_stats": q_bpe_tokenize_stats,
     "session_overlap_pairs": q_session_overlap_pairs,
+    "rolling_distinct_users": q_rolling_distinct_users,
 }
 
 ORACLE_SQL = {
@@ -8457,6 +8512,18 @@ ORACLE_SQL = {
         "     (SELECT DISTINCT p_name FROM part) b "
         "WHERE a.p_name < b.p_name AND levenshtein(a.p_name, b.p_name) <= 1 "
         "ORDER BY 1, 2"
+    ),
+    # sliding-window exact COUNT DISTINCT (trailing 7 days, anchored on
+    # days present in the data).
+    "rolling_distinct_users": (
+        "WITH ud AS (SELECT DISTINCT user_id, "
+        "  CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS d "
+        "  FROM events), "
+        "days AS (SELECT DISTINCT d FROM ud) "
+        "SELECT days.d AS day, "
+        "CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) AS users_7d "
+        "FROM days JOIN ud ON ud.d BETWEEN days.d - 6 AND days.d "
+        "GROUP BY days.d ORDER BY day"
     ),
     # variable-duration interval overlap join: concurrent session pairs,
     # counted once at the later start, grouped by its day.
