@@ -135,3 +135,61 @@ def test_endpoints_partial_collapses_ties():
                       out.column("d").to_pylist(),
                       out.column("dsum").to_pylist()))
     assert rows == [(1_000_000, 1, 2), (1_000_000 + CONCUR_SPAN_US, -1, -2)]
+
+
+# ---------------------------------------------------- property tests
+
+from hypothesis import given, settings, strategies as st
+
+settings.register_profile("shapes", derandomize=True)
+settings.load_profile("shapes")
+
+
+def _lev_full(a: str, b: str) -> int:
+    m = [[i + j if i * j == 0 else 0 for j in range(len(b) + 1)]
+         for i in range(len(a) + 1)]
+    for i in range(1, len(a) + 1):
+        for j in range(1, len(b) + 1):
+            m[i][j] = min(m[i - 1][j] + 1, m[i][j - 1] + 1,
+                          m[i - 1][j - 1] + (a[i - 1] != b[j - 1]))
+    return m[len(a)][len(b)]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet="abc", max_size=6), st.text(alphabet="abc", max_size=6))
+def test_lev_le1_equals_full_dp(a, b):
+    assert _lev_le1(a, b) == (_lev_full(a, b) <= 1)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.tuples(st.integers(1, 6), st.integers(1, 8)),
+                min_size=0, max_size=25))
+def test_local_skyline_property(pairs):
+    size = np.asarray([p[0] for p in pairs], np.int32)
+    price = np.asarray([float(p[1]) for p in pairs], np.float64)
+    t = pa.table({"p_partkey": pa.array(np.arange(len(pairs)), pa.int64()),
+                  "p_size": pa.array(size),
+                  "p_retailprice": pa.array(price)})
+    got = sorted(_local_skyline(t).column("p_partkey").to_pylist())
+    assert got == _brute_skyline(size, price)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.tuples(st.integers(1, 3), st.integers(0, 20)),
+                min_size=1, max_size=30))
+def test_streak_bucket_property(pairs):
+    g = pd.DataFrame({"user_id": [p[0] for p in pairs],
+                      "day": [p[1] for p in pairs],
+                      "ubucket": [0] * len(pairs)})
+    out = _streak_bucket(g).set_index("user_id")
+    for u in set(g["user_id"]):
+        days = sorted(set(g[g["user_id"] == u]["day"]))
+        runs, cur = [], 1
+        for a, b in zip(days, days[1:]):
+            if b == a + 1:
+                cur += 1
+            else:
+                runs.append(cur); cur = 1
+        runs.append(cur)
+        assert out.loc[u, "n_days"] == len(days)
+        assert out.loc[u, "longest_streak"] == max(runs)
