@@ -38,17 +38,25 @@ from .delete import (_file_may_contain, _rewrite_one, _sweep_stale_tmps,
 
 
 def _content_name(table: pa.Table, key_col: str) -> str:
-    """Filename derived from the batch's key set + row count: retrying the
-    same upsert maps to the same name (idempotence); a different batch
-    maps elsewhere with 2^-32 collision odds per directory — and a
-    collision is caught by the exists-with-different-content check."""
-    keys = table.column(key_col)
-    crc = zlib.crc32(str(table.num_rows).encode())
-    crc = zlib.crc32(pa.compute.min(keys).as_py().__repr__().encode(), crc)
-    crc = zlib.crc32(pa.compute.max(keys).as_py().__repr__().encode(), crc)
-    for buf in keys.combine_chunks().buffers():
-        if buf is not None:
-            crc = zlib.crc32(buf, crc)
+    """Filename derived from the FULL logical content of the batch (every
+    column, not just the key): retrying the identical upsert maps to the
+    same name (idempotence), while re-upserting the same keys with UPDATED
+    values — the module's stated use case, refreshed crawls re-delivering
+    the same urls — gets a fresh name and merges normally instead of
+    tripping the exists-with-different-content guard.
+
+    The hash is slice/chunk-normalized: ``table.take`` materializes a
+    compacted offset-0 copy, ``combine_chunks`` collapses it to one chunk,
+    and the CRC runs over the Arrow IPC stream bytes of that — so a retry
+    batch arriving sliced or differently chunked still hashes identically.
+    Remaining 2^-32 collisions are caught by the exists check."""
+    del key_col  # kept in the signature for call-site clarity
+    norm = table.take(pa.array(range(table.num_rows), pa.int64()))
+    norm = norm.combine_chunks()
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, norm.schema) as writer:
+        writer.write_table(norm)
+    crc = zlib.crc32(sink.getvalue())
     return f"upsert-{crc:08x}-{table.num_rows}.parquet"
 
 

@@ -82,11 +82,25 @@ def zorder_export(ds, col_a: str, col_b: str, out_dir: str) -> dict:
         amax = pc.max(body.column(col_a)).as_py()
         bmin = pc.min(body.column(col_b)).as_py()
         bmax = pc.max(body.column(col_b)).as_py()
-        tag = hashlib.blake2b(
-            repr((amin, amax, bmin, bmax, batch.num_rows)).encode(),
-            digest_size=8).hexdigest()
+        # Name = hash of the block's CONTENT (normalized IPC bytes), not
+        # just its bbox + row count: two sorted blocks with identical bbox
+        # and size (low-cardinality dims, uniform block sizes) must never
+        # share a filename — a bbox-only tag let the second os.replace
+        # silently clobber the first while the manifest listed the name
+        # twice.  Content-equal blocks MAY share a name safely: the file
+        # then holds exactly the rows either block contributes, and the
+        # manifest's duplicate entries read back the identical content.
+        norm = body.take(pa.array(range(body.num_rows), pa.int64()))
+        norm = norm.combine_chunks()
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, norm.schema) as writer:
+            writer.write_table(norm)
+        tag = hashlib.blake2b(sink.getvalue().to_pybytes(),
+                              digest_size=8).hexdigest()
         name = f"zpart-{tag}.parquet"
-        tmp = out / (name + ".tmp")  # glob-invisible (state/delete.py rule)
+        # unique tmp per writer: concurrent tasks that DO share a content
+        # name (identical blocks) must not interleave on one tmp path
+        tmp = out / f"{name}.{os.getpid()}-{id(batch):x}.tmp"
         pq.write_table(body, tmp)
         os.replace(tmp, out / name)
         return pa.table({"file": pa.array([name], pa.string()),
@@ -111,6 +125,18 @@ def zorder_export(ds, col_a: str, col_b: str, out_dir: str) -> dict:
     tmp = out / "_ZORDER.json.tmp"
     tmp.write_text(json.dumps(manifest, indent=1))
     os.replace(tmp, out / "_ZORDER.json")
+    # Re-export into a non-empty dir: zparts from a PREVIOUS export that
+    # the new manifest doesn't reference are now orphans — unreachable via
+    # read_box but visible to any *.parquet glob consumer and leaking
+    # storage.  Deleting them AFTER the manifest rename keeps the crash
+    # story intact: die earlier and the old manifest + old files are still
+    # a complete consistent export.  Leftover writer tmps are swept too.
+    live = {f["file"] for f in files}
+    for p in out.glob("zpart-*.parquet"):
+        if p.name not in live:
+            p.unlink(missing_ok=True)
+    for p in out.glob("zpart-*.tmp"):
+        p.unlink(missing_ok=True)
     return manifest
 
 

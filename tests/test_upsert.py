@@ -88,6 +88,37 @@ def test_upsert_rejects_duplicate_keys(tmp_path):
         upsert_table(str(tmp_path), dup)
 
 
+def test_upsert_same_keys_updated_values_merges(tmp_path):
+    """The module's stated use case: a refreshed crawl re-delivers the SAME
+    key set with updated values.  This must merge (fresh content-derived
+    filename), not raise FileExistsError — the round-3 ADVICE repro."""
+    _seed(tmp_path)
+    upsert_table(str(tmp_path), _batch())
+    updated = pa.table({"doc_id": pa.array([5, 15, 100], pa.int64()),
+                        "v": pa.array(["newer5", "newer15", "newer100"])})
+    audit = upsert_table(str(tmp_path), updated)  # must not raise
+    assert audit["rows_replaced"] == 3 and audit["rows_inserted"] == 0
+    got = _read_all(tmp_path)
+    assert len(got) == 31
+    assert got[5] == "newer5" and got[100] == "newer100"
+
+
+def test_upsert_retry_name_is_slice_and_chunk_invariant(tmp_path):
+    """A logically identical retry batch arriving sliced or differently
+    chunked must map to the SAME content name (true retry idempotence),
+    not a duplicate append."""
+    _seed(tmp_path)
+    first = upsert_table(str(tmp_path), _batch())
+    wide = pa.table({"doc_id": pa.array([999, 5, 15, 100], pa.int64()),
+                     "v": pa.array(["pad", "new5", "new15", "new100"])})
+    sliced = wide.slice(1, 3)  # same logical rows, nonzero offset
+    chunked = pa.concat_tables([_batch().slice(0, 1), _batch().slice(1, 2)])
+    for variant in (sliced, chunked):
+        audit = upsert_table(str(tmp_path), variant)
+        assert audit["out_file"] == first["out_file"]
+    assert len(_read_all(tmp_path)) == 31
+
+
 def test_upsert_empty_batch_noop(tmp_path):
     _seed(tmp_path)
     audit = upsert_table(

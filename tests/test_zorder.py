@@ -56,6 +56,45 @@ def test_zorder_export_box_read_exact_and_pruned(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_zorder_identical_bbox_blocks_do_not_collide(tmp_path):
+    """Round-3 ADVICE repro: constant (a, b) gives every sorted block the
+    SAME bounding box; with uniform block sizes a bbox-only filename tag
+    collided and the second os.replace silently clobbered the first.
+    Content-derived names must keep every row readable."""
+    n = 4096
+    t = pa.table({"a": pa.array(np.full(n, 7, np.int64())),
+                  "b": pa.array(np.full(n, 9, np.int64())),
+                  "v": pa.array(np.arange(n))})
+    ds = rd.from_arrow([t.slice(i * 512, 512) for i in range(8)])
+    manifest = zorder_export(ds, "a", "b", str(tmp_path))
+    assert manifest["total_rows"] == n
+    got = read_box(str(tmp_path), 7, 7, 9, 9)
+    assert got.num_rows == n
+    assert sorted(got.column("v").to_pylist()) == list(range(n))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_zorder_reexport_removes_orphan_zparts(tmp_path):
+    """Exporting into a dir that already holds a previous export must not
+    leave stale zpart files orphaned (unreferenced by the new manifest but
+    visible to *.parquet globs)."""
+    rng = np.random.default_rng(11)
+    mk = lambda lo: pa.table({
+        "a": pa.array(rng.integers(lo, lo + 8, 2048).astype(np.int64)),
+        "b": pa.array(rng.integers(lo, lo + 8, 2048).astype(np.int64)),
+        "v": pa.array(np.arange(2048) + lo)})
+    zorder_export(rd.from_arrow(mk(0)), "a", "b", str(tmp_path))
+    manifest2 = zorder_export(rd.from_arrow(mk(100)), "a", "b",
+                              str(tmp_path))
+    on_disk = sorted(p.name for p in tmp_path.glob("zpart-*.parquet"))
+    assert on_disk == sorted({f["file"] for f in manifest2["files"]})
+    assert not list(tmp_path.glob("zpart-*.tmp"))
+    # old export's rows are gone from box reads too
+    assert read_box(str(tmp_path), 0, 8, 0, 8).num_rows == 0
+    assert read_box(str(tmp_path), 100, 108, 100, 108).num_rows == 2048
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_zorder_export_rejects_wide_span(tmp_path):
     ds = rd.from_arrow(pa.table({"a": pa.array([0, 1 << 32], pa.int64()),
                                  "b": pa.array([0, 1], pa.int64())}))
