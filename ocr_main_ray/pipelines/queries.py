@@ -2952,8 +2952,11 @@ def q_big_orders_report(sf_dir: str):
 # to one revenue row per orderkey BEFORE the single hash-partitioned join
 # with the (orderkey, custkey) projection of orders — the exchange carries
 # per-order partials, never line items (same plan as shipping_priority).
-# The per-customer re-aggregate is bounded by |customers| (dimension
-# cardinality), so only that final table reaches the driver for top-k.
+# The per-customer re-aggregate stays a DATASET (customer is sf-scaled —
+# 150k x sf rows, multi-GB at the 100x regime) and meets the customer
+# dimension in a second hash-partitioned join; only per-block top-20 heads
+# (k x n_blocks rows) ever reach the driver, which merges them and
+# decorates the final <= 20 rows with the constant-size nation table.
 # ---------------------------------------------------------------------------
 
 def _returned_rev_partial(batch: pa.Table) -> pa.Table:
@@ -2996,19 +2999,35 @@ def q_returned_revenue_topk(sf_dir: str):
         g = t.group_by("o_custkey").aggregate([("rev_cents", "sum")])
         return g.rename_columns(["c_custkey", "p_cents"])
 
-    per_cust = (joined.map_batches(cust_partial, batch_format="pyarrow")
-                .groupby("c_custkey")
-                .aggregate(Sum("p_cents", alias_name="revenue_cents"))
-                .to_pandas())  # <= one row per customer
-    cust = pd.read_parquet(f"{sf_dir}/customer.parquet",
+    per_cust = fit_for_join(
+        joined.map_batches(cust_partial, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(Sum("p_cents", alias_name="revenue_cents")),
+        pa.schema([("c_custkey", pa.int64()),
+                   ("revenue_cents", pa.int64())]))
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey", "c_name", "c_nationkey"])
+    decorated = per_cust.join(
+        cust, join_type="inner",
+        num_partitions=_join_parts(sf_dir, "customer"),
+        on=("c_custkey",), right_on=("c_custkey",))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[("revenue_cents", "descending"),
+                                            ("c_custkey", "ascending")])
+        return t.take(idx[:20])
+
+    # distributed top-k: per-block head(20), driver merges k*n_blocks rows
+    head = (decorated.map_batches(local_topk, batch_format="pyarrow")
+            .to_pandas())
+    head = head.sort_values(["revenue_cents", "c_custkey"],
+                            ascending=[False, True]).head(20)
     nation = pd.read_parquet(f"{sf_dir}/nation.parquet",
-                             columns=["n_nationkey", "n_name"])
-    out = (per_cust.merge(cust, on="c_custkey")
-           .merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+                             columns=["n_nationkey", "n_name"])  # 25 rows
+    out = (head.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
            [["c_custkey", "c_name", "n_name", "revenue_cents"]])
     out = out.sort_values(["revenue_cents", "c_custkey"],
-                          ascending=[False, True]).head(20)
+                          ascending=[False, True])
     return out.reset_index(drop=True)
 
 
@@ -3763,32 +3782,39 @@ def q_user_event_pairs_1h(sf_dir: str):
 
 # ---------------------------------------------------------------------------
 # TPC-H Q5 analogue (local-supplier revenue by nation): the classic 5-table
-# join where customer and supplier nationkeys must MATCH.  customer and
-# supplier are dimensions here -> broadcast sorted-key lookup arrays
-# (ray.put once); lineitem carries its supplier nation into per-(orderkey,
-# nation) revenue partials, which meet the date-filtered orders projection
-# (decorated with the customer nation the same way) in ONE hash-partitioned
-# join; the equality filter and final nation rollup run on join output
-# bounded by |orders in window| x |nations per order|.  At TPC-H scale
-# customer stops being broadcastable — swap the decoration for a second
-# hash join on custkey; the plan shape otherwise survives.
+# join where customer and supplier nationkeys must MATCH.  TWO routes,
+# size-selected from parquet metadata (free — no scan), mirroring the
+# triangle family's broadcast-closure fallback:
+#
+# - broadcast (small dimensions): customer and supplier become sorted
+#   key->nationkey lookup arrays (ray.put once, read per actor, never
+#   re-shipped per batch); lineitem carries its supplier nation into
+#   per-(orderkey, nation) revenue partials that meet the date-filtered
+#   orders projection (decorated the same way) in ONE hash-partitioned
+#   join.
+# - hashjoin (sf-scaled dimensions past _BCAST_DIM_MAX_ROWS): the same
+#   partials meet supplier / customer in hash-partitioned joins instead,
+#   so nothing sized by the dimension tables is ever materialized on the
+#   driver or broadcast whole.
+#
+# Both routes converge on the identical o_orderkey join + equality filter
+# + nation rollup tail, bounded by |orders in window| x |nations per
+# order| — pinned equal in tests/test_query_shapes.py.
 # ---------------------------------------------------------------------------
 
-def q_local_supplier_revenue(sf_dir: str):
+_BCAST_DIM_MAX_ROWS = 5_000_000  # ~80 MB of (key, nationkey) int64 pairs
+
+
+def q_local_supplier_revenue(sf_dir: str, *, route: str | None = None):
     import pyarrow.parquet as pq
     from ..config import cluster_cpus
     from ..rayops import fit_for_join
 
-    cust = pq.read_table(f"{sf_dir}/customer.parquet",
-                         columns=["c_custkey", "c_nationkey"])
-    ck = cust.column("c_custkey").to_numpy()
-    co = np.argsort(ck)
-    cust_ref = ray.put((ck[co], cust.column("c_nationkey").to_numpy()[co]))
-    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
-                        columns=["s_suppkey", "s_nationkey"])
-    sk = sup.column("s_suppkey").to_numpy()
-    so = np.argsort(sk)
-    sup_ref = ray.put((sk[so], sup.column("s_nationkey").to_numpy()[so]))
+    if route is None:
+        dim_rows = max(
+            pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows,
+            pq.read_metadata(f"{sf_dir}/supplier.parquet").num_rows)
+        route = "broadcast" if dim_rows <= _BCAST_DIM_MAX_ROWS else "hashjoin"
 
     class _LinePartial:
         def __init__(self, ref):
@@ -3821,25 +3847,95 @@ def q_local_supplier_revenue(sf_dir: str):
                 "o_orderkey": batch.column("o_orderkey"),
                 "c_nat": pa.array(self.nat[pos], pa.int64())})
 
+    def _line_partial_raw(batch: pa.Table) -> pa.Table:
+        # hashjoin route: same revenue partials, but keyed by (orderkey,
+        # suppkey) so the supplier nation arrives via a hash join instead
+        # of a broadcast lookup
+        rev = pc.multiply(pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount"))),
+            pa.scalar(100.0))
+        cents = pc.cast(pc.round(rev, round_mode="half_towards_infinity"),
+                        pa.int64())
+        g = (pa.table({"o_orderkey": batch.column("l_orderkey"),
+                       "l_suppkey": batch.column("l_suppkey"),
+                       "cents": cents})
+             .group_by(["o_orderkey", "l_suppkey"])
+             .aggregate([("cents", "sum")]))
+        return g.rename_columns(["o_orderkey", "l_suppkey", "rev_cents"])
+
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey", "l_suppkey",
                                   "l_extendedprice", "l_discount"])
     lhs_schema = pa.schema([("o_orderkey", pa.int64()),
                             ("s_nat", pa.int64()),
                             ("rev_cents", pa.int64())])
-    lhs = fit_for_join(
-        li.map_batches(_LinePartial, fn_constructor_kwargs={"ref": sup_ref},
-                       batch_format="pyarrow", concurrency=(1, 4)),
-        lhs_schema)
+    rhs_schema = pa.schema([("o_orderkey", pa.int64()),
+                            ("c_nat", pa.int64())])
     lo = pd.Timestamp("1995-01-01")
     hi = pd.Timestamp("1996-01-01")
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"],
         filter=((pds.field("o_orderdate") >= lo)
                 & (pds.field("o_orderdate") < hi)))
-    rhs = orders.map_batches(_OrderNat, fn_constructor_kwargs={"ref": cust_ref},
-                             batch_format="pyarrow", concurrency=(1, 4))
     nparts = _join_parts(sf_dir, "lineitem")
+
+    if route == "broadcast":
+        cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey", "c_nationkey"])
+        ck = cust.column("c_custkey").to_numpy()
+        co = np.argsort(ck)
+        cust_ref = ray.put((ck[co], cust.column("c_nationkey").to_numpy()[co]))
+        sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                            columns=["s_suppkey", "s_nationkey"])
+        sk = sup.column("s_suppkey").to_numpy()
+        so = np.argsort(sk)
+        sup_ref = ray.put((sk[so], sup.column("s_nationkey").to_numpy()[so]))
+        lhs = fit_for_join(
+            li.map_batches(_LinePartial,
+                           fn_constructor_kwargs={"ref": sup_ref},
+                           batch_format="pyarrow", concurrency=(1, 4)),
+            lhs_schema)
+        rhs = orders.map_batches(_OrderNat,
+                                 fn_constructor_kwargs={"ref": cust_ref},
+                                 batch_format="pyarrow", concurrency=(1, 4))
+    else:  # hashjoin: dimensions too big to broadcast — never on the driver
+        raw = fit_for_join(
+            li.map_batches(_line_partial_raw, batch_format="pyarrow"),
+            pa.schema([("o_orderkey", pa.int64()),
+                       ("l_suppkey", pa.int64()),
+                       ("rev_cents", pa.int64())]))
+        supds = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                                columns=["s_suppkey", "s_nationkey"])
+        dec = raw.join(supds, join_type="inner",
+                       num_partitions=_join_parts(sf_dir, "supplier"),
+                       on=("l_suppkey",), right_on=("s_suppkey",))
+
+        def to_lhs(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "o_orderkey": t.column("o_orderkey"),
+                "s_nat": pc.cast(t.column("s_nationkey"), pa.int64()),
+                "rev_cents": t.column("rev_cents")})
+
+        lhs = fit_for_join(dec.map_batches(to_lhs, batch_format="pyarrow"),
+                           lhs_schema)
+        custds = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_nationkey"])
+        odec = fit_for_join(
+            orders, pa.schema([("o_orderkey", pa.int64()),
+                               ("o_custkey", pa.int64())])
+        ).join(custds, join_type="inner",
+               num_partitions=_join_parts(sf_dir, "customer"),
+               on=("o_custkey",), right_on=("c_custkey",))
+
+        def to_rhs(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "o_orderkey": t.column("o_orderkey"),
+                "c_nat": pc.cast(t.column("c_nationkey"), pa.int64())})
+
+        rhs = fit_for_join(odec.map_batches(to_rhs, batch_format="pyarrow"),
+                           rhs_schema)
+
     joined = lhs.join(rhs, join_type="inner", num_partitions=nparts,
                       on=("o_orderkey",), right_on=("o_orderkey",))
 
@@ -3955,12 +4051,17 @@ def q_promo_revenue_share(sf_dir: str):
 
 # ---------------------------------------------------------------------------
 # TPC-H Q15 analogue (top supplier by windowed revenue): per-supplier revenue
-# partials inside map_batches -> one small groupby (bounded by |suppliers|);
-# the max-filter and the name join run on that bounded table driver-side.
-# Ties keep every argmax supplier, exactly like the reference SQL.
+# partials inside map_batches -> one small groupby.  The per-supplier table
+# is sf-scaled (10k x sf rows), so it STAYS a dataset: the global max is a
+# distributed scalar aggregate over the materialized revenue blocks, the
+# argmax filter runs per block, and only the tie set (usually one row)
+# meets supplier in a hash join.  Nothing sized by |suppliers| ever reaches
+# the driver.  Ties keep every argmax supplier, exactly like the SQL.
 # ---------------------------------------------------------------------------
 
 def q_top_supplier_revenue(sf_dir: str):
+    from ..rayops import fit_for_join
+
     lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1996-04-01")
     li = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -3980,15 +4081,27 @@ def q_top_supplier_revenue(sf_dir: str):
              .group_by("l_suppkey").aggregate([("cents", "sum")]))
         return g.rename_columns(["l_suppkey", "p_cents"])
 
-    rev = (li.map_batches(partial, batch_format="pyarrow")
-           .groupby("l_suppkey")
-           .aggregate(Sum("p_cents", alias_name="total_revenue_cents"))
-           .to_pandas())  # <= |suppliers| rows
-    best = rev[rev["total_revenue_cents"] == rev["total_revenue_cents"].max()]
-    sup = pd.read_parquet(f"{sf_dir}/supplier.parquet",
+    # fit_for_join materializes the bounded per-supplier table ONCE into
+    # the object store; max + argmax-filter are then cheap re-reads of the
+    # same blocks, not a second lineitem scan
+    rev = fit_for_join(
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Sum("p_cents", alias_name="total_revenue_cents")),
+        pa.schema([("l_suppkey", pa.int64()),
+                   ("total_revenue_cents", pa.int64())]))
+    mx = rev.max("total_revenue_cents")  # distributed scalar aggregate
+    best = fit_for_join(
+        rev.filter(expr=f"total_revenue_cents == {int(mx)}"),
+        pa.schema([("l_suppkey", pa.int64()),
+                   ("total_revenue_cents", pa.int64())]))
+    sup = rd.read_parquet(f"{sf_dir}/supplier.parquet",
                           columns=["s_suppkey", "s_name"])
-    out = best.merge(sup, left_on="l_suppkey", right_on="s_suppkey")
+    out = (best.join(sup, join_type="inner", num_partitions=2,
+                     on=("l_suppkey",), right_on=("s_suppkey",))
+           .to_pandas())  # <= |argmax ties| rows
     out["total_revenue_cents"] = out["total_revenue_cents"].astype("int64")
+    out["s_suppkey"] = out["l_suppkey"].astype("int64")
     out = out.sort_values("s_suppkey").reset_index(drop=True)
     return out[["s_suppkey", "s_name", "total_revenue_cents"]]
 
@@ -5255,9 +5368,17 @@ def _source_edges(sf_dir: str):
     from ..rayops import fit_for_join
 
     docs = _docs(sf_dir, ["doc_id", "source"])
-    src_names = sorted(set(
-        pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source"])
-        ["source"]))  # bounded node set
+    # distinct node set via per-block unique partials + one small groupby:
+    # the exchange carries at most (blocks x distinct-per-block) rows and
+    # only the DISTINCT set (bounded — domains, not documents) reaches the
+    # driver, never the full 10^12-row source column.
+    distinct = (_docs(sf_dir, ["source"])
+                .map_batches(
+                    lambda t: pa.table({"source":
+                                        pc.unique(t.column("source"))}),
+                    batch_format="pyarrow")
+                .groupby("source").count())
+    src_names = sorted(r["source"] for r in distinct.take_all())
     idx = {s: i for i, s in enumerate(src_names)}
     idx_ref = ray.put(idx)
 

@@ -193,3 +193,19 @@ def test_streak_bucket_property(pairs):
         runs.append(cur)
         assert out.loc[u, "n_days"] == len(days)
         assert out.loc[u, "longest_streak"] == max(runs)
+
+
+# ------------------------------------------- local_supplier_revenue routing
+
+def test_local_supplier_revenue_routes_agree(ray_session):
+    """The size-routed broadcast and hashjoin paths of the TPC-H Q5
+    analogue must produce identical results — the hashjoin path is what
+    runs when customer/supplier outgrow _BCAST_DIM_MAX_ROWS."""
+    from ocr_main_ray.pipelines.queries import (_BCAST_DIM_MAX_ROWS,
+                                                q_local_supplier_revenue)
+    sf = "/root/testdata/sf0.001"
+    a = q_local_supplier_revenue(sf, route="broadcast")
+    b = q_local_supplier_revenue(sf, route="hashjoin")
+    pd.testing.assert_frame_equal(a, b)
+    assert a.shape[0] > 0
+    assert _BCAST_DIM_MAX_ROWS >= 1_000_000  # broadcast stays the sf0.1 path
