@@ -397,3 +397,103 @@ def test_docstore_roundtrip(tmp_path):
     assert d2.name == "informe_01"
     d3, _ = docstore.save_document(tmp_path, "informe", "tercera", None, None)
     assert d3.name == "informe_02"
+
+
+# --------------------------------------------------------------------- #
+# HTTP client (ocr_main_ray/client.py — reference api_utils.py:12-233)
+# --------------------------------------------------------------------- #
+
+@pytest.fixture()
+def client(api):
+    from ocr_main_ray.client import OcrApiClient
+    base, service, tmp = api
+    root = base[:-len("/api/v1")]
+    return OcrApiClient(root), service, tmp
+
+
+def test_client_health_and_status(client):
+    c, _, _ = client
+    health = c.health_check()
+    assert health["status"] == "healthy"
+    status = c.get_system_status()
+    assert status["api_status"] == "running" and "error" not in status
+
+
+def test_client_health_unreachable_is_error_dict(tmp_path):
+    from ocr_main_ray.client import OcrApiClient
+    c = OcrApiClient("http://127.0.0.1:9", timeout=2)  # discard port
+    health = c.health_check()
+    assert health["status"] == "unhealthy" and "error" in health
+
+
+def test_client_two_phase_flow(client, tmp_path):
+    """Full reference flow through the client: upload -> process -> poll
+    wait -> download (api_utils.py upload_document / wait_for_completion /
+    download_file)."""
+    c, _, tmp = client
+    pdf = tmp_path / "informe.pdf"
+    pdf.write_bytes(PDF)
+    up = c.upload_document(pdf, {"analyze_type": "true"})
+    assert "error" not in up and up["status"] == "uploaded"
+    fid = up["file_id"]
+    result = c.process_document(fid, {"engine_type": "auto",
+                                      "generate_summary": True})
+    assert result["status"] == "completed"
+    assert result["document_id"] == "informe"
+    final = c.wait_for_completion(fid, timeout=30, poll_interval=0.05)
+    assert final["status"] == "processed"
+    out = tmp_path / "dl.md"
+    assert c.download_document(result["document_id"], out)
+    assert "## Información del Documento" in out.read_text(encoding="utf-8")
+    assert not c.download_document("no-such-doc", tmp_path / "x.md")
+
+
+def test_client_upload_validations(client, tmp_path):
+    c, _, _ = client
+    missing = c.upload_document(tmp_path / "nope.pdf")
+    assert "error" in missing and "no encontrado" in missing["error"]
+    txt = tmp_path / "doc.txt"
+    txt.write_text("hi")
+    wrong = c.upload_document(txt)
+    assert wrong == {"error": "Solo se aceptan archivos PDF"}
+
+
+def test_client_process_unknown_file_is_error_dict(client):
+    c, _, _ = client
+    result = c.process_document("no-such-id")
+    assert "error" in result
+
+
+def test_client_wait_timeout(client, tmp_path):
+    """A file that never leaves 'uploaded' hits the reference's timeout
+    dict (api_utils.py:110-111)."""
+    c, _, tmp = client
+    pdf = tmp_path / "idle.pdf"
+    pdf.write_bytes(PDF)
+    up = c.upload_document(pdf)
+    out = c.wait_for_completion(up["file_id"], timeout=0.2,
+                                poll_interval=0.05)
+    assert out == {"error": "Timeout esperando completion", "timeout": 0.2}
+
+
+def test_client_upload_and_process_one_shot(client, tmp_path):
+    c, _, _ = client
+    pdf = tmp_path / "oneshot.pdf"
+    pdf.write_bytes(PDF)
+    result = c.upload_and_process(pdf, {"engine_type": "auto",
+                                        "language": "spa", "dpi": 300})
+    assert result["status"] == "completed"
+    assert result["extracted_text"] == PAGE_TEXT
+    assert result["total_pages"] == 1
+
+
+def test_client_process_document_complete(client, tmp_path):
+    """The upload+process+wait composite (api_utils.py:143-180)."""
+    c, _, tmp = client
+    pdf = tmp_path / "full.pdf"
+    pdf.write_bytes(PDF)
+    result = c.process_document_complete(pdf, {"engine_type": "auto"},
+                                         poll_interval=0.05)
+    assert result["status"] == "completed"
+    assert result["upload_status"] == "processed"
+    assert result["document_id"] == "full"
