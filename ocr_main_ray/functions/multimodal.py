@@ -5,18 +5,16 @@ with typed metadata columns beside it; decode / feature-extract / resize /
 frame-sample are actor-pool ``map_batches`` stages with small batch sizes
 (payloads are large — batch_size * concurrency must fit the worker heap).
 
-Codec availability: PNG images decode FOR REAL via the pure-Python codec
-in ``functions/png.py`` (``fake="real"`` on the image stage — stdlib zlib
-+ the five scanline filters; no PIL needed), and WAV audio decodes FOR
-REAL via ``functions/wav.py`` (pure-stdlib RIFF parser, PCM 8/16/24/32 +
-IEEE float).  Video codec calls (ffmpeg/pyav) are NOT available in this
-sandbox, so that stage keeps two modes:
-
-- real codecs: clearly-marked NotImplementedError raise points where the
-  library call belongs;
-- ``fake="deterministic"``: a seed-free deterministic stand-in (derived
-  from the payload bytes) so the Ray-side plumbing — schema, actor
-  signature, batch sizing, output layout — is real and tested end-to-end.
+Codec availability: all three modalities decode FOR REAL via pure-Python
+codecs — PNG images through ``functions/png.py`` (stdlib zlib + the five
+scanline filters; no PIL), WAV audio through ``functions/wav.py``
+(pure-stdlib RIFF parser, PCM 8/16/24/32 + IEEE float), and uncompressed
+YUV4MPEG2 video through ``functions/y4m.py`` (C420/C422/C444/Cmono — the
+container ffmpeg emits with ``-f yuv4mpegpipe``; compressed codecs like
+H.264 genuinely need ffmpeg/pyav, absent in this sandbox).  Every stage
+also keeps ``fake="deterministic"``: a seed-free stand-in (derived from
+the payload bytes) so the Ray-side plumbing — schema, actor signature,
+batch sizing, output layout — is testable without valid media bytes.
 """
 from __future__ import annotations
 
@@ -177,15 +175,36 @@ class AudioFeatures:
 
 
 class VideoFrameSample:
-    """Actor stage: sample n_frames deterministic 'frames' per video."""
+    """Actor stage: sample n_frames frames per video -> per-frame luma
+    means.
+
+    ``fake="real"`` decodes uncompressed YUV4MPEG2 payloads FOR REAL via
+    the pure-stdlib parser in ``functions/y4m.py`` (C420/C422/C444/Cmono
+    — the container ffmpeg emits with ``-f yuv4mpegpipe``); frames are
+    sampled evenly across the stream (linspace over frame indices, so the
+    output list length is always ``n_frames`` and the choice is
+    deterministic), and a payload the parser rejects degrades that ROW
+    (None features), never the batch.  ``fake="deterministic"`` keeps the
+    payload-derived stand-in so plumbing tests don't need valid Y4M
+    bytes."""
 
     def __init__(self, n_frames: int = 3, fake: str = "deterministic"):
+        if fake not in ("deterministic", "real"):
+            raise ValueError(f"unknown mode {fake!r}")
         self.n_frames = n_frames
-        if fake == "real":
-            raise NotImplementedError(
-                "real frame sampling needs ffmpeg/pyav — unavailable; "
-                "construct with fake='deterministic'"
-            )
+        self.fake = fake
+
+    def _real_means(self, payload: bytes) -> "list[float] | None":
+        from .y4m import Y4mError, decode_y4m
+
+        try:
+            frames, _ = decode_y4m(payload)
+        except Y4mError:
+            return None
+        if not frames:
+            return None
+        idx = np.linspace(0, len(frames) - 1, self.n_frames).round()
+        return [float(frames[int(i)].mean()) for i in idx]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         frame_means = []
@@ -193,6 +212,9 @@ class VideoFrameSample:
                                  batch.column("kind").to_pylist()):
             if kind != "video":
                 frame_means.append(None)
+                continue
+            if self.fake == "real":
+                frame_means.append(self._real_means(payload))
                 continue
             means = []
             for fi in range(self.n_frames):
@@ -206,7 +228,8 @@ class VideoFrameSample:
 
 def media_feature_pipeline(ds, concurrency=(1, 4), batch_size: int = 8,
                            image_mode: str = "deterministic",
-                           audio_mode: str = "deterministic"):
+                           audio_mode: str = "deterministic",
+                           video_mode: str = "deterministic"):
     """media Dataset -> per-kind feature Dataset (three actor-pool stages in
     one pass each; payload column dropped at the first stage that consumes
     it would break later stages, so each stage runs on the original ds and
@@ -217,7 +240,7 @@ def media_feature_pipeline(ds, concurrency=(1, 4), batch_size: int = 8,
         def __init__(self):
             self.img = ImageDecodeFeatures(fake=image_mode)
             self.aud = AudioFeatures(fake=audio_mode)
-            self.vid = VideoFrameSample()
+            self.vid = VideoFrameSample(fake=video_mode)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             a = self.img(batch)

@@ -19,13 +19,35 @@ def test_media_schema_and_determinism():
     assert kinds == {"image", "audio", "video"}
 
 
-def test_real_codecs_are_marked_unimplemented():
-    # image and audio gained real pure-Python codecs (png.py / wav.py);
-    # video remains an honest NotImplementedError gate (no ffmpeg here).
+def test_real_codecs_all_construct():
+    # all three modalities now have real pure-Python codecs
+    # (png.py / wav.py / y4m.py); only unknown modes are rejected.
     ImageDecodeFeatures(fake="real")
     AudioFeatures(fake="real")
-    with pytest.raises(NotImplementedError):
-        VideoFrameSample(fake="real")
+    VideoFrameSample(fake="real")
+    with pytest.raises(ValueError):
+        VideoFrameSample(fake="ffmpeg")
+
+
+def test_video_real_mode_decodes_y4m():
+    from ocr_main_ray.functions.y4m import encode_y4m
+
+    frames = [np.full((8, 8), v, np.uint8) for v in (10, 60, 200, 250)]
+    payload = encode_y4m(frames, colorspace="420jpeg")
+    tbl = pa.table({
+        "media_id": pa.array([1, 2], pa.int64()),
+        "kind": pa.array(["video", "video"], pa.string()),
+        "payload": pa.array([payload, b"not a video"], pa.large_binary()),
+        "mime": pa.array(["video/y4m", "video/y4m"], pa.string()),
+        "width": pa.array([8, -1], pa.int32()),
+        "height": pa.array([8, -1], pa.int32()),
+        "duration_ms": pa.array([160, -1], pa.int32()),
+    }, schema=MEDIA_SCHEMA)
+    out = VideoFrameSample(n_frames=3, fake="real")(tbl)
+    means = out.column("frame_means").to_pylist()
+    # linspace(0, 3, 3).round() -> frames 0, 2, 3
+    assert means[0] == [10.0, 200.0, 250.0]
+    assert means[1] is None  # undecodable row degrades, batch survives
 
 
 def test_image_stage_direct():
