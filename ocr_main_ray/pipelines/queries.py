@@ -7141,6 +7141,75 @@ def q_rolling_distinct_users(sf_dir: str):
     return out
 
 
+# ---------------------------------------------------------------------------
+# Hot-key weighted join (salted): events join a 5-row per-type weight
+# table on event_type — a worst-case skewed key (5 distinct values over
+# the whole fact table, so a plain hash join can keep at most 5
+# aggregators busy no matter how many partitions it gets).  Routed
+# through rayops.salted_join when the RIGHT side's distinct key count is
+# below num_partitions x _SALT_KEY_FACTOR: each hot key splits across 8
+# salt cells, bounding the largest partition by hot_key_rows / 8 while
+# the 5-row weight table replicates 8x (the cheap side of the trade).
+# Past the threshold the key space already spreads the hash join and the
+# plain path wins — both routes pinned equal in tests/test_query_shapes.py.
+# ---------------------------------------------------------------------------
+
+EVENT_TYPE_WEIGHTS = [("view", 1), ("click", 2), ("purchase", 10),
+                      ("signup", 5), ("error", 0)]
+_SALT_KEY_FACTOR = 4
+
+
+def q_events_topk_weighted(sf_dir: str, *, route: str | None = None):
+    from ..rayops import fit_for_join, salted_join
+
+    wt = pa.table({
+        "w_event_type": pa.array([k for k, _ in EVENT_TYPE_WEIGHTS]),
+        "weight": pa.array([w for _, w in EVENT_TYPE_WEIGHTS], pa.int64())})
+    nparts = _join_parts(sf_dir, "events")
+    if route is None:
+        route = ("salted" if wt.num_rows < nparts * _SALT_KEY_FACTOR
+                 else "plain")
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t.column("value"), 100.0),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        return pa.table({"event_id": t.column("event_id"),
+                         "event_type": t.column("event_type"),
+                         "value_cents": cents})
+
+    ev = fit_for_join(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_id", "event_type", "value"])
+        .map_batches(to_cents, batch_format="pyarrow"),
+        pa.schema([("event_id", pa.int64()), ("event_type", pa.string()),
+                   ("value_cents", pa.int64())]))
+    weights = rd.from_arrow(wt)
+    if route == "salted":
+        joined = salted_join(ev, weights, on="event_type",
+                             right_on="w_event_type",
+                             num_partitions=nparts, salt=8)
+    else:
+        joined = ev.join(weights, join_type="inner", num_partitions=nparts,
+                         on=("event_type",), right_on=("w_event_type",))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        t = pa.table({
+            "event_id": t.column("event_id"),
+            "event_type": t.column("event_type"),
+            "weighted_cents": pc.multiply(t.column("value_cents"),
+                                          t.column("weight"))})
+        idx = pc.sort_indices(t, sort_keys=[("weighted_cents", "descending"),
+                                            ("event_id", "ascending")])
+        return t.take(idx[:20])
+
+    head = (joined.map_batches(local_topk, batch_format="pyarrow")
+            .to_pandas())
+    head = head.sort_values(["weighted_cents", "event_id"],
+                            ascending=[False, True]).head(20)
+    return head.reset_index(drop=True)
+
+
 QUERIES = {
     "doc_count": q_doc_count,
     "doc_chars_sum": q_doc_chars_sum,
@@ -7152,6 +7221,7 @@ QUERIES = {
     "engine_info": q_engine_info,
     "media_features": q_media_features,
     "events_topk_value": q_events_topk_value,
+    "events_topk_weighted": q_events_topk_weighted,
     "docs_filter": q_docs_filter,
     "dedup_exact": q_dedup_exact,
     "word_count": q_word_count,
@@ -7348,6 +7418,14 @@ ORACLE_SQL = {
     "events_topk_value": (
         "SELECT event_id, event_type, value FROM events "
         "ORDER BY value DESC, event_id LIMIT 50"
+    ),
+    "events_topk_weighted": (
+        "WITH w(event_type, weight) AS (VALUES ('view', 1), ('click', 2), "
+        "('purchase', 10), ('signup', 5), ('error', 0)) "
+        "SELECT e.event_id, e.event_type, "
+        "CAST(round(e.value * 100) AS BIGINT) * w.weight AS weighted_cents "
+        "FROM events e JOIN w ON e.event_type = w.event_type "
+        "ORDER BY weighted_cents DESC, e.event_id LIMIT 20"
     ),
     "docs_page2": (
         "SELECT doc_id, n_chars FROM documents "

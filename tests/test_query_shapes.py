@@ -209,3 +209,19 @@ def test_local_supplier_revenue_routes_agree(ray_session):
     pd.testing.assert_frame_equal(a, b)
     assert a.shape[0] > 0
     assert _BCAST_DIM_MAX_ROWS >= 1_000_000  # broadcast stays the sf0.1 path
+
+
+# -------------------------------------------- events_topk_weighted routing
+
+def test_events_topk_weighted_routes_agree(ray_session):
+    """The skew-salted and plain hash-join paths of the hot-key weighted
+    join must be identical; the 5-distinct-key weight table must route to
+    the salted path by default (5 < num_partitions x factor)."""
+    from ocr_main_ray.pipelines.queries import q_events_topk_weighted
+    sf = "/root/testdata/sf0.001"
+    a = q_events_topk_weighted(sf, route="salted")
+    b = q_events_topk_weighted(sf, route="plain")
+    default = q_events_topk_weighted(sf)
+    pd.testing.assert_frame_equal(a, b)
+    pd.testing.assert_frame_equal(a, default)  # default = salted here
+    assert a.shape == (20, 3)
