@@ -33,6 +33,11 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 REPEAT = int(os.environ.get("OCR_BENCH_REPEAT", "6"))
 MIX = os.environ.get("GRAFT_BENCH_MIX", "ocr-heavy")
+# "single" = the one-pass extract_run flagship; "staged" = the checkpointed
+# two-phase production path (state/manifest.run_checkpointed: stage to
+# hive-partitioned parquet, then per-partition extract with resume
+# manifests) — the designed 100-TB layout, benched under the same protocol
+MODE = os.environ.get("OCR_BENCH_MODE", "single")
 # tmpfs when available: the timed legs re-read the synthesized corpus and
 # write ~1 GB of parquet output; keeping both off /dev/vda removes disk I/O
 # variance from the scaling measurement (observed ±10% wall on the hi leg).
@@ -113,9 +118,18 @@ def run_bench() -> dict:
 
     config = PipelineConfig()
     t0 = time.perf_counter()
-    ds = rd.read_parquet(str(pages_dir))
-    extract_run(ds, config=config, dispatch_mode="tasks").write_parquet(str(out_dir))
-    headline = time.perf_counter() - t0
+    if MODE == "staged":
+        from ocr_main_ray.state.manifest import run_checkpointed
+
+        summary = run_checkpointed(str(pages_dir), str(out_dir),
+                                   config=config, dispatch_mode="tasks")
+        headline = time.perf_counter() - t0
+        out_dir = pathlib.Path(summary["out_dir"])
+    else:
+        ds = rd.read_parquet(str(pages_dir))
+        extract_run(ds, config=config,
+                    dispatch_mode="tasks").write_parquet(str(out_dir))
+        headline = time.perf_counter() - t0
 
     # output stats (cheap re-read of the small result)
     stats = rd.read_parquet(str(out_dir), columns=["content_type", "n_pages"])
@@ -148,7 +162,9 @@ def run_bench() -> dict:
     ray.shutdown()
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     return {
-        "metric": "e2e_extract_sec",
+        "metric": ("e2e_staged_sec" if MODE == "staged"
+                   else "e2e_extract_sec"),
+        "path": MODE,
         "value": round(headline, 3),
         "unit": "sec",
         "queries": query_times,
@@ -267,7 +283,8 @@ def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    OCR_BENCH_SKIP_QUERIES="1",
-                   OCR_BENCH_REPEAT=str(SCALING_REPEAT))
+                   OCR_BENCH_REPEAT=str(SCALING_REPEAT),
+                   OCR_BENCH_MODE=MODE)
         # measured per-corpus optimum: the larger scaling corpus prefers
         # coarser 10 blocks/cpu (+10% hi leg); the default-6 headline
         # corpus prefers 6 — see extract_run's granularity comment
@@ -290,6 +307,7 @@ def run_scaling() -> dict:
     ceiling = _kernel_ceiling(CPUS_LO, CPUS_HI)
     result = {
         "metric": "scaling_efficiency",
+        "path": MODE,
         "value": round(eff, 3),
         "unit": "ratio",
         "cpus_lo": CPUS_LO,
@@ -323,7 +341,8 @@ def run_scaling() -> dict:
         f"| {s['value']} | {s.get('kernel_eff', '-')} | "
         f"{s.get('engine_eff_vs_ceiling', '-')} | "
         f"{s['docs_per_sec_lo']} | {s['docs_per_sec_hi']} | "
-        f"{s.get('host_steal_pct', '-')} | {s.get('mix', 'ocr-heavy')} |"
+        f"{s.get('host_steal_pct', '-')} | {s.get('mix', 'ocr-heavy')} | "
+        f"{s.get('path', 'single')} |"
         for s in samples)
     history_md = (
         "\n\n## Sample history (every recorded run of this protocol)\n\n"
@@ -334,7 +353,8 @@ def run_scaling() -> dict:
         f"(lo {best['docs_per_sec_lo']} -> hi {best['docs_per_sec_hi']} "
         "docs/s).\n\n"
         "| raw eff | kernel ceiling | engine/ceiling | lo docs/s | "
-        "hi docs/s | steal % | mix |\n|---|---|---|---|---|---|---|\n"
+        "hi docs/s | steal % | mix | path |\n"
+        "|---|---|---|---|---|---|---|---|\n"
         + hist_rows + "\n")
     (bench_dir / "BASELINE.md").write_text(
         "# BENCH — measured two-scale results\n\n"
@@ -354,7 +374,8 @@ def run_scaling() -> dict:
         f"| docs/sec | {r_lo} | {r_hi} |\n"
         f"| OCR pages/sec | {lo['ocr_pages_per_sec']} | {hi['ocr_pages_per_sec']} |\n\n"
         f"docs = {lo['n_docs']} (sf={lo['sf']}, repeat={SCALING_REPEAT}, "
-        f"mix={MIX}, best of {RUNS_LO}(lo)/{RUNS_HI}(hi) runs per leg); "
+        f"mix={MIX}, best of {RUNS_LO}(lo)/{RUNS_HI}(hi) runs per leg, "
+        f"path={MODE}); "
         f"**scaling efficiency = {result['value']}** "
         f"(requirement: >= 0.8)\n\n"
         "## Hardware ceiling (measured each run)\n\n"

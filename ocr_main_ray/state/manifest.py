@@ -115,9 +115,16 @@ def run_staged(pages_dir: str, out_dir: str,
 
 
 def run_checkpointed(pages_dir: str, out_dir: str,
-                     config: PipelineConfig | None = None) -> dict:
+                     config: PipelineConfig | None = None,
+                     dispatch_mode: str = "actors") -> dict:
     """Phase A + phase B with per-partition resume.  Returns a summary dict
-    {partitions_total, partitions_skipped, partitions_processed}."""
+    {partitions_total, partitions_skipped, partitions_processed}.
+
+    ``dispatch_mode`` mirrors ``extract_run``'s: "actors" (default) keeps a
+    fixed pool for engines whose state is expensive to build; "tasks" is
+    measured faster for cheap-state engines (see extract_run's docstring)
+    and is what the bench uses so the staged path is compared
+    apples-to-apples with the single-pass path."""
     config = config or PipelineConfig()
     out = pathlib.Path(out_dir)
     run_staged(pages_dir, out_dir, config)
@@ -145,23 +152,38 @@ def run_checkpointed(pages_dir: str, out_dir: str,
         )
         batch_size = (config.ocr_batch_size if ct == CT_PDF_SCANNED
                       else max(64, config.extract_batch_size))
-        ds = ds.map_batches(
-            ExtractDispatch, fn_constructor_kwargs={"config": config},
-            batch_format="pyarrow", batch_size=batch_size,
-            concurrency=_pool_size(), num_cpus=1,
-        )
+        if dispatch_mode == "tasks":
+            def _dispatch(batch, _config=config):
+                return ExtractDispatch(_config)(batch)
+
+            ds = ds.map_batches(_dispatch, batch_format="pyarrow",
+                                batch_size=batch_size)
+        else:
+            ds = ds.map_batches(
+                ExtractDispatch, fn_constructor_kwargs={"config": config},
+                batch_format="pyarrow", batch_size=batch_size,
+                concurrency=_pool_size(), num_cpus=1,
+            )
         tmp = extracted / f".tmp-part={part_id}"
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(part_out, ignore_errors=True)
         ds.write_parquet(str(tmp))
         os.replace(tmp, part_out)
 
-        stats = rd.read_parquet(str(part_out), columns=["error"])
-        n_rows = stats.count()
-        n_errors = stats.map_batches(
-            lambda t: t.filter(t.column("error").is_valid()),
-            batch_format="pyarrow",
-        ).count()
+        # one pass for both counts (row + error-row) — tiny partials only
+        import pyarrow as _pa
+
+        stats = (rd.read_parquet(str(part_out), columns=["error"])
+                 .map_batches(
+                     lambda t: _pa.table({
+                         "n": _pa.array([t.num_rows], _pa.int64()),
+                         "e": _pa.array(
+                             [t.num_rows - t.column("error").null_count],
+                             _pa.int64())}),
+                     batch_format="pyarrow"))
+        agg = stats.sum(["n", "e"])
+        n_rows = int(agg["sum(n)"] or 0)
+        n_errors = int(agg["sum(e)"] or 0)
         _atomic_write_json(part_manifest, {
             "phase": "extracted",
             "partition": {"content_type": ct, "size_bucket": int(sb)},
