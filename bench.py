@@ -121,8 +121,11 @@ def run_bench() -> dict:
     if MODE == "staged":
         from ocr_main_ray.state.manifest import run_checkpointed
 
-        summary = run_checkpointed(str(pages_dir), str(out_dir),
-                                   config=config, dispatch_mode="tasks")
+        summary = run_checkpointed(
+            str(pages_dir), str(out_dir), config=config,
+            dispatch_mode="tasks",
+            max_concurrent_partitions=int(
+                os.environ.get("OCR_STAGED_CONCURRENCY", "3")))
         headline = time.perf_counter() - t0
         out_dir = pathlib.Path(summary["out_dir"])
     else:

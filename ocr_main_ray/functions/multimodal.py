@@ -67,6 +67,66 @@ def synth_media_table(n: int, offset: int = 0) -> pa.Table:
     )
 
 
+def synth_real_media_table(n: int, offset: int = 0) -> pa.Table:
+    """Deterministic media corpus with REAL encoded payloads — PNG via
+    ``functions/png.py``, WAV via ``functions/wav.py``, YUV4MPEG2 via
+    ``functions/y4m.py`` — so the feature pipeline can run all three
+    real-decode modes end-to-end.  Every 17th row carries a corrupt
+    payload to exercise per-row degradation."""
+    from .png import encode_png
+    from .wav import encode_wav_pcm16
+    from .y4m import encode_y4m
+
+    rows = {k: [] for k in ("media_id", "kind", "payload", "mime",
+                            "width", "height", "duration_ms")}
+    kinds = [("image", "image/png"), ("audio", "audio/wav"),
+             ("video", "video/y4m")]
+    for i in range(offset, offset + n):
+        kind, mime = kinds[i % 3]
+        rng = np.random.default_rng(1000 + i)
+        w = h = dur = -1
+        if i % 17 == 16:
+            payload = b"corrupt payload " + bytes([i % 256]) * 32
+        elif kind == "image":
+            h, w = 8 + (i % 4) * 4, 8 + (i % 5) * 4
+            img = rng.integers(0, 256, (h, w)).astype(np.uint8)
+            payload = encode_png(img, filter_type=i % 5)
+        elif kind == "audio":
+            rate, nsamp = 8000, 400 + (i % 5) * 100
+            t = np.arange(nsamp) / rate
+            freq = 200.0 + (i % 20) * 40.0
+            payload = encode_wav_pcm16(0.5 * np.sin(2 * np.pi * freq * t),
+                                       rate)
+            dur = int(nsamp * 1000 / rate)
+        else:
+            h = w = 8 + (i % 3) * 4
+            nf = 2 + (i % 4)
+            frames = [rng.integers(0, 256, (h, w)).astype(np.uint8)
+                      for _ in range(nf)]
+            cs = ("mono", "420jpeg", "444")[i % 3]
+            payload = encode_y4m(frames, colorspace=cs)
+            dur = nf * 40
+        rows["media_id"].append(i)
+        rows["kind"].append(kind)
+        rows["payload"].append(payload)
+        rows["mime"].append(mime)
+        rows["width"].append(w)
+        rows["height"].append(h)
+        rows["duration_ms"].append(dur)
+    return pa.table(
+        {
+            "media_id": pa.array(rows["media_id"], pa.int64()),
+            "kind": pa.array(rows["kind"], pa.string()),
+            "payload": pa.array(rows["payload"], pa.large_binary()),
+            "mime": pa.array(rows["mime"], pa.string()),
+            "width": pa.array(rows["width"], pa.int32()),
+            "height": pa.array(rows["height"], pa.int32()),
+            "duration_ms": pa.array(rows["duration_ms"], pa.int32()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
 def _fake_pixels(payload: bytes, w: int, h: int) -> np.ndarray:
     """Deterministic pseudo-decode: payload bytes -> (h, w) uint8 raster."""
     base = np.frombuffer(

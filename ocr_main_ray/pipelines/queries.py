@@ -904,6 +904,25 @@ def q_media_features(sf_dir: str):
     return res.take(pc.sort_indices(res, sort_keys=[("media_id", "ascending")]))
 
 
+def q_media_features_real(sf_dir: str):
+    """Multimodal stage with ALL THREE real pure-Python codecs (PNG via
+    functions/png.py, WAV via functions/wav.py, YUV4MPEG2 via
+    functions/y4m.py) over a deterministic real-payload corpus; corrupt
+    rows degrade per-row (None features).  Rows-only check."""
+    from ..functions.multimodal import (media_feature_pipeline,
+                                        synth_real_media_table)
+
+    tbl = synth_real_media_table(120)
+    ds = rd.from_arrow(tbl).repartition(8)
+    out = media_feature_pipeline(ds, concurrency=(1, 4), batch_size=8,
+                                 image_mode="real", audio_mode="real",
+                                 video_mode="real")
+    res = pa.concat_tables(out.iter_batches(batch_size=256,
+                                            batch_format="pyarrow"))
+    return res.take(pc.sort_indices(res, sort_keys=[("media_id",
+                                                     "ascending")]))
+
+
 def q_extract_markdown(sf_dir: str):
     """B8/B9/B10 markdown rendering over extracted documents (rows-only:
     string templating is deterministic but payload-derived)."""
@@ -5379,22 +5398,24 @@ def _source_edges(sf_dir: str):
                     batch_format="pyarrow")
                 .groupby("source").count())
     src_names = sorted(r["source"] for r in distinct.take_all())
-    idx = {s: i for i, s in enumerate(src_names)}
-    idx_ref = ray.put(idx)
+    # node id = position in the sorted name list; the lookup is the
+    # vectorized pc.index_in against a broadcast value set (no per-row
+    # Python dict probe)
+    names_ref = ray.put(pa.array(src_names))
 
     def lhs_fn(t: pa.Table) -> pa.Table:
-        m = ray.get(idx_ref)
+        vs = ray.get(names_ref)
         return pa.table({
             "k": pc.add(t.column("doc_id"), 1).cast(pa.int64()),
-            "src": pa.array([m[s] for s in t.column("source").to_pylist()],
-                            pa.int64())})
+            "src": pc.index_in(t.column("source"),
+                               value_set=vs).cast(pa.int64())})
 
     def rhs_fn(t: pa.Table) -> pa.Table:
-        m = ray.get(idx_ref)
+        vs = ray.get(names_ref)
         return pa.table({
             "k": t.column("doc_id").cast(pa.int64()),
-            "dst": pa.array([m[s] for s in t.column("source").to_pylist()],
-                            pa.int64())})
+            "dst": pc.index_in(t.column("source"),
+                               value_set=vs).cast(pa.int64())})
 
     l_schema = pa.schema([("k", pa.int64()), ("src", pa.int64())])
     r_schema = pa.schema([("k", pa.int64()), ("dst", pa.int64())])
@@ -7220,6 +7241,7 @@ QUERIES = {
     "docs_sample_mod": q_docs_sample_mod,
     "engine_info": q_engine_info,
     "media_features": q_media_features,
+    "media_features_real": q_media_features_real,
     "events_topk_value": q_events_topk_value,
     "events_topk_weighted": q_events_topk_weighted,
     "docs_filter": q_docs_filter,

@@ -51,12 +51,24 @@ def _block_writer(out: pathlib.Path, key: str):
         col = batch.column(key)
         lo, hi = col[0].as_py(), col[-1].as_py()
         kmin, kmax = (lo, hi) if lo <= hi else (hi, lo)
-        # filename uniqueness comes from content, order from the manifest
-        tag = hashlib.blake2b(
-            repr((kmin, kmax, batch.num_rows)).encode(),
-            digest_size=8).hexdigest()
+        # Filename uniqueness comes from the block's CONTENT (normalized
+        # IPC bytes), order from the manifest: a (range, rowcount)-only
+        # tag collided for two sorted blocks sharing a key range and size
+        # (heavy duplicate keys, uniform block sizes — the bug class the
+        # round-3 review caught in zorder.py), letting the second
+        # os.replace silently clobber the first.  Content-equal blocks MAY
+        # share a name safely: duplicate manifest entries then read back
+        # identical content.
+        norm = batch.take(pa.array(range(batch.num_rows), pa.int64()))
+        norm = norm.combine_chunks()
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, norm.schema) as writer:
+            writer.write_table(norm)
+        tag = hashlib.blake2b(sink.getvalue().to_pybytes(),
+                              digest_size=8).hexdigest()
         name = f"part-{tag}.parquet"
-        tmp = out / (name + ".tmp")  # glob-invisible (state/delete.py rule)
+        # unique tmp per writer (concurrent identical blocks share a name)
+        tmp = out / f"{name}.{os.getpid()}-{id(batch):x}.tmp"
         pq.write_table(batch, tmp)
         os.replace(tmp, out / name)
         return pa.table({"file": pa.array([name], pa.string()),
@@ -101,6 +113,15 @@ def sorted_export(ds, key: str, out_dir: str, descending: bool = False) -> dict:
     tmp = out / "_RANGES.json.tmp"
     tmp.write_text(json.dumps(manifest, indent=1, default=str))
     os.replace(tmp, out / "_RANGES.json")
+    # sweep parts orphaned by a previous export into this directory plus
+    # leftover writer tmps (same rule as zorder_export; deleting only
+    # AFTER the manifest rename keeps the crash story intact)
+    live = {f["file"] for f in files}
+    for p in out.glob("part-*.parquet"):
+        if p.name not in live:
+            p.unlink(missing_ok=True)
+    for p in out.glob("part-*.tmp"):
+        p.unlink(missing_ok=True)
     return manifest
 
 

@@ -116,7 +116,8 @@ def run_staged(pages_dir: str, out_dir: str,
 
 def run_checkpointed(pages_dir: str, out_dir: str,
                      config: PipelineConfig | None = None,
-                     dispatch_mode: str = "actors") -> dict:
+                     dispatch_mode: str = "actors",
+                     max_concurrent_partitions: int = 1) -> dict:
     """Phase A + phase B with per-partition resume.  Returns a summary dict
     {partitions_total, partitions_skipped, partitions_processed}.
 
@@ -124,7 +125,18 @@ def run_checkpointed(pages_dir: str, out_dir: str,
     fixed pool for engines whose state is expensive to build; "tasks" is
     measured faster for cheap-state engines (see extract_run's docstring)
     and is what the bench uses so the staged path is compared
-    apples-to-apples with the single-pass path."""
+    apples-to-apples with the single-pass path.
+
+    ``max_concurrent_partitions`` > 1 runs that many partition pipelines
+    concurrently (each a thread driving its own streaming execution —
+    Ray schedules their tasks into the shared CPU pool).  Per-partition
+    manifests keep resume semantics identical: a crash mid-run leaves each
+    partition either complete (manifest written last) or restartable.  At
+    100-TB every partition saturates the cluster alone, so 1 is the
+    deployment default; at bench scale the SEQUENTIAL barrier between
+    partitions idles CPUs behind each partition's straggling tail —
+    measured on the skewed mix, overlap lifts scaling efficiency
+    substantially (see BASELINE.md round 4)."""
     config = config or PipelineConfig()
     out = pathlib.Path(out_dir)
     run_staged(pages_dir, out_dir, config)
@@ -133,18 +145,28 @@ def run_checkpointed(pages_dir: str, out_dir: str,
     extracted = out / "extracted"
     extracted.mkdir(parents=True, exist_ok=True)
 
-    skipped = processed = 0
-    for ct, sb, part_dir in _list_partitions(out / "staged"):
+    import threading
+
+    # Dataset CONSTRUCTION (parquet path resolution) probes optional
+    # fsspec modules whose failed imports are not thread-safe (a
+    # concurrent failed `import aiohttp` in two threads surfaces as a
+    # spurious "cannot import name HTTPFileSystem" ImportError instead of
+    # the ModuleNotFoundError Ray tolerates).  Construction is cheap
+    # driver-side work — serialize it; EXECUTION stays concurrent.
+    read_lock = threading.Lock()
+
+    def _one_partition(part) -> str:
+        ct, sb, part_dir = part
         part_id = f"{ct}-{sb}"
         part_manifest = manifests / f"part-{part_id}.json"
         part_out = extracted / f"part={part_id}"
         if part_manifest.exists():
             m = json.loads(part_manifest.read_text())
             if m.get("stage_version") == version and part_out.exists():
-                skipped += 1
-                continue
+                return "skipped"
         t0 = time.perf_counter()
-        ds = rd.read_parquet(str(part_dir))
+        with read_lock:
+            ds = rd.read_parquet(str(part_dir))
         # hive partition columns are consumed by the path; re-attach them
         ds = ds.map_batches(
             _reattach_partition_cols, fn_kwargs={"ct": ct, "sb": int(sb)},
@@ -173,7 +195,9 @@ def run_checkpointed(pages_dir: str, out_dir: str,
         # one pass for both counts (row + error-row) — tiny partials only
         import pyarrow as _pa
 
-        stats = (rd.read_parquet(str(part_out), columns=["error"])
+        with read_lock:
+            stats_src = rd.read_parquet(str(part_out), columns=["error"])
+        stats = (stats_src
                  .map_batches(
                      lambda t: _pa.table({
                          "n": _pa.array([t.num_rows], _pa.int64()),
@@ -193,10 +217,20 @@ def run_checkpointed(pages_dir: str, out_dir: str,
             "error_rows": n_errors,
             "wall_ms": round((time.perf_counter() - t0) * 1000, 1),
         })
-        processed += 1
+        return "processed"
 
-    total = skipped + processed
-    return {"partitions_total": total, "partitions_skipped": skipped,
+    parts = _list_partitions(out / "staged")
+    if max_concurrent_partitions > 1 and len(parts) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _seed_fsspec_http_stub()
+        with ThreadPoolExecutor(max_concurrent_partitions) as pool:
+            results = list(pool.map(_one_partition, parts))
+    else:
+        results = [_one_partition(p) for p in parts]
+    skipped = results.count("skipped")
+    processed = results.count("processed")
+    return {"partitions_total": len(parts), "partitions_skipped": skipped,
             "partitions_processed": processed, "out_dir": str(extracted)}
 
 
@@ -220,6 +254,35 @@ def summarize_run(out_dir: str) -> dict:
         "engine_info": eng.get_engine_info(),
         "supported_languages": eng.get_supported_languages(),
     }
+
+
+def _seed_fsspec_http_stub() -> None:
+    """Make Ray's per-path HTTP-filesystem probe thread-safe in this
+    environment.  ``ray.data.datasource.path_util._is_http_filesystem``
+    runs ``from fsspec.implementations.http import HTTPFileSystem`` on
+    EVERY path resolution and tolerates only ``ModuleNotFoundError``; with
+    aiohttp absent the import fails every time, and two threads failing
+    the import concurrently can surface as a spurious plain ``ImportError``
+    ("cannot import name HTTPFileSystem") that Ray does not catch.  Seed a
+    stub module exposing a sentinel ``HTTPFileSystem`` class (never
+    instantiated by anything) so the probe import always SUCCEEDS and its
+    isinstance check correctly answers False for local filesystems."""
+    import sys
+    import types
+
+    name = "fsspec.implementations.http"
+    if name in sys.modules:
+        return
+    try:
+        __import__(name)  # use the real module when aiohttp exists
+    except Exception:
+        stub = types.ModuleType(name)
+
+        class HTTPFileSystem:  # sentinel only — nothing instantiates it
+            pass
+
+        stub.HTTPFileSystem = HTTPFileSystem
+        sys.modules[name] = stub
 
 
 def _reattach_partition_cols(batch, ct: str, sb: int):

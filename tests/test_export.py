@@ -2,6 +2,7 @@
 import json
 import pathlib
 
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
@@ -77,3 +78,39 @@ def test_sorted_export_descending(tmp_path):
     assert ids == sorted(ids, reverse=True)
     assert f0["key_min"] == min(ids) and f0["key_max"] == max(ids)
     assert man["total_rows"] == 500
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sorted_export_duplicate_key_blocks_do_not_collide(tmp_path):
+    """Same bug class the round-3 review caught in zorder: a constant key
+    gives every sorted block an identical (key_min, key_max); with uniform
+    block sizes a range-only filename tag collided and the second
+    os.replace clobbered the first.  Content-derived names must keep every
+    row readable."""
+    import numpy as np
+    import ray.data as rd
+
+    n = 4096
+    t = pa.table({"k": pa.array(np.full(n, 42, np.int64())),
+                  "v": pa.array(np.arange(n))})
+    ds = rd.from_arrow([t.slice(i * 512, 512) for i in range(8)])
+    manifest = sorted_export(ds, "k", str(tmp_path))
+    assert manifest["total_rows"] == n
+    got = read_key_range(str(tmp_path), 42, 42)
+    assert got.num_rows == n
+    assert sorted(got.column("v").to_pylist()) == list(range(n))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sorted_export_reexport_removes_orphans(tmp_path):
+    import numpy as np
+    import ray.data as rd
+
+    mk = lambda lo: pa.table({"k": pa.array(np.arange(lo, lo + 2048)),
+                              "v": pa.array(np.arange(2048))})
+    sorted_export(rd.from_arrow(mk(0)), "k", str(tmp_path))
+    m2 = sorted_export(rd.from_arrow(mk(10_000)), "k", str(tmp_path))
+    on_disk = sorted(p.name for p in tmp_path.glob("part-*.parquet"))
+    assert on_disk == sorted({f["file"] for f in m2["files"]})
+    assert read_key_range(str(tmp_path), 0, 2048).num_rows == 0
+    assert read_key_range(str(tmp_path), 10_000, 12_047).num_rows == 2048

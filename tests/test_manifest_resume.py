@@ -98,3 +98,36 @@ def test_input_change_invalidates_resume(pages_dir, tmp_path_factory):
         assert n2 > n1
     finally:
         (pages_dir / "c.parquet").unlink()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_checkpointed_concurrent_partitions_equivalent(pages_dir,
+                                                       tmp_path_factory):
+    """max_concurrent_partitions=3 (overlapped partition pipelines) must
+    produce exactly the sequential output, keep resume semantics, and
+    leave one manifest per partition."""
+    import pyarrow.parquet as pq
+
+    out_seq = tmp_path_factory.mktemp("ckpt_seq")
+    out_par = tmp_path_factory.mktemp("ckpt_par")
+    cfg = PipelineConfig(ocr_concurrency=2)
+    s1 = run_checkpointed(str(pages_dir), str(out_seq), cfg)
+    s2 = run_checkpointed(str(pages_dir), str(out_par), cfg,
+                          dispatch_mode="tasks",
+                          max_concurrent_partitions=3)
+    assert s2["partitions_total"] == s1["partitions_total"]
+    assert s2["partitions_processed"] == s1["partitions_total"]
+
+    def read_all(summary):
+        tbl = pq.read_table(summary["out_dir"])
+        df = tbl.select(["url", "extracted_text", "n_pages"]).to_pandas()
+        return df.sort_values("url").reset_index(drop=True)
+
+    import pandas as pd
+    pd.testing.assert_frame_equal(read_all(s1), read_all(s2))
+    # resume after the concurrent run: everything skipped
+    s3 = run_checkpointed(str(pages_dir), str(out_par), cfg,
+                          dispatch_mode="tasks",
+                          max_concurrent_partitions=3)
+    assert s3["partitions_processed"] == 0
+    assert s3["partitions_skipped"] == s2["partitions_total"]

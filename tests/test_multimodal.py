@@ -81,3 +81,44 @@ def test_media_pipeline_on_ray():
                                    concurrency=2, batch_size=8).take_all()
     key = lambda rs: sorted((r["media_id"], r["px_mean"], r["rms"]) for r in rs)
     assert key(rows) == key(rows2)
+
+
+def test_synth_real_media_table_deterministic():
+    from ocr_main_ray.functions.multimodal import synth_real_media_table
+    a, b = synth_real_media_table(24), synth_real_media_table(24)
+    assert a.equals(b)
+    assert a.schema.equals(MEDIA_SCHEMA)
+    pl = a.column("payload").to_pylist()
+    kinds = a.column("kind").to_pylist()
+    assert pl[0][:8] == b"\x89PNG\r\n\x1a\n" and kinds[0] == "image"
+    assert pl[1][:4] == b"RIFF" and kinds[1] == "audio"
+    assert pl[2][:9] == b"YUV4MPEG2" and kinds[2] == "video"
+    assert pl[16].startswith(b"corrupt payload")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_media_pipeline_all_real_codecs():
+    """All three modalities through their REAL pure-Python codecs in one
+    actor-pool pass; corrupt rows degrade per-row."""
+    from ocr_main_ray.functions.multimodal import synth_real_media_table
+
+    tbl = synth_real_media_table(36)
+    rows = sorted(
+        media_feature_pipeline(rd.from_arrow(tbl).repartition(4),
+                               concurrency=2, batch_size=8,
+                               image_mode="real", audio_mode="real",
+                               video_mode="real").take_all(),
+        key=lambda r: r["media_id"])
+    for r in rows:
+        corrupt = r["media_id"] % 17 == 16
+        if r["kind"] == "image":
+            assert (r["px_mean"] is None) == corrupt
+        elif r["kind"] == "audio":
+            assert (r["rms"] is None) == corrupt
+            if not corrupt:
+                # 0.5-amplitude sine -> rms ~ 0.3536
+                assert abs(r["rms"] - 0.3536) < 0.02
+        else:
+            assert (r["frame_means"] is None) == corrupt
+            if not corrupt:
+                assert len(r["frame_means"]) == 3
