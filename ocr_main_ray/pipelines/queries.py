@@ -529,6 +529,15 @@ def _session_buckets() -> int:
     return max(16, cluster_cpus() * 2)
 
 
+def _mod_bucket(uid, num_buckets: int):
+    """int64 ids -> int32 `id % num_buckets` bucket column (pc kernels:
+    Arrow has no modulo)."""
+    return pc.cast(
+        pc.subtract(uid, pc.multiply(pc.divide(uid, num_buckets),
+                                     num_buckets)),
+        pa.int32())
+
+
 def _bucket_users(batch: pa.Table, num_buckets: int) -> pa.Table:
     bucket = pc.cast(
         pc.subtract(batch.column("user_id"),
@@ -571,9 +580,46 @@ def q_user_sessions(sf_dir: str):
 
 # ---------------------------------------------------------------------------
 # as-of (point-in-time) join: for each event, aggregate the user's orders
-# up to the event timestamp.  Broadcast small side + searchsorted per batch
-# (no shuffle) — the engine's as-of join shape.
+# up to the event timestamp.  TWO routes, size-selected from parquet
+# metadata: broadcast index + searchsorted per batch (no shuffle) while
+# orders fits a broadcast; past _BCAST_DIM_MAX_ROWS the two sides
+# co-partition by user-hash bucket (the sessionization exchange) and the
+# identical kernel runs bucket-locally — orders is a FACT table, so the
+# broadcast cannot be the only plan at the 100x regime.  Routes pinned
+# equal in tests/test_query_shapes.py.
 # ---------------------------------------------------------------------------
+
+def _asof_kernel(event_ids, users, ts_us, by_cust) -> pa.Table:
+    """Shared as-of core: per-event count of the user's orders at/before
+    ts plus the latest such order date.  One vectorized searchsorted per
+    UNIQUE user (round-1 verdict fix #7: the per-row loop was the
+    hot-path anti-pattern); argsort-grouping keeps it O(N log N)."""
+    n = len(users)
+    n_prior = np.zeros(n, dtype=np.int64)
+    last_date = np.full(n, np.iinfo(np.int64).min, dtype=np.int64)
+    valid = np.zeros(n, dtype=bool)
+    order = np.argsort(users, kind="stable")
+    bounds = np.nonzero(np.diff(users[order]))[0] + 1
+    for sel in np.split(order, bounds):
+        dates = by_cust.get(int(users[sel[0]]))
+        if dates is None:
+            continue
+        ks = np.searchsorted(dates, ts_us[sel], side="right")
+        n_prior[sel] = ks
+        hit = sel[ks > 0]
+        last_date[hit] = dates[ks[ks > 0] - 1]
+        valid[hit] = True
+    dates_series = pd.Series(np.where(valid, last_date, 0)
+                             .astype("datetime64[us]"))
+    dates_series[~valid] = pd.NaT
+    return pa.table({
+        "event_id": pa.array(event_ids, pa.int64()),
+        "user_id": pa.array(users, pa.int64()),
+        "last_order_date": pa.Array.from_pandas(dates_series,
+                                                type=pa.timestamp("us")),
+        "n_prior_orders": pa.array(n_prior, pa.int64()),
+    })
+
 
 class _AsofOrders:
     def __init__(self, orders_ref):
@@ -587,48 +633,79 @@ class _AsofOrders:
         }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        users = batch.column("user_id").to_numpy()
-        ts_us = batch.column("ts").cast(pa.int64()).to_numpy()
-        n_prior = np.zeros(len(users), dtype=np.int64)
-        last_date = np.full(len(users), np.iinfo(np.int64).min, dtype=np.int64)
-        valid = np.zeros(len(users), dtype=bool)
-        # one vectorized searchsorted per UNIQUE user in the batch (round-1
-        # verdict fix #7: the per-row loop was the hot-path anti-pattern);
-        # argsort-grouping keeps it O(N log N), not O(U*N)
-        order = np.argsort(users, kind="stable")
-        bounds = np.nonzero(np.diff(users[order]))[0] + 1
-        for sel in np.split(order, bounds):
-            dates = self.by_cust.get(int(users[sel[0]]))
-            if dates is None:
-                continue
-            ks = np.searchsorted(dates, ts_us[sel], side="right")
-            n_prior[sel] = ks
-            hit = sel[ks > 0]
-            last_date[hit] = dates[ks[ks > 0] - 1]
-            valid[hit] = True
-        dates_series = pd.Series(np.where(valid, last_date, 0).astype("datetime64[us]"))
-        dates_series[~valid] = pd.NaT
-        return pa.table({
-            "event_id": batch.column("event_id"),
-            "user_id": batch.column("user_id"),
-            "last_order_date": pa.Array.from_pandas(dates_series,
-                                                    type=pa.timestamp("us")),
-            "n_prior_orders": pa.array(n_prior, pa.int64()),
-        })
+        return _asof_kernel(
+            batch.column("event_id").to_numpy(),
+            batch.column("user_id").to_numpy(),
+            batch.column("ts").cast(pa.int64()).to_numpy(),
+            self.by_cust)
 
 
-def q_events_asof_orders(sf_dir: str):
+def _asof_bucket(group: pd.DataFrame) -> pd.DataFrame:
+    """Bucket-local as-of: the bucket holds BOTH sides for its users
+    (kind 0 = events, kind 1 = orders), so the broadcast kernel runs
+    unchanged on a bucket-local index."""
+    ev = group[group["kind"] == 0]
+    od = group[group["kind"] == 1].sort_values(["user_id", "ts_us"])
+    out_schema = {"event_id": "int64", "user_id": "int64",
+                  "last_order_date": "datetime64[us]",
+                  "n_prior_orders": "int64"}
+    if not len(ev):
+        return pd.DataFrame({k: pd.Series([], dtype=v)
+                             for k, v in out_schema.items()})
+    by_cust = {int(k): g["ts_us"].to_numpy()
+               for k, g in od.groupby("user_id")}
+    t = _asof_kernel(ev["event_id"].to_numpy(), ev["user_id"].to_numpy(),
+                     ev["ts_us"].to_numpy(), by_cust)
+    return t.to_pandas()
+
+
+def q_events_asof_orders(sf_dir: str, *, route: str | None = None):
     import pyarrow.parquet as pq
 
-    orders = pq.read_table(f"{sf_dir}/orders.parquet",
-                           columns=["o_custkey", "o_orderdate"])
-    ref = ray.put(orders)
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
-                         columns=["event_id", "user_id", "ts"])
-    out = ds.map_batches(
-        _AsofOrders, fn_constructor_kwargs={"orders_ref": ref},
-        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1,
-    )
+    if route is None:
+        n_orders = pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
+        route = ("broadcast" if n_orders <= _BCAST_DIM_MAX_ROWS
+                 else "bucketed")
+    if route == "broadcast":
+        orders = pq.read_table(f"{sf_dir}/orders.parquet",
+                               columns=["o_custkey", "o_orderdate"])
+        ref = ray.put(orders)
+        ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "user_id", "ts"])
+        out = ds.map_batches(
+            _AsofOrders, fn_constructor_kwargs={"orders_ref": ref},
+            batch_format="pyarrow", concurrency=(1, 4), num_cpus=1,
+        )
+        return out.to_pandas()
+
+    nb = _session_buckets()
+
+    def tag_events(t: pa.Table) -> pa.Table:
+        uid = pc.cast(t.column("user_id"), pa.int64())
+        return pa.table({
+            "ubucket": _mod_bucket(uid, nb),
+            "kind": pa.array(np.zeros(t.num_rows, np.int8)),
+            "event_id": pc.cast(t.column("event_id"), pa.int64()),
+            "user_id": uid,
+            "ts_us": pc.cast(t.column("ts"), pa.int64())})
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        uid = pc.cast(t.column("o_custkey"), pa.int64())
+        return pa.table({
+            "ubucket": _mod_bucket(uid, nb),
+            "kind": pa.array(np.ones(t.num_rows, np.int8)),
+            "event_id": pa.array(np.full(t.num_rows, -1, np.int64)),
+            "user_id": uid,
+            "ts_us": pc.cast(t.column("o_orderdate"), pa.int64())})
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts"]
+                         ).map_batches(tag_events, batch_format="pyarrow")
+    od = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_orderdate"]
+                         ).map_batches(tag_orders, batch_format="pyarrow")
+    out = (ev.union(od).groupby("ubucket")
+           .map_groups(_asof_bucket, batch_format="pandas"))
     return out.to_pandas()
 
 

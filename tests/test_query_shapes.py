@@ -225,3 +225,20 @@ def test_events_topk_weighted_routes_agree(ray_session):
     pd.testing.assert_frame_equal(a, b)
     pd.testing.assert_frame_equal(a, default)  # default = salted here
     assert a.shape == (20, 3)
+
+
+# ---------------------------------------------- events_asof_orders routing
+
+def test_events_asof_orders_routes_agree(ray_session):
+    """The broadcast and user-bucket co-partitioned as-of paths must be
+    identical; the bucketed path is what runs when orders (a FACT table)
+    outgrows _BCAST_DIM_MAX_ROWS."""
+    from ocr_main_ray.pipelines.queries import q_events_asof_orders
+    sf = "/root/testdata/sf0.001"
+    key = ["event_id"]
+    a = (q_events_asof_orders(sf, route="broadcast")
+         .sort_values(key).reset_index(drop=True))
+    b = (q_events_asof_orders(sf, route="bucketed")
+         .sort_values(key).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b[a.columns])
+    assert len(a) > 0
