@@ -60,11 +60,38 @@ def test_every_oracle_key_has_query(contract):
     assert set(oracles) <= set(queries)
 
 
+def _drain_actor_pools(min_free_cpus: float = 3.0, timeout_s: float = 60.0):
+    """Wait for the previous query's actor pools to release their CPUs.
+
+    Ray Data tears actor pools down ASYNCHRONOUSLY after a dataset finishes,
+    and a Dataset caught in a reference cycle keeps its pool alive until a
+    gc pass.  Back-to-back queries in one num_cpus=4 session can therefore
+    wedge: a new pipeline's read task + actor requests queue behind CPUs
+    still held by a finished query's dying pool (observed as a 20+ min
+    suite hang at MapBatches(ShingleSets)).  gc + a bounded wait converts
+    that silent deadlock into either forward progress (the normal case,
+    ~0 overhead when CPUs are already free) or a named failure."""
+    import gc
+    import time
+
+    import ray
+
+    deadline = time.monotonic() + timeout_s
+    while time.monotonic() < deadline:
+        if ray.available_resources().get("CPU", 0.0) >= min_free_cpus:
+            return
+        gc.collect()
+        time.sleep(0.5)
+    pytest.fail(f"actor pools failed to release CPUs within {timeout_s}s "
+                f"(available: {ray.available_resources().get('CPU', 0.0)})")
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_queries_match_oracle(contract, oracle_con):
     queries, oracles = contract
     failures = []
     for name, sql in oracles.items():
+        _drain_actor_pools()
         got = _normalize_arrow(_to_arrow(queries[name](SF_DIR)))
         exp = _normalize_arrow(oracle_con.execute(sql).arrow())
         if got.column_names != exp.column_names:
@@ -90,12 +117,14 @@ def test_queries_match_oracle(contract, oracle_con):
 def test_rows_only_queries_run(contract):
     """Queries without an oracle must still run and return rows."""
     queries, oracles = contract
-    for name in set(queries) - set(oracles):
+    for name in sorted(set(queries) - set(oracles)):
+        _drain_actor_pools()
         out = queries[name](SF_DIR)
         if hasattr(out, "count") and not isinstance(out, (pa.Table, pd.DataFrame)):
             assert out.count() > 0, name
         else:
             assert len(_to_pandas(out)) > 0, name
+        del out  # release the Dataset so its actor pool can tear down
 
 
 @pytest.mark.usefixtures("ray_session")
