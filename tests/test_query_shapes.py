@@ -211,6 +211,19 @@ def test_local_supplier_revenue_routes_agree(ray_session):
     assert _BCAST_DIM_MAX_ROWS >= 1_000_000  # broadcast stays the sf0.1 path
 
 
+def test_returned_revenue_topk_routes_agree(ray_session):
+    """The broadcast (orderkey→custkey lookup + point-read decoration) and
+    hashjoin (per-order partials → two joins) paths of the TPC-H Q10
+    analogue must produce identical results — the hashjoin path is what
+    runs when orders outgrows _BCAST_DIM_MAX_ROWS."""
+    from ocr_main_ray.pipelines.queries import q_returned_revenue_topk
+    sf = "/root/testdata/sf0.001"
+    a = q_returned_revenue_topk(sf, route="broadcast")
+    b = q_returned_revenue_topk(sf, route="hashjoin")
+    pd.testing.assert_frame_equal(a, b)
+    assert a.shape[0] > 0
+
+
 # -------------------------------------------- events_topk_weighted routing
 
 def test_events_topk_weighted_routes_agree(ray_session):
