@@ -107,11 +107,11 @@ class OcrApiClient:
         except Exception as e:
             return self._err(e)
 
-    def upload_document(self, file_path: Path,
-                        config: Optional[dict] = None) -> dict:
-        """Phase 1 of the two-phase flow (api_utils.py:39-73): validates
-        existence + .pdf suffix client-side, multipart-uploads, returns
-        the upload record (``file_id`` is the poll handle)."""
+    def _upload_pdf(self, path: str, file_path: Path,
+                    config: Optional[dict]) -> dict:
+        """Shared validate-then-multipart uploader: existence + .pdf
+        suffix checked client-side, config values stringified as form
+        fields (api_utils.py:39-73 semantics, both upload routes)."""
         file_path = Path(file_path)
         if not file_path.exists():
             return {"error": f"Archivo no encontrado: {file_path}"}
@@ -120,10 +120,16 @@ class OcrApiClient:
         fields = {k: str(v) for k, v in (config or {}).items()}
         try:
             return self._post_multipart(
-                "/files/upload", fields,
+                path, fields,
                 [("file", file_path.name, file_path.read_bytes())])
         except Exception as e:
             return self._err(e)
+
+    def upload_document(self, file_path: Path,
+                        config: Optional[dict] = None) -> dict:
+        """Phase 1 of the two-phase flow (api_utils.py:39-73): returns
+        the upload record (``file_id`` is the poll handle)."""
+        return self._upload_pdf("/files/upload", file_path, config)
 
     def process_document(self, file_id: str,
                          config: Optional[dict] = None) -> dict:
@@ -171,18 +177,8 @@ class OcrApiClient:
     def upload_and_process(self, file_path: Path,
                            config: Optional[dict] = None) -> dict:
         """One-shot route (reference documents.py upload-and-process)."""
-        file_path = Path(file_path)
-        if not file_path.exists():
-            return {"error": f"Archivo no encontrado: {file_path}"}
-        if file_path.suffix.lower() != ".pdf":
-            return {"error": "Solo se aceptan archivos PDF"}
-        fields = {k: str(v) for k, v in (config or {}).items()}
-        try:
-            return self._post_multipart(
-                "/documents/upload-and-process", fields,
-                [("file", file_path.name, file_path.read_bytes())])
-        except Exception as e:
-            return self._err(e)
+        return self._upload_pdf("/documents/upload-and-process",
+                                file_path, config)
 
     def process_document_complete(self, file_path: Path,
                                   config: Optional[dict] = None,

@@ -273,10 +273,8 @@ class _SegmentJoin:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         probe = batch.column("o_custkey").to_numpy()
-        idx = np.searchsorted(self.keys, probe)
-        idx = np.clip(idx, 0, len(self.keys) - 1)
-        hit = self.keys[idx] == probe
-        segs = np.where(hit, self.segs[idx], None)
+        hit, segs_at = _sorted_lookup(self.keys, self.segs, probe)
+        segs = np.where(hit, segs_at, None)
         cents = pc.cast(pc.round(pc.multiply(batch.column("o_totalprice"), 100.0)), pa.int64())
         t = pa.table({"c_mktsegment": pa.array(segs, pa.string()), "cents": cents})
         g = t.group_by("c_mktsegment").aggregate([("cents", "sum"), ("cents", "count")])
@@ -529,6 +527,26 @@ def _session_buckets() -> int:
     return max(16, cluster_cpus() * 2)
 
 
+def _sorted_lookup(keys: np.ndarray, vals: np.ndarray, probe: np.ndarray):
+    """Vectorized inner-join lookup against a sorted key array.
+
+    Returns ``(hit, vals_at)``: ``hit[i]`` is True iff ``probe[i]`` is
+    present in ``keys``; ``vals_at[i]`` is the matching value where hit
+    and an arbitrary in-bounds placeholder where not — callers must mask
+    by ``hit``.  Empty-safe: a zero-length dimension yields all-miss
+    instead of the IndexError a raw searchsorted-then-index produces on
+    an empty (or out-of-range-probed) broadcast side.
+    """
+    n = len(keys)
+    if n == 0:
+        return (np.zeros(len(probe), dtype=bool),
+                np.zeros(len(probe), dtype=vals.dtype))
+    pos = np.searchsorted(keys, probe)
+    np.clip(pos, 0, n - 1, out=pos)
+    hit = keys[pos] == probe
+    return hit, vals[pos]
+
+
 def _mod_bucket(uid, num_buckets: int):
     """int64 ids -> int32 `id % num_buckets` bucket column (pc kernels:
     Arrow has no modulo)."""
@@ -539,13 +557,8 @@ def _mod_bucket(uid, num_buckets: int):
 
 
 def _bucket_users(batch: pa.Table, num_buckets: int) -> pa.Table:
-    bucket = pc.cast(
-        pc.subtract(batch.column("user_id"),
-                    pc.multiply(pc.divide(batch.column("user_id"), num_buckets),
-                                num_buckets)),
-        pa.int32(),
-    )
-    return batch.append_column("ubucket", bucket)
+    return batch.append_column(
+        "ubucket", _mod_bucket(batch.column("user_id"), num_buckets))
 
 
 def _sessionize_bucket(group: pd.DataFrame) -> pd.DataFrame:
@@ -3121,10 +3134,9 @@ def q_returned_revenue_topk(sf_dir: str, *, route: str | None = None):
                     pc.round(rev, round_mode="half_towards_infinity"),
                     pa.int64()).to_numpy(zero_copy_only=False)
                 k = batch.column("l_orderkey").to_numpy()
-                pos = np.minimum(np.searchsorted(self.keys, k),
-                                 len(self.keys) - 1)
-                hit = self.keys[pos] == k  # inner-join semantics vs orders
-                g = (pa.table({"c_custkey": pa.array(self.cust[pos[hit]],
+                # inner-join semantics vs orders; empty-safe lookup
+                hit, cust_at = _sorted_lookup(self.keys, self.cust, k)
+                g = (pa.table({"c_custkey": pa.array(cust_at[hit],
                                                      pa.int64()),
                                "cents": pa.array(cents[hit], pa.int64())})
                      .group_by("c_custkey").aggregate([("cents", "sum")]))
@@ -3138,6 +3150,12 @@ def q_returned_revenue_topk(sf_dir: str, *, route: str | None = None):
                     .aggregate(Sum("p_cents", alias_name="revenue_cents")))
         head = (per_cust.map_batches(local_topk, batch_format="pyarrow")
                 .to_pandas())
+        if head.empty:  # no returned lineitems matched an order at all
+            return pd.DataFrame({
+                "c_custkey": pd.Series([], dtype="int64"),
+                "c_name": pd.Series([], dtype=object),
+                "n_name": pd.Series([], dtype=object),
+                "revenue_cents": pd.Series([], dtype="int64")})
         head = head.sort_values(["revenue_cents", "c_custkey"],
                                 ascending=[False, True]).head(20)
         cust = pq.read_table(
@@ -3998,16 +4016,13 @@ def q_local_supplier_revenue(sf_dir: str, *, route: str | None = None):
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             k = batch.column("l_orderkey").to_numpy()
-            pos = np.minimum(np.searchsorted(self.okeys, k),
-                             max(len(self.okeys) - 1, 0))
-            # inner-join semantics vs the date-filtered orders window
-            hit = (self.okeys[pos] == k) if len(self.okeys) else \
-                np.zeros(len(k), bool)
-            c_nat = self.onat[pos]
-            spos = np.searchsorted(self.skeys,
-                                   batch.column("l_suppkey").to_numpy())
-            s_nat = self.snat[spos]
-            keep = hit & (s_nat == c_nat)
+            # inner-join semantics vs the date-filtered orders window;
+            # both lookups empty-safe (all-miss on a zero-row dimension)
+            hit_o, c_nat = _sorted_lookup(self.okeys, self.onat, k)
+            hit_s, s_nat = _sorted_lookup(
+                self.skeys, self.snat,
+                batch.column("l_suppkey").to_numpy())
+            keep = hit_o & hit_s & (s_nat == c_nat)
             rev = pc.multiply(pc.multiply(
                 batch.column("l_extendedprice"),
                 pc.subtract(pa.scalar(1.0), batch.column("l_discount"))),
@@ -4142,6 +4157,9 @@ def q_local_supplier_revenue(sf_dir: str, *, route: str | None = None):
 def _nation_rollup_tail(sf_dir: str, per_nat: pd.DataFrame) -> pd.DataFrame:
     """Shared finish for both q_local_supplier_revenue routes: decorate the
     <= |nations| rows with names and apply the deterministic ordering."""
+    if per_nat.empty:  # no in-window revenue: empty, same shape
+        return pd.DataFrame({"nation": pd.Series([], dtype=object),
+                             "revenue_cents": pd.Series([], dtype="int64")})
     nation = pd.read_parquet(f"{sf_dir}/nation.parquet",
                              columns=["n_nationkey", "n_name"])
     out = per_nat.merge(nation, left_on="nationkey", right_on="n_nationkey")
@@ -4283,6 +4301,11 @@ def q_top_supplier_revenue(sf_dir: str):
         pa.schema([("l_suppkey", pa.int64()),
                    ("total_revenue_cents", pa.int64())]))
     mx = rev.max("total_revenue_cents")  # distributed scalar aggregate
+    if mx is None:  # no lineitems in the Q15 window: empty, same shape
+        return pd.DataFrame({"s_suppkey": pd.Series([], dtype="int64"),
+                             "s_name": pd.Series([], dtype=object),
+                             "total_revenue_cents": pd.Series(
+                                 [], dtype="int64")})
     best = fit_for_join(
         rev.filter(expr=f"total_revenue_cents == {int(mx)}"),
         pa.schema([("l_suppkey", pa.int64()),
@@ -4328,10 +4351,10 @@ def q_nation_pair_volume(sf_dir: str):
             self.keys, self.nat = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            pos = np.searchsorted(self.keys,
-                                  batch.column("l_suppkey").to_numpy())
-            s_nat = self.nat[pos]
-            keep = (s_nat == nat_a) | (s_nat == nat_b)
+            hit, s_nat = _sorted_lookup(
+                self.keys, self.nat,
+                batch.column("l_suppkey").to_numpy())
+            keep = hit & ((s_nat == nat_a) | (s_nat == nat_b))
             rev = pc.multiply(pc.multiply(
                 batch.column("l_extendedprice"),
                 pc.subtract(pa.scalar(1.0), batch.column("l_discount"))),
@@ -4354,10 +4377,10 @@ def q_nation_pair_volume(sf_dir: str):
             self.keys, self.nat = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            pos = np.searchsorted(self.keys,
-                                  batch.column("o_custkey").to_numpy())
-            c_nat = self.nat[pos]
-            keep = (c_nat == nat_a) | (c_nat == nat_b)
+            hit, c_nat = _sorted_lookup(
+                self.keys, self.nat,
+                batch.column("o_custkey").to_numpy())
+            keep = hit & ((c_nat == nat_a) | (c_nat == nat_b))
             return pa.table({
                 "o_orderkey": pa.array(
                     batch.column("o_orderkey").to_numpy()[keep], pa.int64()),

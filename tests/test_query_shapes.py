@@ -268,3 +268,69 @@ def test_events_asof_orders_routes_agree(ray_session):
          .sort_values(key).reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b[a.columns])
     assert len(a) > 0
+
+
+# ------------------------------------- empty broadcast dimensions (review)
+
+def _empty_window_sf(tmp_path) -> str:
+    """sf0.001 clone whose orders table is EMPTY and whose lineitems all
+    ship before 1996 — exercises every broadcast-lookup stage with a
+    zero-row dimension / empty aggregate window (round-4 review: the raw
+    searchsorted-then-index pattern raised IndexError on these inputs)."""
+    import shutil
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    src = "/root/testdata/sf0.001"
+    out = tmp_path / "empty_dim_sf"
+    out.mkdir()
+    for name in ("customer", "supplier", "nation", "region", "part"):
+        shutil.copy(f"{src}/{name}.parquet", out / f"{name}.parquet")
+    orders = pq.read_table(f"{src}/orders.parquet")
+    pq.write_table(orders.slice(0, 0), out / "orders.parquet")
+    li = pq.read_table(f"{src}/lineitem.parquet")
+    mask = pc.less(li.column("l_shipdate"),
+                   pa.scalar(pd.Timestamp("1996-01-01")))
+    li = li.filter(mask)
+    assert li.num_rows > 0  # lookups must actually run over real batches
+    pq.write_table(li, out / "lineitem.parquet")
+    return str(out)
+
+
+def test_returned_revenue_topk_empty_orders(ray_session, tmp_path):
+    from ocr_main_ray.pipelines.queries import q_returned_revenue_topk
+    sf = _empty_window_sf(tmp_path)
+    out = q_returned_revenue_topk(sf, route="broadcast")
+    assert list(out.columns) == ["c_custkey", "c_name", "n_name",
+                                 "revenue_cents"]
+    assert len(out) == 0
+
+
+def test_local_supplier_revenue_empty_orders(ray_session, tmp_path):
+    from ocr_main_ray.pipelines.queries import q_local_supplier_revenue
+    sf = _empty_window_sf(tmp_path)
+    out = q_local_supplier_revenue(sf, route="broadcast")
+    assert len(out) == 0
+
+
+def test_top_supplier_revenue_empty_window(ray_session, tmp_path):
+    from ocr_main_ray.pipelines.queries import q_top_supplier_revenue
+    sf = _empty_window_sf(tmp_path)
+    out = q_top_supplier_revenue(sf)
+    assert list(out.columns) == ["s_suppkey", "s_name",
+                                 "total_revenue_cents"]
+    assert len(out) == 0
+    assert out["total_revenue_cents"].dtype == "int64"
+
+
+def test_sorted_lookup_empty_and_out_of_range():
+    from ocr_main_ray.pipelines.queries import _sorted_lookup
+    hit, vals = _sorted_lookup(np.array([], dtype=np.int64),
+                               np.array([], dtype=np.int64),
+                               np.array([1, 2, 3]))
+    assert not hit.any() and len(vals) == 3
+    keys = np.array([10, 20, 30], dtype=np.int64)
+    v = np.array([1, 2, 3], dtype=np.int64)
+    hit, vals = _sorted_lookup(keys, v, np.array([5, 20, 99]))
+    assert hit.tolist() == [False, True, False]
+    assert vals[1] == 2
