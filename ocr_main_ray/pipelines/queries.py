@@ -3533,10 +3533,11 @@ class _BrandWeighted:
         cents = pc.cast(pc.round(pc.multiply(
             batch.column("l_extendedprice"), 100.0)), pa.int64()).to_numpy()
         qty = batch.column("l_quantity").to_numpy().astype(np.int64)
-        pos = np.searchsorted(self.keys, batch.column("l_partkey").to_numpy())
-        t = pa.table({"p_brand": pa.array(self.brands[pos], pa.string()),
-                      "wsum": pa.array(cents * qty, pa.int64()),
-                      "w": pa.array(qty, pa.int64())})
+        hit, brands_at = _sorted_lookup(
+            self.keys, self.brands, batch.column("l_partkey").to_numpy())
+        t = pa.table({"p_brand": pa.array(brands_at[hit], pa.string()),
+                      "wsum": pa.array((cents * qty)[hit], pa.int64()),
+                      "w": pa.array(qty[hit], pa.int64())})
         g = t.group_by("p_brand").aggregate([("wsum", "sum"), ("w", "sum")])
         return g.rename_columns(["p_brand", "p_wsum", "p_w"])
 
@@ -4235,9 +4236,10 @@ def q_promo_revenue_share(sf_dir: str):
                 pa.scalar(100.0))
             cents = pc.cast(pc.round(rev, round_mode="half_towards_infinity"),
                             pa.int64()).to_numpy()
-            pos = np.searchsorted(self.keys,
-                                  batch.column("l_partkey").to_numpy())
-            is_promo = self.promo[pos]
+            hit, promo_at = _sorted_lookup(
+                self.keys, self.promo,
+                batch.column("l_partkey").to_numpy())
+            is_promo = hit & promo_at
             return pa.table({
                 "p_promo": pa.array([int(cents[is_promo].sum())], pa.int64()),
                 "p_total": pa.array([int(cents.sum())], pa.int64())})
@@ -4480,9 +4482,10 @@ def q_region_market_share(sf_dir: str):
                 pa.scalar(100.0))
             cents = pc.cast(pc.round(rev, round_mode="half_towards_infinity"),
                             pa.int64()).to_numpy()
-            pos = np.searchsorted(self.keys,
-                                  batch.column("l_suppkey").to_numpy())
-            tgt = np.where(self.nat[pos] == target_nat, cents, 0)
+            hit, nat_at = _sorted_lookup(
+                self.keys, self.nat,
+                batch.column("l_suppkey").to_numpy())
+            tgt = np.where(hit & (nat_at == target_nat), cents, 0)
             g = (pa.table({"o_orderkey": batch.column("l_orderkey"),
                            "t": pa.array(tgt, pa.int64()),
                            "c": pa.array(cents, pa.int64())})
@@ -4495,9 +4498,10 @@ def q_region_market_share(sf_dir: str):
             self.keys, self.reg = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            pos = np.searchsorted(self.keys,
-                                  batch.column("o_custkey").to_numpy())
-            keep = self.reg[pos] == region
+            hit, reg_at = _sorted_lookup(
+                self.keys, self.reg,
+                batch.column("o_custkey").to_numpy())
+            keep = hit & (reg_at == region)
             return pa.table({
                 "o_orderkey": pa.array(
                     batch.column("o_orderkey").to_numpy()[keep], pa.int64()),
