@@ -6796,39 +6796,92 @@ def _waiting_bucket(g: pd.DataFrame) -> pd.DataFrame:
             .reset_index(name="pn"))
 
 
-def q_suppliers_kept_waiting(sf_dir: str):
+def q_suppliers_kept_waiting(sf_dir: str, *, route: str | None = None):
     """TPC-H Q21 shape: suppliers whose late lineitem (shipdate more than
     60 days after the order date) is the ONLY late one in an order served
     by >= 2 distinct suppliers; count per supplier, top 25 by (numwait
-    desc, s_name)."""
+    desc, s_name).
+
+    Size-routed like returned_revenue_topk: below _BCAST_DIM_MAX_ROWS the
+    orderkey→orderdate map is broadcast as two sorted int64 arrays and
+    the late flag is a map-side lookup, so the only lineitem-sized
+    exchange left is the obucket co-location groupby; past the threshold
+    the hash-join plan runs.  Both routes pinned bit-equal in
+    tests/test_query_shapes.py."""
+    import pyarrow.parquet as pq
     from ..rayops import fit_for_join
 
-    nparts = _join_parts(sf_dir, "lineitem")
     nb = _session_buckets()
-    ord_schema = pa.schema([("o_orderkey", pa.int64()),
-                            ("o_orderdate", pa.timestamp("us"))])
-    orders = fit_for_join(
-        rd.read_parquet(f"{sf_dir}/orders.parquet",
-                        columns=["o_orderkey", "o_orderdate"]), ord_schema)
-    li = (rd.read_parquet(f"{sf_dir}/lineitem.parquet",
-                          columns=["l_orderkey", "l_suppkey", "l_shipdate"])
-          .map_batches(_maxship_partial, batch_format="pyarrow"))
-    joined = li.join(orders, join_type="inner", num_partitions=nparts,
-                     on=("l_orderkey",), right_on=("o_orderkey",))
-    flags = joined.map_batches(_late_partial, batch_format="pyarrow")
+    if route is None:
+        n_orders = pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
+        route = ("broadcast" if n_orders <= _BCAST_DIM_MAX_ROWS
+                 else "hashjoin")
 
-    def add_obucket(t: pa.Table) -> pa.Table:
-        b = pc.cast(pc.subtract(
-            t.column("l_orderkey"),
-            pc.multiply(pc.divide(t.column("l_orderkey"), nb), nb)),
-            pa.int32())
-        return t.append_column("obucket", b)
+    if route == "broadcast":
+        orders_t = pq.read_table(f"{sf_dir}/orders.parquet",
+                                 columns=["o_orderkey", "o_orderdate"])
+        ok = orders_t.column("o_orderkey").to_numpy()
+        od = pc.cast(orders_t.column("o_orderdate"), pa.int64()).to_numpy()
+        oo = np.argsort(ok)
+        ref = ray.put((ok[oo], od[oo]))
 
-    counts = (flags.map_batches(add_obucket, batch_format="pyarrow")
-              .groupby("obucket")
-              .map_groups(_waiting_bucket, batch_format="pandas")
-              .groupby("l_suppkey")
-              .aggregate(Sum("pn", alias_name="numwait")))
+        class _LateBcast:
+            def __init__(self, r):
+                self.keys, self.od = ray.get(r)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                g = _maxship_partial(t)
+                k = g.column("l_orderkey").to_numpy()
+                # inner-join semantics vs orders; empty-safe lookup
+                hit, od_at = _sorted_lookup(self.keys, self.od, k)
+                late = (g.column("ship_us").to_numpy()
+                        > od_at + WAIT_LAG_US).astype(np.int8)
+                kh = k[hit]
+                return pa.table({
+                    "l_orderkey": pa.array(kh, pa.int64()),
+                    "l_suppkey": pa.array(
+                        g.column("l_suppkey").to_numpy()[hit], pa.int64()),
+                    "late": pa.array(late[hit], pa.int8()),
+                    "obucket": pa.array((kh % nb).astype(np.int32),
+                                        pa.int32())})
+
+        flags = (rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+            .map_batches(_LateBcast, fn_constructor_kwargs={"r": ref},
+                         batch_format="pyarrow", concurrency=(1, 8)))
+        counts = (flags.groupby("obucket")
+                  .map_groups(_waiting_bucket, batch_format="pandas")
+                  .groupby("l_suppkey")
+                  .aggregate(Sum("pn", alias_name="numwait")))
+    else:
+        nparts = _join_parts(sf_dir, "lineitem")
+        ord_schema = pa.schema([("o_orderkey", pa.int64()),
+                                ("o_orderdate", pa.timestamp("us"))])
+        orders = fit_for_join(
+            rd.read_parquet(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderkey", "o_orderdate"]),
+            ord_schema)
+        li = (rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+            .map_batches(_maxship_partial, batch_format="pyarrow"))
+        joined = li.join(orders, join_type="inner", num_partitions=nparts,
+                         on=("l_orderkey",), right_on=("o_orderkey",))
+        flags = joined.map_batches(_late_partial, batch_format="pyarrow")
+
+        def add_obucket(t: pa.Table) -> pa.Table:
+            b = pc.cast(pc.subtract(
+                t.column("l_orderkey"),
+                pc.multiply(pc.divide(t.column("l_orderkey"), nb), nb)),
+                pa.int32())
+            return t.append_column("obucket", b)
+
+        counts = (flags.map_batches(add_obucket, batch_format="pyarrow")
+                  .groupby("obucket")
+                  .map_groups(_waiting_bucket, batch_format="pandas")
+                  .groupby("l_suppkey")
+                  .aggregate(Sum("pn", alias_name="numwait")))
     supp_schema = pa.schema([("s_suppkey", pa.int64()),
                              ("s_name", pa.string())])
     supp = fit_for_join(
@@ -7182,56 +7235,113 @@ def q_important_parts(sf_dir: str):
 # INTERSECT / EXCEPT as per-key boolean flag folds: which parts were
 # ordered in BOTH 1996 and 1997, and in exactly one?  The year window is
 # pushed into the orders scan (parts outside both years contribute zero
-# to every output, so pre-filtering is lossless), lineitem pre-distincts
-# (orderkey, partkey) per batch, one hash join decorates with the year
-# flag, and two MAX folds per partkey resolve set membership — the
-# set-algebra answer without materializing either set.
+# to every output, so pre-filtering is lossless) and two MAX folds per
+# partkey resolve set membership — the set-algebra answer without
+# materializing either set.  Size-routed like returned_revenue_topk:
+# below _BCAST_DIM_MAX_ROWS the windowed orderkey→year-flag map is
+# broadcast (sorted arrays) and the plan is ONE groupby; past it, the
+# lineitem pre-distinct + hash-join plan runs instead.  Both routes
+# pinned bit-equal in tests/test_query_shapes.py.
 # ---------------------------------------------------------------------------
 
-def q_part_year_flags(sf_dir: str):
+def q_part_year_flags(sf_dir: str, *, route: str | None = None):
+    import pyarrow.parquet as pq
     from ..rayops import fit_for_join
 
     y96 = (pd.Timestamp("1996-01-01").value // 1000,
            pd.Timestamp("1997-01-01").value // 1000)
-    y97 = (pd.Timestamp("1997-01-01").value // 1000,
-           pd.Timestamp("1998-01-01").value // 1000)
-    nparts = _join_parts(sf_dir, "lineitem")
-    orders = rd.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"],
-        filter=(pds.field("o_orderdate") >= pd.Timestamp("1996-01-01"))
-        & (pds.field("o_orderdate") < pd.Timestamp("1998-01-01")))
 
-    def year_flags(t: pa.Table) -> pa.Table:
-        us = pc.cast(t.column("o_orderdate"), pa.int64())
-        in96 = pc.and_(pc.greater_equal(us, y96[0]), pc.less(us, y96[1]))
-        return pa.table({
-            "o_orderkey": t.column("o_orderkey"),
-            "y1": pc.cast(in96, pa.int8()),
-            "y2": pc.cast(pc.invert(in96), pa.int8())})
+    if route is None:
+        n_orders = pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
+        route = ("broadcast" if n_orders <= _BCAST_DIM_MAX_ROWS
+                 else "hashjoin")
 
-    orders = orders.map_batches(year_flags, batch_format="pyarrow")
-    ord_schema = pa.schema([("o_orderkey", pa.int64()),
-                            ("y1", pa.int8()), ("y2", pa.int8())])
-    li = (rd.read_parquet(f"{sf_dir}/lineitem.parquet",
-                          columns=["l_orderkey", "l_partkey"])
-          .map_batches(
-              lambda t: t.group_by(["l_orderkey", "l_partkey"]).aggregate([]),
-              batch_format="pyarrow"))
-    joined = li.join(fit_for_join(orders, ord_schema), join_type="inner",
-                     num_partitions=nparts,
-                     on=("l_orderkey",), right_on=("o_orderkey",))
+    if route == "broadcast":
+        # orders fits the broadcast budget: ship the WINDOWED orderkey →
+        # in-1996 flag as two sorted arrays (the two-year filter is pushed
+        # into the point read, so the payload is the window's orders, not
+        # the table) and the whole query is map-side lookups + ONE
+        # groupby(l_partkey) — no lineitem-sized join exchange.  The
+        # per-batch (orderkey, partkey) pre-distinct disappears too: MAX
+        # over duplicate pairs equals MAX over the distinct set.
+        orders_t = pq.read_table(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderdate"],
+            filters=(pds.field("o_orderdate") >= pd.Timestamp("1996-01-01"))
+            & (pds.field("o_orderdate") < pd.Timestamp("1998-01-01")))
+        ok = orders_t.column("o_orderkey").to_numpy()
+        od_us = pc.cast(orders_t.column("o_orderdate"),
+                        pa.int64()).to_numpy()
+        oo = np.argsort(ok)
+        y1_arr = (od_us < y96[1]).astype(np.int8)
+        ref = ray.put((ok[oo], y1_arr[oo]))
 
-    def flag_partial(t: pa.Table) -> pa.Table:
-        g = (pa.table({"l_partkey": t.column("l_partkey"),
-                       "y1": t.column("y1"), "y2": t.column("y2")})
-             .group_by("l_partkey")
-             .aggregate([("y1", "max"), ("y2", "max")]))
-        return g.rename_columns(["l_partkey", "y1", "y2"])
+        class _FlagPartial:
+            def __init__(self, r):
+                self.keys, self.y1 = ray.get(r)
 
-    flags = (joined.map_batches(flag_partial, batch_format="pyarrow")
-             .groupby("l_partkey")
-             .aggregate(Max("y1", alias_name="m1"),
-                        Max("y2", alias_name="m2")))
+            def __call__(self, t: pa.Table) -> pa.Table:
+                k = t.column("l_orderkey").to_numpy()
+                # inner-join semantics vs the windowed orders; empty-safe
+                hit, y1_at = _sorted_lookup(self.keys, self.y1, k)
+                y1v = y1_at[hit]
+                g = (pa.table({
+                    "l_partkey": pa.array(
+                        t.column("l_partkey").to_numpy()[hit], pa.int64()),
+                    "y1": pa.array(y1v, pa.int8()),
+                    "y2": pa.array(1 - y1v, pa.int8())})
+                    .group_by("l_partkey")
+                    .aggregate([("y1", "max"), ("y2", "max")]))
+                return g.rename_columns(["l_partkey", "y1", "y2"])
+
+        flags = (rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                                 columns=["l_orderkey", "l_partkey"])
+                 .map_batches(_FlagPartial,
+                              fn_constructor_kwargs={"r": ref},
+                              batch_format="pyarrow",
+                              concurrency=(1, 8))
+                 .groupby("l_partkey")
+                 .aggregate(Max("y1", alias_name="m1"),
+                            Max("y2", alias_name="m2")))
+    else:
+        nparts = _join_parts(sf_dir, "lineitem")
+        orders = rd.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"],
+            filter=(pds.field("o_orderdate") >= pd.Timestamp("1996-01-01"))
+            & (pds.field("o_orderdate") < pd.Timestamp("1998-01-01")))
+
+        def year_flags(t: pa.Table) -> pa.Table:
+            us = pc.cast(t.column("o_orderdate"), pa.int64())
+            in96 = pc.and_(pc.greater_equal(us, y96[0]), pc.less(us, y96[1]))
+            return pa.table({
+                "o_orderkey": t.column("o_orderkey"),
+                "y1": pc.cast(in96, pa.int8()),
+                "y2": pc.cast(pc.invert(in96), pa.int8())})
+
+        orders = orders.map_batches(year_flags, batch_format="pyarrow")
+        ord_schema = pa.schema([("o_orderkey", pa.int64()),
+                                ("y1", pa.int8()), ("y2", pa.int8())])
+        li = (rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_orderkey", "l_partkey"])
+              .map_batches(
+                  lambda t: t.group_by(
+                      ["l_orderkey", "l_partkey"]).aggregate([]),
+                  batch_format="pyarrow"))
+        joined = li.join(fit_for_join(orders, ord_schema), join_type="inner",
+                         num_partitions=nparts,
+                         on=("l_orderkey",), right_on=("o_orderkey",))
+
+        def flag_partial(t: pa.Table) -> pa.Table:
+            g = (pa.table({"l_partkey": t.column("l_partkey"),
+                           "y1": t.column("y1"), "y2": t.column("y2")})
+                 .group_by("l_partkey")
+                 .aggregate([("y1", "max"), ("y2", "max")]))
+            return g.rename_columns(["l_partkey", "y1", "y2"])
+
+        flags = (joined.map_batches(flag_partial, batch_format="pyarrow")
+                 .groupby("l_partkey")
+                 .aggregate(Max("y1", alias_name="m1"),
+                            Max("y2", alias_name="m2")))
 
     def count_partial(t: pa.Table) -> pa.Table:
         m1 = pc.cast(t.column("m1"), pa.int64()).to_numpy()

@@ -224,6 +224,30 @@ def test_returned_revenue_topk_routes_agree(ray_session):
     assert a.shape[0] > 0
 
 
+def test_part_year_flags_routes_agree(ray_session):
+    """The broadcast (windowed orderkey→year-flag lookup, one groupby)
+    and hashjoin (pre-distinct + join) paths of the INTERSECT/EXCEPT
+    flag-fold query must produce identical results."""
+    from ocr_main_ray.pipelines.queries import q_part_year_flags
+    sf = "/root/testdata/sf0.001"
+    a = q_part_year_flags(sf, route="broadcast")
+    b = q_part_year_flags(sf, route="hashjoin")
+    pd.testing.assert_frame_equal(a, b)
+    assert int(a.loc[0, "n_both"]) > 0
+
+
+def test_suppliers_kept_waiting_routes_agree(ray_session):
+    """The broadcast (orderkey→orderdate lookup, obucket groupby only)
+    and hashjoin paths of the TPC-H Q21 analogue must produce identical
+    results."""
+    from ocr_main_ray.pipelines.queries import q_suppliers_kept_waiting
+    sf = "/root/testdata/sf0.001"
+    a = q_suppliers_kept_waiting(sf, route="broadcast")
+    b = q_suppliers_kept_waiting(sf, route="hashjoin")
+    pd.testing.assert_frame_equal(a, b)
+    assert a.shape[0] > 0
+
+
 def test_token_familiarity_routes_agree(ray_session):
     """The broadcast-vocabulary (fold inside the scan, zero pass-2
     exchanges) and hash-join paths of token_familiarity must produce
