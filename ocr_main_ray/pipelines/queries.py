@@ -6325,7 +6325,13 @@ def q_brand_supplier_counts(sf_dir: str):
 def _co_order_edges(sf_dir: str):
     """Distinct canonical (a < b) part-pair edges of the co-order graph,
     materialized for reuse: vectorized ragged all-pairs per order-hash
-    bucket, local pre-dedup, global (a, b) dedup."""
+    bucket, local pre-dedup, then a COARSE-BUCKET global dedup — one
+    map_groups over ~2×cpus hash buckets of the composite pair key with
+    a vectorized in-bucket drop_duplicates.  A Dataset-level
+    groupby((a, b)).aggregate(Count) here was measured at 222 s for the
+    sf0.1 graph (1.2M pairs ≈ 1.2M one-row groups — per-group aggregate
+    overhead dominates); the coarse-bucket pass does the identical dedup
+    in ~2 s because the group count is O(cpus), not O(edges)."""
     from ..config import cluster_cpus
     from ..rayops import fit_for_join
 
@@ -6359,17 +6365,23 @@ def _co_order_edges(sf_dir: str):
         b_idx = a_idx + 1 + (np.arange(int(reps.sum()))
                              - np.repeat(excl, reps))
         out = pd.DataFrame({"a": pk[a_idx], "b": pk[b_idx]})
-        return out.drop_duplicates()  # local pre-dedup shrinks the shuffle
+        out = out.drop_duplicates()  # local pre-dedup shrinks the shuffle
+        av = out["a"].to_numpy().astype(np.uint64)
+        bv = out["b"].to_numpy().astype(np.uint64)
+        out["pb"] = (((av * np.uint64(2654435761)) ^ bv)
+                     % np.uint64(nb)).astype(np.int32)
+        return out
+
+    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["a", "b"])[["a", "b"]]
 
     edges = (li.map_batches(pre, batch_format="pyarrow")
              .groupby("obucket")
              .map_groups(pairs_bucket, batch_format="pandas")
-             .groupby(["a", "b"]).aggregate(Count(alias_name="_m")))
-    e_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
-                          ("_m", pa.int64())])
-    edges = fit_for_join(edges, e_schema).map_batches(
-        lambda t: t.select(["a", "b"]), batch_format="pyarrow")
-    return edges.materialize()
+             .groupby("pb")
+             .map_groups(dedup_bucket, batch_format="pandas"))
+    e_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    return fit_for_join(edges, e_schema).materialize()
 
 
 def _tri_parts(sf_dir: str, n_edges: int) -> int:
@@ -6396,15 +6408,20 @@ def _tri_parts(sf_dir: str, n_edges: int) -> int:
 TRI_BROADCAST_EDGES = 5_000_000
 
 
-def _edge_key_ref(edges, n_edges: int):
-    """ray.put of the SORTED composite (a << 32 | b) edge keys, or None
-    when the set exceeds the broadcast budget / id width.  The wedge
-    table (the ~2m^2/n-row intermediate) then probes closure with one
-    vectorized searchsorted per batch and NEVER crosses a shuffle —
-    measured 257 s -> 181 s at sf0.1 vs shuffling the 64M wedge rows
-    into a second hash join (the remaining cost is the wedge-EMITTING
-    join itself; an adjacency-broadcast intersection plan would remove
-    that exchange too, at the cost of per-edge set intersections)."""
+def _edge_bcast(edges, n_edges: int, orient_deg=None):
+    """Broadcast bundle for the triangle family: ``(key_ref, csr_ref)``,
+    or None when the edge set exceeds the broadcast budget / id width.
+
+    ``key_ref`` is the SORTED composite (a << 32 | b) edge-key array for
+    closure probes.  ``csr_ref`` is a (nodes, indptr, nbrs) adjacency over
+    the canonical a→b pairs — or, when ``orient_deg=(nodes, degs)`` is
+    given, over the (deg, id)-ORIENTED pairs — so wedges are GENERATED
+    locally per edge batch (ragged CSR gather) instead of through the
+    wedge-emitting hash join.  That join was the dominant cost once the
+    closure probe stopped shuffling (measured 257 s → 181 s for the probe,
+    then 218 s → ~7 s at sf0.1 for this change: the ~2m²/n-row wedge
+    intermediate now never exists as a dataset at all — each batch emits,
+    probes and folds its wedges in one numpy pass)."""
     if n_edges > TRI_BROADCAST_EDGES:
         return None
     df = edges.to_pandas()
@@ -6415,7 +6432,44 @@ def _edge_key_ref(edges, n_edges: int):
         return None
     key = np.sort((a.astype(np.uint64) << np.uint64(32))
                   | b.astype(np.uint64))
-    return ray.put(key)
+    if orient_deg is not None:
+        dn, dd = orient_deg
+        da = dd[np.searchsorted(dn, a)]
+        db = dd[np.searchsorted(dn, b)]
+        a_first = (da < db) | ((da == db) & (a < b))
+        x = np.where(a_first, a, b)
+        y = np.where(a_first, b, a)
+    else:
+        x, y = a, b
+    order = np.lexsort((y, x))
+    sx, sy = x[order], y[order]
+    nodes, counts = np.unique(sx, return_counts=True)
+    indptr = np.concatenate(([0], np.cumsum(counts)))
+    return ray.put(key), ray.put((nodes, indptr, sy))
+
+
+def _csr_rows(nodes: np.ndarray, indptr: np.ndarray, probe: np.ndarray):
+    """Vectorized ragged gather of each probe row's CSR out-list.
+
+    Returns ``(row, flat)``: ``row[i]`` is the probe index the i-th
+    emitted neighbor belongs to, ``flat[i]`` its index into the CSR
+    neighbor array.  Probes absent from ``nodes`` contribute nothing."""
+    n = len(nodes)
+    if n == 0 or len(probe) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    pos = np.searchsorted(nodes, probe)
+    np.clip(pos, 0, n - 1, out=pos)
+    ok = nodes[pos] == probe
+    starts = np.where(ok, indptr[pos], 0)
+    lens = np.where(ok, indptr[pos + 1] - indptr[pos], 0)
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    row = np.repeat(np.arange(len(probe), dtype=np.int64), lens)
+    offs = (np.arange(total, dtype=np.int64)
+            - np.repeat(np.cumsum(lens) - lens, lens))
+    flat = np.repeat(starts, lens) + offs
+    return row, flat
 
 
 class _ClosureProbe:
@@ -6436,27 +6490,35 @@ class _ClosureProbe:
 def q_part_triangles(sf_dir: str):
     edges = _co_order_edges(sf_dir)  # reused below
     m = edges.count()
+    # wedge (a < b < c) closes iff (a, c) is an edge
+    bc = _edge_bcast(edges, m)
+    if bc is not None:
+        key_ref, csr_ref = bc
+
+        class _CountClosed(_ClosureProbe):
+            def __init__(self):
+                super().__init__(key_ref)
+                self.nodes, self.indptr, self.nbrs = ray.get(csr_ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                # wedges generated in place: per edge (a, b), c ranges
+                # over outN(b) (all > b by canonicality) — no wedge join
+                a = t.column("a").to_numpy()
+                b = t.column("b").to_numpy()
+                row, flat = _csr_rows(self.nodes, self.indptr, b)
+                h = self.hits(a[row], self.nbrs[flat])
+                return pa.table({"pt": pa.array([int(h.sum())], pa.int64())})
+
+        total = edges.map_batches(_CountClosed, batch_format="pyarrow",
+                                  batch_size=4096,
+                                  concurrency=(1, 16)).sum("pt")
+        return pd.DataFrame({"n_triangles": pd.Series([int(total)],
+                                                      dtype="int64")})
     right = edges.map_batches(
         lambda t: t.rename_columns(["mid", "c"]), batch_format="pyarrow")
     wedges = edges.join(right, join_type="inner",
                         num_partitions=_tri_parts(sf_dir, m),
                         on=("b",), right_on=("mid",))
-    # wedge (a < b < c) closes iff (a, c) is an edge
-    key_ref = _edge_key_ref(edges, m)
-    if key_ref is not None:
-        class _CountClosed(_ClosureProbe):
-            def __init__(self):
-                super().__init__(key_ref)
-
-            def __call__(self, t: pa.Table) -> pa.Table:
-                h = self.hits(t.column("a").to_numpy(),
-                              t.column("c").to_numpy())
-                return pa.table({"pt": pa.array([int(h.sum())], pa.int64())})
-
-        total = wedges.map_batches(_CountClosed, batch_format="pyarrow",
-                                   concurrency=(1, 8)).sum("pt")
-        return pd.DataFrame({"n_triangles": pd.Series([int(total)],
-                                                      dtype="int64")})
     closed = wedges.map_batches(
         lambda t: t.select(["a", "c"]), batch_format="pyarrow").join(
         edges.map_batches(lambda t: t.rename_columns(["ea", "eb"]),
@@ -6514,33 +6576,51 @@ def q_part_triangles_ordered(sf_dir: str):
             return pa.table({"u": np.where(a_first, a, b),
                              "v": np.where(a_first, b, a)})
 
+    m = edges.count()
+    bc = _edge_bcast(edges, m,
+                     orient_deg=(deg["node"].to_numpy(np.int64),
+                                 deg["deg"].to_numpy(np.int64)))
+    if bc is not None:
+        key_ref, csr_ref = bc
+
+        class _CountClosed(_ClosureProbe):
+            def __init__(self):
+                super().__init__(key_ref)
+                self.dnodes, self.degs = ray.get(deg_ref)
+                self.nodes, self.indptr, self.nbrs = ray.get(csr_ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                # orient the batch, then generate the O(sqrt(m))-bounded
+                # out-wedges per oriented edge locally: for (u, v), w
+                # ranges over outN(u) with w > v (each unordered out-pair
+                # once, id-canonical for the probe) — no wedge join
+                a = t.column("a").to_numpy()
+                b = t.column("b").to_numpy()
+                da = self.degs[np.searchsorted(self.dnodes, a)]
+                db = self.degs[np.searchsorted(self.dnodes, b)]
+                a_first = (da < db) | ((da == db) & (a < b))
+                u = np.where(a_first, a, b)
+                v = np.where(a_first, b, a)
+                row, flat = _csr_rows(self.nodes, self.indptr, u)
+                w = self.nbrs[flat]
+                vv = v[row]
+                keep = vv < w
+                h = self.hits(vv[keep], w[keep])
+                return pa.table({"pt": pa.array([int(h.sum())], pa.int64())})
+
+        total = edges.map_batches(_CountClosed, batch_format="pyarrow",
+                                  batch_size=4096,
+                                  concurrency=(1, 16)).sum("pt")
+        return pd.DataFrame({"n_triangles": pd.Series([int(total)],
+                                                      dtype="int64")})
+
     oriented = edges.map_batches(_Orient, batch_format="pyarrow",
                                  concurrency=(1, 4)).materialize()
-    m = edges.count()
     nparts = _tri_parts(sf_dir, m)
     right = oriented.map_batches(
         lambda t: t.rename_columns(["u2", "w"]), batch_format="pyarrow")
     wedge = oriented.join(right, join_type="inner", num_partitions=nparts,
                           on=("u",), right_on=("u2",))
-
-    key_ref = _edge_key_ref(edges, m)
-    if key_ref is not None:
-        class _CountClosed(_ClosureProbe):
-            def __init__(self):
-                super().__init__(key_ref)
-
-            def __call__(self, t: pa.Table) -> pa.Table:
-                # each unordered out-pair once, id-canonical for the probe
-                v = t.column("v").to_numpy()
-                w = t.column("w").to_numpy()
-                keep = v < w
-                h = self.hits(v[keep], w[keep])
-                return pa.table({"pt": pa.array([int(h.sum())], pa.int64())})
-
-        total = wedge.map_batches(_CountClosed, batch_format="pyarrow",
-                                  concurrency=(1, 8)).sum("pt")
-        return pd.DataFrame({"n_triangles": pd.Series([int(total)],
-                                                      dtype="int64")})
 
     def half(t: pa.Table) -> pa.Table:
         # keep each unordered out-pair once, id-canonical for the probe
@@ -6570,38 +6650,49 @@ def q_part_clustering_coeff(sf_dir: str):
     broadcast regime."""
     edges = _co_order_edges(sf_dir)
     m = edges.count()
-    nparts = _tri_parts(sf_dir, m)
 
     # wedges keeping the middle vertex: (a, b, c) with a < b < c
-    right = edges.map_batches(
-        lambda t: t.rename_columns(["mid", "c"]), batch_format="pyarrow")
-    wedges = edges.join(right, join_type="inner", num_partitions=nparts,
-                        on=("b",), right_on=("mid",))
-    key_ref = _edge_key_ref(edges, m)
-    if key_ref is not None:
-        # broadcast closure: wedges never shuffle again — each batch keeps
-        # its closed triangles in place and folds to per-node partials
+    bc = _edge_bcast(edges, m)
+    if bc is not None:
+        # broadcast closure + local wedge generation: each edge batch
+        # emits its wedges from the CSR, keeps the closed triangles in
+        # place and folds to per-node partials — no wedge join
+        key_ref, csr_ref = bc
+
         class _TriPartial(_ClosureProbe):
             def __init__(self):
                 super().__init__(key_ref)
+                self.nodes, self.indptr, self.nbrs = ray.get(csr_ref)
+                # dense node index for O(n + k) bincount partials (the
+                # np.unique sort was the probe loop's hot spot)
+                self.allnodes = np.unique(
+                    np.concatenate([self.nodes, self.nbrs]))
 
             def __call__(self, t: pa.Table) -> pa.Table:
-                h = self.hits(t.column("a").to_numpy(),
-                              t.column("c").to_numpy())
-                mask = pa.array(h)
-                kept = t.select(["a", "b", "c"]).filter(mask)
-                node = pa.concat_arrays(
-                    [kept.column(c).combine_chunks()
-                     for c in ("a", "b", "c")])
-                g = pa.table({"node": node}).group_by("node").aggregate(
-                    [("node", "count")])
-                return g.rename_columns(["node", "pt"])
+                a = t.column("a").to_numpy()
+                b = t.column("b").to_numpy()
+                row, flat = _csr_rows(self.nodes, self.indptr, b)
+                av = a[row]
+                cv = self.nbrs[flat]
+                h = self.hits(av, cv)
+                node = np.concatenate([av[h], b[row][h], cv[h]])
+                cnt = np.bincount(np.searchsorted(self.allnodes, node),
+                                  minlength=len(self.allnodes))
+                nz = np.flatnonzero(cnt)
+                return pa.table({"node": pa.array(self.allnodes[nz],
+                                                  pa.int64()),
+                                 "pt": pa.array(cnt[nz], pa.int64())})
 
-        tri = (wedges.map_batches(_TriPartial, batch_format="pyarrow",
-                                  concurrency=(1, 8))
+        tri = (edges.map_batches(_TriPartial, batch_format="pyarrow",
+                                 batch_size=16384, concurrency=(1, 8))
                .groupby("node").aggregate(Sum("pt", alias_name="n_tri"))
                .to_pandas())  # <= |parts| rows
     else:
+        nparts = _tri_parts(sf_dir, m)
+        right = edges.map_batches(
+            lambda t: t.rename_columns(["mid", "c"]), batch_format="pyarrow")
+        wedges = edges.join(right, join_type="inner", num_partitions=nparts,
+                            on=("b",), right_on=("mid",))
         closed = wedges.map_batches(
             lambda t: t.select(["a", "b", "c"]), batch_format="pyarrow").join(
             edges.map_batches(lambda t: t.rename_columns(["ea", "eb"]),
