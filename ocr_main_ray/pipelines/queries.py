@@ -1656,15 +1656,26 @@ def q_doc_dup_ngram_coverage(sf_dir: str):
         return out.groupby("doc_id", as_index=False).sum().astype(
             {"p_total": "int64", "p_dup": "int64"})
 
+    def doc_fold(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized in-bucket fold: Dataset.aggregate's per-group
+        # accumulate was measured ~quadratic in rows/block (22.9 s for
+        # the 155k partial rows here); the bucketed pandas sum is exact
+        # for these integer columns and runs in well under a second
+        out = (g.groupby("doc_id", as_index=False)[["p_total", "p_dup"]]
+               .sum().astype({"p_total": "int64", "p_dup": "int64"}))
+        return out.rename(columns={"p_total": "n_grams", "p_dup": "n_dup"})
+
     per_doc = (_docs(sf_dir, ["doc_id", "text"])
                .map_batches(_gram_partials, batch_format="pandas")
                .map_batches(lambda t: _add_gram_bucket(t, nb),
                             batch_format="pyarrow")
                .groupby("gbucket")
                .map_groups(bucket_doc_partials, batch_format="pandas")
-               .groupby("doc_id")
-               .aggregate(Sum("p_total", alias_name="n_grams"),
-                          Sum("p_dup", alias_name="n_dup"))
+               .map_batches(lambda t: t.append_column(
+                   "dbucket", _mod_bucket(t.column("doc_id"), nb)),
+                   batch_format="pyarrow")
+               .groupby("dbucket")
+               .map_groups(doc_fold, batch_format="pandas")
                .to_pandas().sort_values("doc_id").reset_index(drop=True))
     per_doc["dup_coverage"] = (per_doc["n_dup"].to_numpy().astype(np.float64)
                                / per_doc["n_grams"].to_numpy())
@@ -4829,9 +4840,31 @@ def q_char_class_profile(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 def q_bigram_pmi(sf_dir: str):
+    nb = _session_buckets()
+
+    def fold_counts(key: str, out: str):
+        # coarse-bucket fold: Dataset.aggregate's accumulate is ~quadratic
+        # in rows/block (hundreds of thousands of per-block partial rows
+        # here), the in-bucket pandas integer sum is exact and linear
+        def add_b(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b["sb"] = (pd.util.hash_array(b[key].to_numpy(object))
+                       % nb).astype(np.int32)
+            return b
+
+        def fold(g: pd.DataFrame) -> pd.DataFrame:
+            o = g.groupby(key, as_index=False)["pn"].sum()
+            o["pn"] = o["pn"].astype("int64")
+            return o.rename(columns={"pn": out})
+
+        return add_b, fold
+
+    add_bg, fold_bg = fold_counts("bg", "n")
     bg_counts = (_docs(sf_dir, ["doc_id", "text"])
                  .map_batches(_bigram_partial, batch_format="pandas")
-                 .groupby("bg").aggregate(Sum("pn", alias_name="n")))
+                 .map_batches(add_bg, batch_format="pandas")
+                 .groupby("sb").map_groups(fold_bg, batch_format="pandas")
+                 .materialize())
     total_bigrams = int(bg_counts.sum("n"))
     top = _topk(bg_counts, "n", "bg", 20)[["bg", "n"]]
 
@@ -4841,9 +4874,12 @@ def q_bigram_pmi(sf_dir: str):
         words.update((a, c))
     words_ref = ray.put(words)
 
+    add_w, fold_w = fold_counts("w", "c")
     uni = (_docs(sf_dir, ["text"])
            .map_batches(_word_freq_partial, batch_format="pandas")
-           .groupby("w").aggregate(Sum("pn", alias_name="c")))
+           .map_batches(add_w, batch_format="pandas")
+           .groupby("sb").map_groups(fold_w, batch_format="pandas")
+           .materialize())
     total_tokens = int(uni.sum("c"))
 
     def keep_members(batch: pd.DataFrame) -> pd.DataFrame:
