@@ -248,6 +248,18 @@ def test_suppliers_kept_waiting_routes_agree(ray_session):
     assert a.shape[0] > 0
 
 
+def test_set_similarity_join_routes_agree(ray_session):
+    """The small-vocabulary bitmask path (uint64 masks + popcount
+    arithmetic) and the general prefix-filter path must produce the same
+    exact Jaccard >= 0.5 pair set."""
+    from ocr_main_ray.pipelines.queries import q_set_similarity_join
+    sf = "/root/testdata/sf0.001"
+    a = q_set_similarity_join(sf, route="bitmask")
+    b = q_set_similarity_join(sf, route="prefix")
+    assert a.equals(b)
+    assert a.num_rows > 0
+
+
 def test_token_familiarity_routes_agree(ray_session):
     """The broadcast-vocabulary (fold inside the scan, zero pass-2
     exchanges) and hash-join paths of token_familiarity must produce
