@@ -45,13 +45,22 @@ def _doc_bigrams_block(batch: pd.DataFrame) -> pd.DataFrame:
                          "tf": pd.Series(rows_tf, dtype="int64")})
 
 
-def score_docs_bigram_lm(docs_ds) -> pd.DataFrame:
+def score_docs_bigram_lm(docs_ds, *, route: str | None = None
+                         ) -> pd.DataFrame:
     """(doc_id, text) Dataset -> per-doc (doc_id, n_bigrams,
-    micronats, avg_logprob) via distributed counts + scoring join."""
+    micronats, avg_logprob) via distributed counts + scoring join.
+
+    Size-routed: when the unigram/bigram count tables fit the broadcast
+    budget they ship once as sorted arrays and scoring is one map pass
+    (no joins); past it the hash-join plan runs.  Both routes share the
+    fixed-point micronat arithmetic, so results are bit-identical."""
+    import ray
     import ray.data as rd
     from ray.data.aggregate import Sum
 
     from ..rayops import fit_for_join
+
+    _BCAST_MAX = 5_000_000
 
     def uni_partial(b: pd.DataFrame) -> pd.DataFrame:
         words = b["text"].str.split().explode().dropna()
@@ -63,12 +72,93 @@ def score_docs_bigram_lm(docs_ds) -> pd.DataFrame:
            .groupby("w").aggregate(Sum("pn", alias_name="c")))
     vocab_size = uni.count()
 
-    doc_bg = docs_ds.map_batches(_doc_bigrams_block, batch_format="pandas")
+    # materialized: consumed twice (bigram counts, then scoring) — without
+    # this the Python-loop bigram explode runs two full passes
+    doc_bg = docs_ds.map_batches(_doc_bigrams_block,
+                                 batch_format="pandas").materialize()
     bg_counts = (doc_bg.map_batches(
         lambda t: t.select(["bg", "tf"]).group_by("bg")
         .aggregate([("tf", "sum")]).rename_columns(["bg", "cab"]),
         batch_format="pyarrow")
         .groupby("bg").aggregate(Sum("cab", alias_name="cab")))
+
+    from ..config import cluster_cpus
+
+    nbk = max(16, cluster_cpus() * 2)
+
+    def add_doc_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("dbk", pa.array(
+            (t.column("doc_id").to_numpy() % nbk).astype(np.int32),
+            pa.int32()))
+
+    def doc_fold(g: pd.DataFrame) -> pd.DataFrame:
+        # bucketed integer fold (exact, order-independent): the
+        # Dataset-level aggregate's accumulate is ~quadratic in
+        # rows/block over the per-block doc partials entering here
+        o = g.groupby("doc_id", as_index=False)[["p_mn", "p_n"]].sum()
+        o["p_mn"] = o["p_mn"].astype("int64")
+        o["p_n"] = o["p_n"].astype("int64")
+        return o.rename(columns={"p_mn": "micronats", "p_n": "n_bigrams"})
+
+    def finish(scored) -> pd.DataFrame:
+        out = (scored.map_batches(add_doc_bucket, batch_format="pyarrow")
+               .groupby("dbk").map_groups(doc_fold, batch_format="pandas")
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        out["micronats"] = out["micronats"].astype("int64")
+        out["n_bigrams"] = out["n_bigrams"].astype("int64")
+        out["avg_logprob"] = (
+            out["micronats"].to_numpy().astype(np.float64)
+            / (1e6 * out["n_bigrams"].to_numpy().astype(np.float64)))
+        return out[["doc_id", "n_bigrams", "micronats", "avg_logprob"]]
+
+    if route is None:
+        uni = uni.materialize()
+        bg_counts = bg_counts.materialize()
+        route = ("broadcast"
+                 if int(vocab_size) + bg_counts.count() <= _BCAST_MAX
+                 else "join")
+
+    if route == "broadcast":
+        uni_df = uni.to_pandas()
+        bg_df = bg_counts.to_pandas()
+        uo = np.argsort(uni_df["w"].to_numpy(object))
+        bo = np.argsort(bg_df["bg"].to_numpy(object))
+        ref = ray.put((uni_df["w"].to_numpy(object)[uo],
+                       uni_df["c"].to_numpy(np.int64)[uo],
+                       bg_df["bg"].to_numpy(object)[bo],
+                       bg_df["cab"].to_numpy(np.int64)[bo]))
+        V = int(vocab_size)
+
+        class _ScoreBcast:
+            def __init__(self):
+                (self.uw, self.uc, self.bw, self.bc) = ray.get(ref)
+
+            def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+                if not len(b):
+                    return pd.DataFrame({
+                        "doc_id": pd.Series([], dtype="int64"),
+                        "p_mn": pd.Series([], dtype="int64"),
+                        "p_n": pd.Series([], dtype="int64")})
+                bgs = b["bg"].to_numpy(object)
+                # every bigram/context of the corpus is in the corpus
+                # count tables by construction — plain sorted lookups
+                cab = self.bc[np.searchsorted(self.bw, bgs)]
+                ctx = np.array([s.split(" ", 1)[0] for s in bgs],
+                               dtype=object)
+                ca = self.uc[np.searchsorted(self.uw, ctx)]
+                tf = b["tf"].to_numpy(np.int64)
+                lp = np.log((cab + 1.0) / (ca + float(V)))
+                mn = np.floor(lp * 1e6 + 0.5).astype(np.int64) * tf
+                g = pd.DataFrame({"doc_id": b["doc_id"].to_numpy(np.int64),
+                                  "p_mn": mn, "p_n": tf})
+                o = g.groupby("doc_id", as_index=False).sum()
+                o["p_mn"] = o["p_mn"].astype("int64")
+                o["p_n"] = o["p_n"].astype("int64")
+                return o
+
+        return finish(doc_bg.map_batches(_ScoreBcast,
+                                         batch_format="pandas",
+                                         concurrency=(1, 8)))
 
     # decorate each doc bigram with C(a,b), then with C(a)
     bg_schema = pa.schema([("doc_id", pa.int64()), ("bg", pa.large_string()),
@@ -108,17 +198,7 @@ def score_docs_bigram_lm(docs_ds) -> pd.DataFrame:
              .group_by("doc_id").aggregate([("mn", "sum"), ("n", "sum")]))
         return g.rename_columns(["doc_id", "p_mn", "p_n"])
 
-    out = (j2.map_batches(micronats, batch_format="pyarrow")
-           .groupby("doc_id")
-           .aggregate(Sum("p_mn", alias_name="micronats"),
-                      Sum("p_n", alias_name="n_bigrams"))
-           .to_pandas().sort_values("doc_id").reset_index(drop=True))
-    out["micronats"] = out["micronats"].astype("int64")
-    out["n_bigrams"] = out["n_bigrams"].astype("int64")
-    out["avg_logprob"] = (out["micronats"].to_numpy().astype(np.float64)
-                          / (1e6 * out["n_bigrams"].to_numpy()
-                             .astype(np.float64)))
-    return out[["doc_id", "n_bigrams", "micronats", "avg_logprob"]]
+    return finish(j2.map_batches(micronats, batch_format="pyarrow"))
 
 
 def score_docs_reference(docs: list[tuple[int, str]]) -> pd.DataFrame:
