@@ -316,26 +316,73 @@ class _SegmentJoin:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         probe = batch.column("o_custkey").to_numpy()
+        # inner-join semantics: orders with no matching customer drop out
+        # (none exist in TPC-H data; keeps both routes pointwise equal)
         hit, segs_at = _sorted_lookup(self.keys, self.segs, probe)
-        segs = np.where(hit, segs_at, None)
         cents = pc.cast(pc.round(pc.multiply(batch.column("o_totalprice"), 100.0)), pa.int64())
-        t = pa.table({"c_mktsegment": pa.array(segs, pa.string()), "cents": cents})
+        t = pa.table({"c_mktsegment": pa.array(segs_at[hit], pa.string()),
+                      "cents": pa.array(cents.to_numpy()[hit], pa.int64())})
         g = t.group_by("c_mktsegment").aggregate([("cents", "sum"), ("cents", "count")])
         return g.rename_columns(["c_mktsegment", "p_cents", "p_n"])
 
 
-def q_revenue_by_segment(sf_dir: str):
+def q_revenue_by_segment(sf_dir: str, *, route: str | None = None):
+    """Size-routed like q_local_supplier_revenue: below _BCAST_DIM_MAX_ROWS
+    the customer->segment map is broadcast once and the lookup fuses into
+    the orders scan (one |segments|-row exchange total); past it the
+    per-custkey order partials meet customer in a hash-partitioned join so
+    nothing sized by the sf-scaled dimension is driver-read or broadcast."""
     import pyarrow.parquet as pq
 
-    cust = pq.read_table(f"{sf_dir}/customer.parquet",
-                         columns=["c_custkey", "c_mktsegment"])
-    cust_ref = ray.put(cust)
+    if route is None:
+        route = ("broadcast"
+                 if pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+                 <= _BCAST_DIM_MAX_ROWS else "hashjoin")
     ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
                          columns=["o_custkey", "o_totalprice"])
-    partials = ds.map_batches(
-        _SegmentJoin, fn_constructor_kwargs={"cust_ref": cust_ref},
-        batch_format="pyarrow", batch_size=65536, concurrency=(1, 4),
-    )
+    if route == "broadcast":
+        cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey", "c_mktsegment"])
+        cust_ref = ray.put(cust)
+        partials = ds.map_batches(
+            _SegmentJoin, fn_constructor_kwargs={"cust_ref": cust_ref},
+            batch_format="pyarrow", batch_size=65536, concurrency=(1, 4),
+        )
+    else:
+        from ..rayops import fit_for_join
+
+        def order_partial(t: pa.Table) -> pa.Table:
+            cents = pc.cast(
+                pc.round(pc.multiply(t.column("o_totalprice"), 100.0)),
+                pa.int64())
+            g = (pa.table({"o_custkey": t.column("o_custkey"),
+                           "cents": cents})
+                 .group_by("o_custkey")
+                 .aggregate([("cents", "sum"), ("cents", "count")]))
+            return g.rename_columns(["o_custkey", "p_cents", "p_n"])
+
+        part_schema = pa.schema([("o_custkey", pa.int64()),
+                                 ("p_cents", pa.int64()),
+                                 ("p_n", pa.int64())])
+        cust_schema = pa.schema([("c_custkey", pa.int64()),
+                                 ("c_mktsegment", pa.large_string())])
+        per_cust = fit_for_join(
+            ds.map_batches(order_partial, batch_format="pyarrow"),
+            part_schema)
+        cust_ds = fit_for_join(
+            rd.read_parquet(f"{sf_dir}/customer.parquet",
+                            columns=["c_custkey", "c_mktsegment"]),
+            cust_schema)
+        joined = per_cust.join(cust_ds, join_type="inner",
+                               num_partitions=_join_parts(sf_dir, "orders"),
+                               on=("o_custkey",), right_on=("c_custkey",))
+
+        def fold(t: pa.Table) -> pa.Table:
+            g = (t.group_by("c_mktsegment")
+                 .aggregate([("p_cents", "sum"), ("p_n", "sum")]))
+            return g.rename_columns(["c_mktsegment", "p_cents", "p_n"])
+
+        partials = joined.map_batches(fold, batch_format="pyarrow")
     return (
         partials.groupby("c_mktsegment")
         .aggregate(Sum("p_cents", alias_name="total_revenue_cents"),
@@ -462,45 +509,94 @@ def q_customer_order_counts(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 class _NationJoin:
-    def __init__(self, cust_ref, nation_ref):
+    """Broadcast customer->nationkey lookup fused into the orders scan.
+    One vectorized searchsorted per batch (no per-row dict hop); partials
+    are int-nationkey keyed, so the exchange is |nations| tiny rows."""
+
+    def __init__(self, cust_ref):
         cust = ray.get(cust_ref)
-        nation = ray.get(nation_ref)
-        nname = dict(zip(nation.column("n_nationkey").to_pylist(),
-                         nation.column("n_name").to_pylist()))
-        self.nation_of = {
-            ck: nname.get(nk)
-            for ck, nk in zip(cust.column("c_custkey").to_pylist(),
-                              cust.column("c_nationkey").to_pylist())
-        }
+        keys = cust.column("c_custkey").to_numpy()
+        order = np.argsort(keys)
+        self.keys = keys[order]
+        self.nat = cust.column("c_nationkey").to_numpy()[order].astype(
+            np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        keys = batch.column("o_custkey").to_pylist()
-        names = [self.nation_of.get(k) for k in keys]
+        probe = batch.column("o_custkey").to_numpy()
+        hit, nat = _sorted_lookup(self.keys, self.nat, probe)
         cents = pc.cast(pc.round(pc.multiply(batch.column("o_totalprice"), 100.0)),
                         pa.int64())
-        t = pa.table({"n_name": pa.array(names, pa.string()), "cents": cents})
-        g = t.group_by("n_name").aggregate([("cents", "sum"), ("cents", "count")])
-        return g.rename_columns(["n_name", "p_cents", "p_n"])
+        t = pa.table({"n_nationkey": pa.array(nat[hit], pa.int64()),
+                      "cents": pa.array(cents.to_numpy()[hit], pa.int64())})
+        g = t.group_by("n_nationkey").aggregate([("cents", "sum"),
+                                                 ("cents", "count")])
+        return g.rename_columns(["n_nationkey", "p_cents", "p_n"])
 
 
-def q_revenue_by_nation(sf_dir: str):
+def q_revenue_by_nation(sf_dir: str, *, route: str | None = None):
+    """Size-routed: below _BCAST_DIM_MAX_ROWS the customer->nationkey map
+    is broadcast once; past it per-custkey order partials meet customer in
+    a hash-partitioned join.  Either way the exchange is int-nationkey
+    partials and the 25-row nation name attach happens driver-side."""
     import pyarrow.parquet as pq
 
-    cust_ref = ray.put(pq.read_table(f"{sf_dir}/customer.parquet",
-                                     columns=["c_custkey", "c_nationkey"]))
-    nation_ref = ray.put(pq.read_table(f"{sf_dir}/nation.parquet",
-                                       columns=["n_nationkey", "n_name"]))
+    if route is None:
+        route = ("broadcast"
+                 if pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+                 <= _BCAST_DIM_MAX_ROWS else "hashjoin")
     ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
                          columns=["o_custkey", "o_totalprice"])
-    partials = ds.map_batches(
-        _NationJoin,
-        fn_constructor_kwargs={"cust_ref": cust_ref, "nation_ref": nation_ref},
-        batch_format="pyarrow", batch_size=65536, concurrency=(1, 4),
-    )
-    return (partials.groupby("n_name")
-            .aggregate(Sum("p_cents", alias_name="revenue_cents"),
-                       Sum("p_n", alias_name="n_orders"))
-            .to_pandas())
+    if route == "broadcast":
+        cust_ref = ray.put(pq.read_table(f"{sf_dir}/customer.parquet",
+                                         columns=["c_custkey", "c_nationkey"]))
+        partials = ds.map_batches(
+            _NationJoin, fn_constructor_kwargs={"cust_ref": cust_ref},
+            batch_format="pyarrow", batch_size=65536, concurrency=(1, 4),
+        )
+    else:
+        from ..rayops import fit_for_join
+
+        def order_partial(t: pa.Table) -> pa.Table:
+            cents = pc.cast(
+                pc.round(pc.multiply(t.column("o_totalprice"), 100.0)),
+                pa.int64())
+            g = (pa.table({"o_custkey": t.column("o_custkey"),
+                           "cents": cents})
+                 .group_by("o_custkey")
+                 .aggregate([("cents", "sum"), ("cents", "count")]))
+            return g.rename_columns(["o_custkey", "p_cents", "p_n"])
+
+        part_schema = pa.schema([("o_custkey", pa.int64()),
+                                 ("p_cents", pa.int64()),
+                                 ("p_n", pa.int64())])
+        cust_schema = pa.schema([("c_custkey", pa.int64()),
+                                 ("c_nationkey", pa.int64())])
+        per_cust = fit_for_join(
+            ds.map_batches(order_partial, batch_format="pyarrow"),
+            part_schema)
+        cust_ds = fit_for_join(
+            rd.read_parquet(f"{sf_dir}/customer.parquet",
+                            columns=["c_custkey", "c_nationkey"]),
+            cust_schema)
+        joined = per_cust.join(cust_ds, join_type="inner",
+                               num_partitions=_join_parts(sf_dir, "orders"),
+                               on=("o_custkey",), right_on=("c_custkey",))
+
+        def fold(t: pa.Table) -> pa.Table:
+            g = (t.group_by("c_nationkey")
+                 .aggregate([("p_cents", "sum"), ("p_n", "sum")]))
+            return g.rename_columns(["n_nationkey", "p_cents", "p_n"])
+
+        partials = joined.map_batches(fold, batch_format="pyarrow")
+    out = (partials.groupby("n_nationkey")
+           .aggregate(Sum("p_cents", alias_name="revenue_cents"),
+                      Sum("p_n", alias_name="n_orders"))
+           .to_pandas())
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_name"])
+    out = out.merge(nation, on="n_nationkey", how="inner")
+    return (out[["n_name", "revenue_cents", "n_orders"]]
+            .sort_values("n_name").reset_index(drop=True))
 
 
 # ---------------------------------------------------------------------------
@@ -1867,22 +1963,61 @@ class _SegmentSemi:
         })
 
 
-def q_building_orders(sf_dir: str):
+def q_building_orders(sf_dir: str, *, route: str | None = None):
+    """Size-routed semi join: below _BCAST_DIM_MAX_ROWS the one-segment
+    custkey set is broadcast and the probe fuses into the orders scan;
+    past it per-custkey order partials meet the segment-filtered customer
+    read (predicate pushed to parquet) in a hash-partitioned join."""
     import pyarrow.parquet as pq
 
-    cust = pq.read_table(f"{sf_dir}/customer.parquet",
-                         columns=["c_custkey", "c_mktsegment"])
-    keys = np.sort(cust.filter(
-        pc.equal(cust.column("c_mktsegment"), "BUILDING"))
-        .column("c_custkey").to_numpy())
-    keys_ref = ray.put(keys)
+    if route is None:
+        route = ("broadcast"
+                 if pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+                 <= _BCAST_DIM_MAX_ROWS else "hashjoin")
     ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
                          columns=["o_custkey", "o_totalprice"])
-    agg = ds.map_batches(
-        _SegmentSemi, fn_constructor_kwargs={"keys_ref": keys_ref},
-        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1,
-    ).aggregate(Sum("p_n", alias_name="n_orders"),
-                Sum("p_cents", alias_name="revenue_cents"))
+    if route == "broadcast":
+        cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey", "c_mktsegment"])
+        keys = np.sort(cust.filter(
+            pc.equal(cust.column("c_mktsegment"), "BUILDING"))
+            .column("c_custkey").to_numpy())
+        keys_ref = ray.put(keys)
+        agg = ds.map_batches(
+            _SegmentSemi, fn_constructor_kwargs={"keys_ref": keys_ref},
+            batch_format="pyarrow", concurrency=(1, 4), num_cpus=1,
+        ).aggregate(Sum("p_n", alias_name="n_orders"),
+                    Sum("p_cents", alias_name="revenue_cents"))
+    else:
+        from ..rayops import fit_for_join
+
+        def order_partial(t: pa.Table) -> pa.Table:
+            cents = pc.cast(
+                pc.round(pc.multiply(t.column("o_totalprice"), 100.0)),
+                pa.int64())
+            g = (pa.table({"o_custkey": t.column("o_custkey"),
+                           "cents": cents})
+                 .group_by("o_custkey")
+                 .aggregate([("cents", "sum"), ("cents", "count")]))
+            return g.rename_columns(["o_custkey", "p_cents", "p_n"])
+
+        part_schema = pa.schema([("o_custkey", pa.int64()),
+                                 ("p_cents", pa.int64()),
+                                 ("p_n", pa.int64())])
+        keys_schema = pa.schema([("c_custkey", pa.int64())])
+        per_cust = fit_for_join(
+            ds.map_batches(order_partial, batch_format="pyarrow"),
+            part_schema)
+        seg_keys = fit_for_join(
+            rd.read_parquet(
+                f"{sf_dir}/customer.parquet", columns=["c_custkey"],
+                filter=(pc.field("c_mktsegment") == "BUILDING")),
+            keys_schema)
+        agg = (per_cust.join(seg_keys, join_type="inner",
+                             num_partitions=_join_parts(sf_dir, "orders"),
+                             on=("o_custkey",), right_on=("c_custkey",))
+               .aggregate(Sum("p_n", alias_name="n_orders"),
+                          Sum("p_cents", alias_name="revenue_cents")))
     return pa.table({
         "n_orders": pa.array([agg["n_orders"]], pa.int64()),
         "revenue_cents": pa.array([agg["revenue_cents"]], pa.int64()),
@@ -2881,28 +3016,60 @@ def _q3_li_partial(t: pa.Table) -> pa.Table:
     return g.rename_columns(["l_orderkey", "p_cents"])
 
 
-def q_shipping_priority(sf_dir: str):
+def q_shipping_priority(sf_dir: str, *, route: str | None = None):
+    """TPC-H Q3.  The lineitem-orders side is always a hash join; the
+    BUILDING-customer semi filter on orders is size-routed: broadcast
+    custkey set below _BCAST_DIM_MAX_ROWS, hash-partitioned join against
+    the segment-filtered customer read (predicate pushed to parquet) past
+    it, so the sf-scaled dimension is never driver-read at 100x scale."""
     import pyarrow.parquet as pq
 
     from ..config import cluster_cpus
     from ..rayops import fit_for_join
 
-    cust = pq.read_table(f"{sf_dir}/customer.parquet",
-                         columns=["c_custkey", "c_mktsegment"])
-    keys = cust.filter(
-        pc.equal(cust.column("c_mktsegment"), "BUILDING")).column("c_custkey")
-    keys_ref = ray.put(np.asarray(keys))
+    if route is None:
+        route = ("broadcast"
+                 if pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+                 <= _BCAST_DIM_MAX_ROWS else "hashjoin")
 
-    def orders_filter(t: pa.Table) -> pa.Table:
-        ks = pa.array(ray.get(keys_ref))  # object-store cached per node
-        t = t.filter(pc.is_in(t.column("o_custkey"), value_set=ks))
-        return t.select(["o_orderkey", "o_orderdate", "o_orderpriority"])
-
-    od = rd.read_parquet(
+    orders_raw = rd.read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
         filter=pds.field("o_orderdate") < pa.scalar(Q3_CUTOFF),
-    ).map_batches(orders_filter, batch_format="pyarrow")
+    )
+    if route == "broadcast":
+        cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey", "c_mktsegment"])
+        keys = cust.filter(
+            pc.equal(cust.column("c_mktsegment"),
+                     "BUILDING")).column("c_custkey")
+        keys_ref = ray.put(np.asarray(keys))
+
+        def orders_filter(t: pa.Table) -> pa.Table:
+            ks = pa.array(ray.get(keys_ref))  # object-store cached per node
+            t = t.filter(pc.is_in(t.column("o_custkey"), value_set=ks))
+            return t.select(["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+        od = orders_raw.map_batches(orders_filter, batch_format="pyarrow")
+    else:
+        raw_schema = pa.schema([("o_orderkey", pa.int64()),
+                                ("o_custkey", pa.int64()),
+                                ("o_orderdate", pa.timestamp("us")),
+                                ("o_orderpriority", pa.large_string())])
+        keys_schema = pa.schema([("c_custkey", pa.int64())])
+        seg_keys = fit_for_join(
+            rd.read_parquet(
+                f"{sf_dir}/customer.parquet", columns=["c_custkey"],
+                filter=(pc.field("c_mktsegment") == "BUILDING")),
+            keys_schema)
+        od = (fit_for_join(orders_raw, raw_schema)
+              .join(seg_keys, join_type="inner",
+                    num_partitions=_join_parts(sf_dir, "orders"),
+                    on=("o_custkey",), right_on=("c_custkey",))
+              .map_batches(
+                  lambda t: t.select(["o_orderkey", "o_orderdate",
+                                      "o_orderpriority"]),
+                  batch_format="pyarrow"))
 
     li = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -3015,37 +3182,79 @@ def _order_cents_partials(batch: pa.Table) -> pa.Table:
     return g.rename_columns(["o_custkey", "p_cents", "p_n"])
 
 
-def q_orders_above_cust_avg(sf_dir: str):
+def q_orders_above_cust_avg(sf_dir: str, *, route: str | None = None):
+    """Orders strictly above their customer's average order value (exact
+    integer cross-multiply, no float division).  Size-routed: below
+    _BCAST_DIM_MAX_ROWS the per-custkey (sum, count) stats table — one row
+    per customer — is broadcast and the filter fuses into the orders scan;
+    past it the stats stay a Dataset and meet orders in a hash-partitioned
+    join, so nothing customer-sized is driver-materialized."""
+    import pyarrow.parquet as pq
+
+    if route is None:
+        route = ("broadcast"
+                 if pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+                 <= _BCAST_DIM_MAX_ROWS else "hashjoin")
     ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
                          columns=["o_orderkey", "o_custkey", "o_totalprice"])
-    agg = (ds.map_batches(_order_cents_partials, batch_format="pyarrow")
-           .groupby("o_custkey")
-           .aggregate(Sum("p_cents", alias_name="s"), Sum("p_n", alias_name="n"))
-           .to_pandas()
-           .sort_values("o_custkey"))  # one row per customer (dimension
-    # cardinality — the same broadcast class as the customer-table joins)
-    stats_ref = ray.put((agg["o_custkey"].to_numpy(dtype=np.int64),
-                         agg["s"].to_numpy(dtype=np.int64),
-                         agg["n"].to_numpy(dtype=np.int64)))
+    stats = (ds.map_batches(_order_cents_partials, batch_format="pyarrow")
+             .groupby("o_custkey")
+             .aggregate(Sum("p_cents", alias_name="s"),
+                        Sum("p_n", alias_name="n")))
 
-    class _AboveAvg:
-        def __init__(self, ref):
-            self.keys, self.sums, self.ns = ray.get(ref)
+    if route == "broadcast":
+        agg = stats.to_pandas().sort_values("o_custkey")
+        stats_ref = ray.put((agg["o_custkey"].to_numpy(dtype=np.int64),
+                             agg["s"].to_numpy(dtype=np.int64),
+                             agg["n"].to_numpy(dtype=np.int64)))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            keys = batch.column("o_custkey").to_numpy()
+        class _AboveAvg:
+            def __init__(self, ref):
+                self.keys, self.sums, self.ns = ray.get(ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                keys = batch.column("o_custkey").to_numpy()
+                cents = pc.cast(
+                    pc.round(pc.multiply(batch.column("o_totalprice"), 100.0)),
+                    pa.int64()).to_numpy()
+                # every custkey has a stats row by construction (the
+                # aggregate came from this same table) -> one vectorized
+                # searchsorted
+                pos = np.searchsorted(self.keys, keys)
+                keep = cents * self.ns[pos] > self.sums[pos]
+                return batch.select(["o_orderkey", "o_custkey"]).filter(
+                    pa.array(keep))
+
+        out = ds.map_batches(_AboveAvg,
+                             fn_constructor_kwargs={"ref": stats_ref},
+                             batch_format="pyarrow", concurrency=(1, 4))
+    else:
+        from ..rayops import fit_for_join
+
+        ord_schema = pa.schema([("o_orderkey", pa.int64()),
+                                ("o_custkey", pa.int64()),
+                                ("o_totalprice", pa.float64())])
+        stats_schema = pa.schema([("o_custkey", pa.int64()),
+                                  ("s", pa.int64()), ("n", pa.int64())])
+        joined = fit_for_join(ds, ord_schema).join(
+            fit_for_join(stats.map_batches(
+                lambda t: t.rename_columns(["cust", "s", "n"]),
+                batch_format="pyarrow"),
+                pa.schema([("cust", pa.int64()), ("s", pa.int64()),
+                           ("n", pa.int64())])),
+            join_type="inner", num_partitions=_join_parts(sf_dir, "orders"),
+            on=("o_custkey",), right_on=("cust",))
+
+        def above(t: pa.Table) -> pa.Table:
             cents = pc.cast(
-                pc.round(pc.multiply(batch.column("o_totalprice"), 100.0)),
+                pc.round(pc.multiply(t.column("o_totalprice"), 100.0)),
                 pa.int64()).to_numpy()
-            # every custkey has a stats row by construction (the aggregate
-            # came from this same table) -> one vectorized searchsorted
-            pos = np.searchsorted(self.keys, keys)
-            keep = cents * self.ns[pos] > self.sums[pos]
-            return batch.select(["o_orderkey", "o_custkey"]).filter(
+            keep = (cents * t.column("n").to_numpy()
+                    > t.column("s").to_numpy())
+            return t.select(["o_orderkey", "o_custkey"]).filter(
                 pa.array(keep))
 
-    out = ds.map_batches(_AboveAvg, fn_constructor_kwargs={"ref": stats_ref},
-                         batch_format="pyarrow", concurrency=(1, 4))
+        out = joined.map_batches(above, batch_format="pyarrow")
     return out.to_pandas().sort_values("o_orderkey").reset_index(drop=True)
 
 
@@ -3594,26 +3803,70 @@ class _BrandWeighted:
         return g.rename_columns(["p_brand", "p_wsum", "p_w"])
 
 
-def q_brand_weighted_price(sf_dir: str):
+def q_brand_weighted_price(sf_dir: str, *, route: str | None = None):
+    """Quantity-weighted average price per brand.  Size-routed: below
+    _BCAST_DIM_MAX_ROWS the part->brand map is broadcast into the lineitem
+    scan; past it per-partkey lineitem partials meet part in a
+    hash-partitioned join (nothing part-sized on the driver)."""
     import pyarrow.parquet as pq
 
-    part = pq.read_table(f"{sf_dir}/part.parquet",
-                         columns=["p_partkey", "p_brand"])
-    pk = part.column("p_partkey").to_numpy()
-    order = np.argsort(pk)
-    brand_ref = ray.put((pk[order],
-                         part.column("p_brand").to_numpy(
-                             zero_copy_only=False)[order]))
+    if route is None:
+        route = ("broadcast"
+                 if pq.read_metadata(f"{sf_dir}/part.parquet").num_rows
+                 <= _BCAST_DIM_MAX_ROWS else "hashjoin")
     ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                          columns=["l_partkey", "l_extendedprice",
                                   "l_quantity"])
-    agg = (ds.map_batches(
-        _BrandWeighted, fn_constructor_kwargs={"brand_ref": brand_ref},
-        batch_format="pyarrow", concurrency=(1, 4))
-        .groupby("p_brand")
-        .aggregate(Sum("p_wsum", alias_name="wsum"),
-                   Sum("p_w", alias_name="total_qty"))
-        .to_pandas())
+    if route == "broadcast":
+        part = pq.read_table(f"{sf_dir}/part.parquet",
+                             columns=["p_partkey", "p_brand"])
+        pk = part.column("p_partkey").to_numpy()
+        order = np.argsort(pk)
+        brand_ref = ray.put((pk[order],
+                             part.column("p_brand").to_numpy(
+                                 zero_copy_only=False)[order]))
+        partials = ds.map_batches(
+            _BrandWeighted, fn_constructor_kwargs={"brand_ref": brand_ref},
+            batch_format="pyarrow", concurrency=(1, 4))
+    else:
+        from ..rayops import fit_for_join
+
+        def li_partial(t: pa.Table) -> pa.Table:
+            # identical integer arithmetic to _BrandWeighted (cents via
+            # round*100 cast, qty via numpy int64 truncation)
+            cents = pc.cast(pc.round(pc.multiply(
+                t.column("l_extendedprice"), 100.0)), pa.int64()).to_numpy()
+            qty = t.column("l_quantity").to_numpy().astype(np.int64)
+            g = (pa.table({"l_partkey": t.column("l_partkey"),
+                           "wsum": pa.array(cents * qty, pa.int64()),
+                           "w": pa.array(qty, pa.int64())})
+                 .group_by("l_partkey")
+                 .aggregate([("wsum", "sum"), ("w", "sum")]))
+            return g.rename_columns(["l_partkey", "p_wsum", "p_w"])
+
+        li_schema = pa.schema([("l_partkey", pa.int64()),
+                               ("p_wsum", pa.int64()), ("p_w", pa.int64())])
+        part_schema = pa.schema([("p_partkey", pa.int64()),
+                                 ("p_brand", pa.large_string())])
+        joined = fit_for_join(
+            ds.map_batches(li_partial, batch_format="pyarrow"),
+            li_schema).join(
+            fit_for_join(rd.read_parquet(f"{sf_dir}/part.parquet",
+                                         columns=["p_partkey", "p_brand"]),
+                         part_schema),
+            join_type="inner",
+            num_partitions=_join_parts(sf_dir, "lineitem"),
+            on=("l_partkey",), right_on=("p_partkey",))
+        partials = joined.map_batches(
+            lambda t: t.group_by("p_brand")
+            .aggregate([("p_wsum", "sum"), ("p_w", "sum")])
+            .rename_columns(["p_brand", "p_wsum", "p_w"]),
+            batch_format="pyarrow")
+    agg = (partials
+           .groupby("p_brand")
+           .aggregate(Sum("p_wsum", alias_name="wsum"),
+                      Sum("p_w", alias_name="total_qty"))
+           .to_pandas())
     agg["wavg_price_cents"] = agg["wsum"] / agg["total_qty"]
     out = agg[["p_brand", "wavg_price_cents", "total_qty"]]
     return out.sort_values("p_brand").reset_index(drop=True)
@@ -4266,35 +4519,19 @@ def q_events_value_percentiles_cont(sf_dir: str):
 # single division of two exact integer sums, so the double is bit-stable.
 # ---------------------------------------------------------------------------
 
-def q_promo_revenue_share(sf_dir: str):
+def q_promo_revenue_share(sf_dir: str, *, route: str | None = None):
+    """TPC-H Q14 analogue (PROMO revenue share in one ship month).
+    Size-routed: below _BCAST_DIM_MAX_ROWS the part->is-promo bitmap is
+    broadcast into the lineitem scan (zero shuffle); past it per-partkey
+    revenue partials meet the PROMO-filtered part read (predicate pushed
+    to parquet) in a hash-partitioned semi join, with the global total a
+    distributed sum over the same partials."""
     import pyarrow.parquet as pq
 
-    part = pq.read_table(f"{sf_dir}/part.parquet",
-                         columns=["p_partkey", "p_type"])
-    pk = part.column("p_partkey").to_numpy()
-    po = np.argsort(pk)
-    promo = pc.equal(part.column("p_type"), "PROMO").to_numpy(
-        zero_copy_only=False)
-    ref = ray.put((pk[po], promo[po]))
-
-    class _PromoPartial:
-        def __init__(self, ref):
-            self.keys, self.promo = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            rev = pc.multiply(pc.multiply(
-                batch.column("l_extendedprice"),
-                pc.subtract(pa.scalar(1.0), batch.column("l_discount"))),
-                pa.scalar(100.0))
-            cents = pc.cast(pc.round(rev, round_mode="half_towards_infinity"),
-                            pa.int64()).to_numpy()
-            hit, promo_at = _sorted_lookup(
-                self.keys, self.promo,
-                batch.column("l_partkey").to_numpy())
-            is_promo = hit & promo_at
-            return pa.table({
-                "p_promo": pa.array([int(cents[is_promo].sum())], pa.int64()),
-                "p_total": pa.array([int(cents.sum())], pa.int64())})
+    if route is None:
+        route = ("broadcast"
+                 if pq.read_metadata(f"{sf_dir}/part.parquet").num_rows
+                 <= _BCAST_DIM_MAX_ROWS else "hashjoin")
 
     lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1996-02-01")
     li = rd.read_parquet(
@@ -4302,11 +4539,73 @@ def q_promo_revenue_share(sf_dir: str):
         columns=["l_partkey", "l_extendedprice", "l_discount"],
         filter=((pds.field("l_shipdate") >= lo)
                 & (pds.field("l_shipdate") < hi)))
-    agg = (li.map_batches(_PromoPartial, fn_constructor_kwargs={"ref": ref},
-                          batch_format="pyarrow", concurrency=(1, 4))
-           .aggregate(Sum("p_promo", alias_name="promo"),
-                      Sum("p_total", alias_name="total")))
-    promo_c, total_c = int(agg["promo"]), int(agg["total"])
+
+    if route == "broadcast":
+        part = pq.read_table(f"{sf_dir}/part.parquet",
+                             columns=["p_partkey", "p_type"])
+        pk = part.column("p_partkey").to_numpy()
+        po = np.argsort(pk)
+        promo = pc.equal(part.column("p_type"), "PROMO").to_numpy(
+            zero_copy_only=False)
+        ref = ray.put((pk[po], promo[po]))
+
+        class _PromoPartial:
+            def __init__(self, ref):
+                self.keys, self.promo = ray.get(ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                rev = pc.multiply(pc.multiply(
+                    batch.column("l_extendedprice"),
+                    pc.subtract(pa.scalar(1.0), batch.column("l_discount"))),
+                    pa.scalar(100.0))
+                cents = pc.cast(
+                    pc.round(rev, round_mode="half_towards_infinity"),
+                    pa.int64()).to_numpy()
+                hit, promo_at = _sorted_lookup(
+                    self.keys, self.promo,
+                    batch.column("l_partkey").to_numpy())
+                is_promo = hit & promo_at
+                return pa.table({
+                    "p_promo": pa.array([int(cents[is_promo].sum())],
+                                        pa.int64()),
+                    "p_total": pa.array([int(cents.sum())], pa.int64())})
+
+        agg = (li.map_batches(_PromoPartial,
+                              fn_constructor_kwargs={"ref": ref},
+                              batch_format="pyarrow", concurrency=(1, 4))
+               .aggregate(Sum("p_promo", alias_name="promo"),
+                          Sum("p_total", alias_name="total")))
+        promo_c, total_c = int(agg["promo"]), int(agg["total"])
+    else:
+        from ..rayops import fit_for_join
+
+        def li_partial(t: pa.Table) -> pa.Table:
+            # identical per-row rounding to _PromoPartial before the sum
+            rev = pc.multiply(pc.multiply(
+                t.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), t.column("l_discount"))),
+                pa.scalar(100.0))
+            cents = pc.cast(pc.round(rev, round_mode="half_towards_infinity"),
+                            pa.int64())
+            g = (pa.table({"l_partkey": t.column("l_partkey"),
+                           "cents": cents})
+                 .group_by("l_partkey").aggregate([("cents", "sum")]))
+            return g.rename_columns(["l_partkey", "p_cents"])
+
+        li_schema = pa.schema([("l_partkey", pa.int64()),
+                               ("p_cents", pa.int64())])
+        per_part = fit_for_join(
+            li.map_batches(li_partial, batch_format="pyarrow"),
+            li_schema).materialize()
+        total_c = int(per_part.sum("p_cents") or 0)
+        promo_keys = fit_for_join(
+            rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey"],
+                            filter=(pc.field("p_type") == "PROMO")),
+            pa.schema([("p_partkey", pa.int64())]))
+        promo_c = int(per_part.join(
+            promo_keys, join_type="inner",
+            num_partitions=_join_parts(sf_dir, "lineitem"),
+            on=("l_partkey",), right_on=("p_partkey",)).sum("p_cents") or 0)
     return pa.table({
         "promo_cents": pa.array([promo_c], pa.int64()),
         "total_cents": pa.array([total_c], pa.int64()),
@@ -4383,22 +4682,22 @@ def q_top_supplier_revenue(sf_dir: str):
 # pruned slices.  Final rollup is 2 pair-directions x years.
 # ---------------------------------------------------------------------------
 
-def q_nation_pair_volume(sf_dir: str):
+def q_nation_pair_volume(sf_dir: str, *, route: str | None = None):
+    """TPC-H Q7 analogue.  The order-fact sides always meet in a hash
+    join; the supplier/customer nation attach is size-routed: broadcast
+    sorted-array lookups below _BCAST_DIM_MAX_ROWS, hash-partitioned joins
+    against the nation-filtered dimension reads (predicate pushed to
+    parquet) past it."""
     import pyarrow.parquet as pq
     from ..config import cluster_cpus
     from ..rayops import fit_for_join
 
     nat_a, nat_b = 1, 2  # NATION_1 <-> NATION_2, both directions
-    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
-                        columns=["s_suppkey", "s_nationkey"])
-    sk = sup.column("s_suppkey").to_numpy()
-    so = np.argsort(sk)
-    sup_ref = ray.put((sk[so], sup.column("s_nationkey").to_numpy()[so]))
-    cust = pq.read_table(f"{sf_dir}/customer.parquet",
-                         columns=["c_custkey", "c_nationkey"])
-    ck = cust.column("c_custkey").to_numpy()
-    co = np.argsort(ck)
-    cust_ref = ray.put((ck[co], cust.column("c_nationkey").to_numpy()[co]))
+    if route is None:
+        dim_rows = max(
+            pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows,
+            pq.read_metadata(f"{sf_dir}/supplier.parquet").num_rows)
+        route = "broadcast" if dim_rows <= _BCAST_DIM_MAX_ROWS else "hashjoin"
 
     class _LineSide:
         def __init__(self, ref):
@@ -4447,17 +4746,99 @@ def q_nation_pair_volume(sf_dir: str):
                  "l_shipdate"],
         filter=((pds.field("l_shipdate") >= lo)
                 & (pds.field("l_shipdate") < hi)))
-    lhs = fit_for_join(
-        li.map_batches(_LineSide, fn_constructor_kwargs={"ref": sup_ref},
-                       batch_format="pyarrow", concurrency=(1, 4)),
-        pa.schema([("o_orderkey", pa.int64()), ("s_nat", pa.int64()),
-                   ("l_year", pa.int64()), ("p_cents", pa.int64())]))
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_orderkey", "o_custkey"])
-    rhs = fit_for_join(
-        orders.map_batches(_OrderSide, fn_constructor_kwargs={"ref": cust_ref},
+    lhs_schema = pa.schema([("o_orderkey", pa.int64()), ("s_nat", pa.int64()),
+                            ("l_year", pa.int64()), ("p_cents", pa.int64())])
+    rhs_schema = pa.schema([("o_orderkey", pa.int64()),
+                            ("c_nat", pa.int64())])
+    nparts = _join_parts(sf_dir, "lineitem")
+    if route == "broadcast":
+        sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                            columns=["s_suppkey", "s_nationkey"])
+        sk = sup.column("s_suppkey").to_numpy()
+        so = np.argsort(sk)
+        sup_ref = ray.put((sk[so], sup.column("s_nationkey").to_numpy()[so]))
+        cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey", "c_nationkey"])
+        ck = cust.column("c_custkey").to_numpy()
+        co = np.argsort(ck)
+        cust_ref = ray.put((ck[co], cust.column("c_nationkey").to_numpy()[co]))
+        lhs = fit_for_join(
+            li.map_batches(_LineSide, fn_constructor_kwargs={"ref": sup_ref},
                            batch_format="pyarrow", concurrency=(1, 4)),
-        pa.schema([("o_orderkey", pa.int64()), ("c_nat", pa.int64())]))
+            lhs_schema)
+        rhs = fit_for_join(
+            orders.map_batches(_OrderSide,
+                               fn_constructor_kwargs={"ref": cust_ref},
+                               batch_format="pyarrow", concurrency=(1, 4)),
+            rhs_schema)
+    else:
+        nat_filter = pc.field("s_nationkey").isin([nat_a, nat_b])
+        sup_ds = fit_for_join(
+            rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                            columns=["s_suppkey", "s_nationkey"],
+                            filter=nat_filter),
+            pa.schema([("s_suppkey", pa.int64()),
+                       ("s_nationkey", pa.int64())]))
+        cust_ds = fit_for_join(
+            rd.read_parquet(f"{sf_dir}/customer.parquet",
+                            columns=["c_custkey", "c_nationkey"],
+                            filter=pc.field("c_nationkey").isin(
+                                [nat_a, nat_b])),
+            pa.schema([("c_custkey", pa.int64()),
+                       ("c_nationkey", pa.int64())]))
+        if sup_ds.count() == 0 or cust_ds.count() == 0:
+            # inner semantics: an empty pruned dimension slice empties the
+            # result, and Dataset.join rejects a fully-empty side
+            return pa.table({"supp_nation": pa.array([], pa.string()),
+                             "cust_nation": pa.array([], pa.string()),
+                             "l_year": pa.array([], pa.int64()),
+                             "revenue_cents": pa.array([], pa.int64())})
+
+        def li_partial(t: pa.Table) -> pa.Table:
+            rev = pc.multiply(pc.multiply(
+                t.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), t.column("l_discount"))),
+                pa.scalar(100.0))
+            cents = pc.cast(pc.round(rev, round_mode="half_towards_infinity"),
+                            pa.int64())
+            g = (pa.table({"o_orderkey": t.column("l_orderkey"),
+                           "l_suppkey": t.column("l_suppkey"),
+                           "l_year": pc.cast(pc.year(t.column("l_shipdate")),
+                                             pa.int64()),
+                           "cents": cents})
+                 .group_by(["o_orderkey", "l_suppkey", "l_year"])
+                 .aggregate([("cents", "sum")]))
+            return g.rename_columns(["o_orderkey", "l_suppkey", "l_year",
+                                     "p_cents"])
+
+        li_parts = fit_for_join(
+            li.map_batches(li_partial, batch_format="pyarrow"),
+            pa.schema([("o_orderkey", pa.int64()), ("l_suppkey", pa.int64()),
+                       ("l_year", pa.int64()), ("p_cents", pa.int64())]))
+        lhs = fit_for_join(
+            li_parts.join(sup_ds, join_type="inner",
+                          num_partitions=nparts,
+                          on=("l_suppkey",), right_on=("s_suppkey",))
+            .map_batches(
+                lambda t: pa.table(
+                    {"o_orderkey": t.column("o_orderkey"),
+                     "s_nat": t.column("s_nationkey"),
+                     "l_year": t.column("l_year"),
+                     "p_cents": t.column("p_cents")}),
+                batch_format="pyarrow"),
+            lhs_schema)
+        rhs = fit_for_join(
+            fit_for_join(orders, pa.schema([("o_orderkey", pa.int64()),
+                                            ("o_custkey", pa.int64())]))
+            .join(cust_ds, join_type="inner", num_partitions=nparts,
+                  on=("o_custkey",), right_on=("c_custkey",))
+            .map_batches(
+                lambda t: pa.table({"o_orderkey": t.column("o_orderkey"),
+                                    "c_nat": t.column("c_nationkey")}),
+                batch_format="pyarrow"),
+            rhs_schema)
     if lhs.count() == 0 or rhs.count() == 0:
         # a fully-empty join side crashes Dataset.join even when typed;
         # the pruned slice CAN be empty (no suppliers in either nation)
@@ -4499,29 +4880,41 @@ def q_nation_pair_volume(sf_dir: str):
 # share per year is one division of two exact integer sums.
 # ---------------------------------------------------------------------------
 
-def q_region_market_share(sf_dir: str):
+def q_region_market_share(sf_dir: str, *, route: str | None = None):
+    """TPC-H Q8 analogue.  Size-routed: below _BCAST_DIM_MAX_ROWS the
+    supplier->nation and customer->region maps are broadcast lookups fused
+    into the fact scans; past it the per-order lineitem partials carry the
+    suppkey into a hash join with supplier, and orders meet the
+    region-filtered customer read in a second hash join."""
     import pyarrow.parquet as pq
     from ..config import cluster_cpus
     from ..rayops import fit_for_join
 
     target_nat = 2   # NATION_2's share ...
     region = 2       # ... of the ASIA customer market
-    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
-                        columns=["s_suppkey", "s_nationkey"])
-    sk = sup.column("s_suppkey").to_numpy()
-    so = np.argsort(sk)
-    sup_ref = ray.put((sk[so], sup.column("s_nationkey").to_numpy()[so]))
-    cust = pq.read_table(f"{sf_dir}/customer.parquet",
-                         columns=["c_custkey", "c_nationkey"])
+    if route is None:
+        dim_rows = max(
+            pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows,
+            pq.read_metadata(f"{sf_dir}/supplier.parquet").num_rows)
+        route = "broadcast" if dim_rows <= _BCAST_DIM_MAX_ROWS else "hashjoin"
     nation = pq.read_table(f"{sf_dir}/nation.parquet",
                            columns=["n_nationkey", "n_regionkey"])
     reg_of = np.zeros(
         int(nation.column("n_nationkey").to_numpy().max()) + 1, np.int64)
     reg_of[nation.column("n_nationkey").to_numpy()] = (
         nation.column("n_regionkey").to_numpy())
-    ck = cust.column("c_custkey").to_numpy()
-    co = np.argsort(ck)
-    cust_ref = ray.put((ck[co], reg_of[cust.column("c_nationkey").to_numpy()][co]))
+    if route == "broadcast":
+        sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                            columns=["s_suppkey", "s_nationkey"])
+        sk = sup.column("s_suppkey").to_numpy()
+        so = np.argsort(sk)
+        sup_ref = ray.put((sk[so], sup.column("s_nationkey").to_numpy()[so]))
+        cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey", "c_nationkey"])
+        ck = cust.column("c_custkey").to_numpy()
+        co = np.argsort(ck)
+        cust_ref = ray.put(
+            (ck[co], reg_of[cust.column("c_nationkey").to_numpy()][co]))
 
     class _LinePartial:
         def __init__(self, ref):
@@ -4564,21 +4957,129 @@ def q_region_market_share(sf_dir: str):
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey", "l_suppkey",
                                   "l_extendedprice", "l_discount"])
-    lhs = fit_for_join(
-        li.map_batches(_LinePartial, fn_constructor_kwargs={"ref": sup_ref},
-                       batch_format="pyarrow", concurrency=(1, 4)),
-        pa.schema([("o_orderkey", pa.int64()), ("p_target", pa.int64()),
-                   ("p_total", pa.int64())]))
     lo, hi = pd.Timestamp("1995-01-01"), pd.Timestamp("1997-01-01")
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
         filter=((pds.field("o_orderdate") >= lo)
                 & (pds.field("o_orderdate") < hi)))
-    rhs = fit_for_join(
-        orders.map_batches(_OrderSide, fn_constructor_kwargs={"ref": cust_ref},
+    lhs_schema = pa.schema([("o_orderkey", pa.int64()),
+                            ("p_target", pa.int64()),
+                            ("p_total", pa.int64())])
+    rhs_schema = pa.schema([("o_orderkey", pa.int64()),
+                            ("o_year", pa.int64())])
+    if route == "broadcast":
+        lhs = fit_for_join(
+            li.map_batches(_LinePartial,
+                           fn_constructor_kwargs={"ref": sup_ref},
                            batch_format="pyarrow", concurrency=(1, 4)),
-        pa.schema([("o_orderkey", pa.int64()), ("o_year", pa.int64())]))
+            lhs_schema)
+        rhs = fit_for_join(
+            orders.map_batches(_OrderSide,
+                               fn_constructor_kwargs={"ref": cust_ref},
+                               batch_format="pyarrow", concurrency=(1, 4)),
+            rhs_schema)
+    else:
+        jparts = _join_parts(sf_dir, "lineitem")
+
+        def li_partial(t: pa.Table) -> pa.Table:
+            rev = pc.multiply(pc.multiply(
+                t.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), t.column("l_discount"))),
+                pa.scalar(100.0))
+            cents = pc.cast(pc.round(rev, round_mode="half_towards_infinity"),
+                            pa.int64())
+            g = (pa.table({"o_orderkey": t.column("l_orderkey"),
+                           "l_suppkey": t.column("l_suppkey"),
+                           "c": cents})
+                 .group_by(["o_orderkey", "l_suppkey"])
+                 .aggregate([("c", "sum")]))
+            return g.rename_columns(["o_orderkey", "l_suppkey", "p_cents"])
+
+        # left_outer keeps non-target suppliers' revenue in the total;
+        # only the target-nation flag arrives via the (pushed-filter) join.
+        # the explicit tgt payload column is required: Dataset.join drops
+        # the right KEY column from its output, so a key-only right side
+        # would leave no way to tell matched rows apart
+        sup_tgt = fit_for_join(
+            rd.read_parquet(
+                f"{sf_dir}/supplier.parquet", columns=["s_suppkey"],
+                filter=(pc.field("s_nationkey") == target_nat))
+            .map_batches(
+                lambda t: t.append_column(
+                    "tgt", pa.array(np.ones(t.num_rows, np.int8))),
+                batch_format="pyarrow"),
+            pa.schema([("s_suppkey", pa.int64()), ("tgt", pa.int8())]))
+        li_parts = fit_for_join(
+            li.map_batches(li_partial, batch_format="pyarrow"),
+            pa.schema([("o_orderkey", pa.int64()),
+                       ("l_suppkey", pa.int64()), ("p_cents", pa.int64())]))
+
+        def tag_fold(t: pa.Table) -> pa.Table:
+            cents = t.column("p_cents").to_numpy()
+            if "tgt" in t.column_names:
+                is_tgt = pc.is_valid(t.column("tgt")).to_numpy(
+                    zero_copy_only=False)
+            else:
+                # left_outer partitions with an empty right side come back
+                # as the left block verbatim (no null right columns)
+                is_tgt = np.zeros(t.num_rows, dtype=bool)
+            g = (pa.table({"o_orderkey": t.column("o_orderkey"),
+                           "t": pa.array(np.where(is_tgt, cents, 0),
+                                         pa.int64()),
+                           "c": pa.array(cents, pa.int64())})
+                 .group_by("o_orderkey")
+                 .aggregate([("t", "sum"), ("c", "sum")]))
+            return g.rename_columns(["o_orderkey", "p_target", "p_total"])
+
+        def zero_fold(t: pa.Table) -> pa.Table:
+            # no target-nation suppliers at all: totals survive, target=0
+            g = (pa.table({"o_orderkey": t.column("o_orderkey"),
+                           "t": pa.array(np.zeros(t.num_rows, np.int64),
+                                         pa.int64()),
+                           "c": t.column("p_cents")})
+                 .group_by("o_orderkey")
+                 .aggregate([("t", "sum"), ("c", "sum")]))
+            return g.rename_columns(["o_orderkey", "p_target", "p_total"])
+
+        if sup_tgt.count() == 0:  # Dataset.join rejects a fully-empty side
+            tagged_folds = li_parts.map_batches(zero_fold,
+                                                batch_format="pyarrow")
+        else:
+            tagged_folds = (li_parts.join(
+                sup_tgt, join_type="left_outer", num_partitions=jparts,
+                on=("l_suppkey",), right_on=("s_suppkey",))
+                .map_batches(tag_fold, batch_format="pyarrow"))
+        lhs = fit_for_join(tagged_folds, lhs_schema)
+        cust_reg = fit_for_join(
+            rd.read_parquet(f"{sf_dir}/customer.parquet",
+                            columns=["c_custkey", "c_nationkey"],
+                            filter=pc.field("c_nationkey").isin(
+                                np.flatnonzero(
+                                    reg_of == region).tolist())),
+            pa.schema([("c_custkey", pa.int64()),
+                       ("c_nationkey", pa.int64())]))
+        if cust_reg.count() == 0:  # no customers in the region
+            return pa.table({"o_year": pa.array([], pa.int64()),
+                             "target_cents": pa.array([], pa.int64()),
+                             "total_cents": pa.array([], pa.int64()),
+                             "mkt_share": pa.array([], pa.float64())})
+
+        def year_proj(t: pa.Table) -> pa.Table:
+            return pa.table({"o_orderkey": t.column("o_orderkey"),
+                             "o_year": pc.cast(
+                                 pc.year(t.column("o_orderdate")),
+                                 pa.int64())})
+
+        rhs = fit_for_join(
+            fit_for_join(orders,
+                         pa.schema([("o_orderkey", pa.int64()),
+                                    ("o_custkey", pa.int64()),
+                                    ("o_orderdate", pa.timestamp("us"))]))
+            .join(cust_reg, join_type="inner", num_partitions=jparts,
+                  on=("o_custkey",), right_on=("c_custkey",))
+            .map_batches(year_proj, batch_format="pyarrow"),
+            rhs_schema)
     if rhs.count() == 0:  # no customers in the region at this scale
         return pa.table({"o_year": pa.array([], pa.int64()),
                          "target_cents": pa.array([], pa.int64()),

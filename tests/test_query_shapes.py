@@ -370,3 +370,72 @@ def test_sorted_lookup_empty_and_out_of_range():
     hit, vals = _sorted_lookup(keys, v, np.array([5, 20, 99]))
     assert hit.tolist() == [False, True, False]
     assert vals[1] == 2
+
+
+# ---------------------------------------------------- round-4 routed family
+# Every remaining query that broadcast (or driver-materialized) an
+# sf-scaled dimension table gained a hashjoin fallback past
+# _BCAST_DIM_MAX_ROWS; each pair below pins both paths pointwise equal.
+
+def _routes_agree(qfn, key_cols=None, nonempty=True):
+    import pandas as pd
+    import pyarrow as pa
+
+    sf = "/root/testdata/sf0.001"
+    a, b = qfn(sf, route="broadcast"), qfn(sf, route="hashjoin")
+    if isinstance(a, pa.Table):
+        a, b = a.to_pandas(), b.to_pandas()
+    if key_cols:
+        a = a.sort_values(key_cols).reset_index(drop=True)
+        b = b.sort_values(key_cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    if nonempty:
+        assert a.shape[0] > 0
+
+
+def test_revenue_by_segment_routes_agree(ray_session):
+    from ocr_main_ray.pipelines.queries import q_revenue_by_segment
+    _routes_agree(q_revenue_by_segment, ["c_mktsegment"])
+
+
+def test_revenue_by_nation_routes_agree(ray_session):
+    from ocr_main_ray.pipelines.queries import q_revenue_by_nation
+    _routes_agree(q_revenue_by_nation, ["n_name"])
+
+
+def test_building_orders_routes_agree(ray_session):
+    from ocr_main_ray.pipelines.queries import q_building_orders
+    _routes_agree(q_building_orders)
+
+
+def test_shipping_priority_routes_agree(ray_session):
+    from ocr_main_ray.pipelines.queries import q_shipping_priority
+    _routes_agree(q_shipping_priority, ["l_orderkey"])
+
+
+def test_orders_above_cust_avg_routes_agree(ray_session):
+    from ocr_main_ray.pipelines.queries import q_orders_above_cust_avg
+    _routes_agree(q_orders_above_cust_avg, ["o_orderkey"])
+
+
+def test_brand_weighted_price_routes_agree(ray_session):
+    from ocr_main_ray.pipelines.queries import q_brand_weighted_price
+    _routes_agree(q_brand_weighted_price, ["p_brand"])
+
+
+def test_promo_revenue_share_routes_agree(ray_session):
+    from ocr_main_ray.pipelines.queries import q_promo_revenue_share
+    _routes_agree(q_promo_revenue_share)
+
+
+def test_nation_pair_volume_routes_agree(ray_session):
+    # empty at sf0.001 (no suppliers in the two nations) — the agreement
+    # on the empty frame still pins schema + the empty-side guards
+    from ocr_main_ray.pipelines.queries import q_nation_pair_volume
+    _routes_agree(q_nation_pair_volume,
+                  ["supp_nation", "cust_nation", "l_year"], nonempty=False)
+
+
+def test_region_market_share_routes_agree(ray_session):
+    from ocr_main_ray.pipelines.queries import q_region_market_share
+    _routes_agree(q_region_market_share, ["o_year"])
