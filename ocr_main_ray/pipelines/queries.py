@@ -3716,27 +3716,67 @@ class _BloomSemi:
         return g.rename_columns(["l_returnflag", "p_qty", "p_n"])
 
 
-def q_bloom_semi_join(sf_dir: str):
+def q_bloom_semi_join(sf_dir: str, *, route: str | None = None):
+    """Semi join of lineitem against the big-part key set.  Size-routed:
+    below _BCAST_DIM_MAX_ROWS the Bloom prefilter + exact sorted-key
+    verify is broadcast into the lineitem scan (zero shuffle); past it —
+    where even the 16-bit/key Bloom and the key array are GBs — the
+    per-(partkey, returnflag) lineitem partials meet the size-filtered
+    part read (predicate pushed to parquet) in a hash-partitioned join."""
     import pyarrow.parquet as pq
 
     from ocr_main_ray.functions.sketch import bloom_build
 
-    part = pq.read_table(f"{sf_dir}/part.parquet",
-                         columns=["p_partkey", "p_size"])
-    keys = np.sort(part.filter(
-        pc.greater_equal(part.column("p_size"), BIG_PART_SIZE))
-        .column("p_partkey").to_numpy())
-    bloom_ref, keys_ref = ray.put(bloom_build(keys)), ray.put(keys)
+    if route is None:
+        route = ("broadcast"
+                 if pq.read_metadata(f"{sf_dir}/part.parquet").num_rows
+                 <= _BCAST_DIM_MAX_ROWS else "hashjoin")
     ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                          columns=["l_partkey", "l_returnflag", "l_quantity"])
-    out = (ds.map_batches(
-        _BloomSemi,
-        fn_constructor_kwargs={"bloom_ref": bloom_ref, "keys_ref": keys_ref},
-        batch_format="pyarrow", concurrency=(1, 4))
-        .groupby("l_returnflag")
-        .aggregate(Sum("p_n", alias_name="n_items"),
-                   Sum("p_qty", alias_name="total_qty"))
-        .to_pandas())
+    if route == "broadcast":
+        part = pq.read_table(f"{sf_dir}/part.parquet",
+                             columns=["p_partkey", "p_size"])
+        keys = np.sort(part.filter(
+            pc.greater_equal(part.column("p_size"), BIG_PART_SIZE))
+            .column("p_partkey").to_numpy())
+        bloom_ref, keys_ref = ray.put(bloom_build(keys)), ray.put(keys)
+        partials = ds.map_batches(
+            _BloomSemi,
+            fn_constructor_kwargs={"bloom_ref": bloom_ref,
+                                   "keys_ref": keys_ref},
+            batch_format="pyarrow", concurrency=(1, 4))
+    else:
+        from ..rayops import fit_for_join
+
+        def li_partial(t: pa.Table) -> pa.Table:
+            # numpy int64 truncation, identical to _BloomSemi
+            qty = t.column("l_quantity").to_numpy().astype(np.int64)
+            g = (pa.table({"l_partkey": t.column("l_partkey"),
+                           "l_returnflag": t.column("l_returnflag"),
+                           "qty": pa.array(qty, pa.int64())})
+                 .group_by(["l_partkey", "l_returnflag"])
+                 .aggregate([("qty", "sum"), ("qty", "count")]))
+            return g.rename_columns(["l_partkey", "l_returnflag",
+                                     "p_qty", "p_n"])
+
+        li_schema = pa.schema([("l_partkey", pa.int64()),
+                               ("l_returnflag", pa.large_string()),
+                               ("p_qty", pa.int64()), ("p_n", pa.int64())])
+        big_keys = fit_for_join(
+            rd.read_parquet(
+                f"{sf_dir}/part.parquet", columns=["p_partkey"],
+                filter=(pc.field("p_size") >= BIG_PART_SIZE)),
+            pa.schema([("p_partkey", pa.int64())]))
+        partials = (fit_for_join(
+            ds.map_batches(li_partial, batch_format="pyarrow"), li_schema)
+            .join(big_keys, join_type="inner",
+                  num_partitions=_join_parts(sf_dir, "lineitem"),
+                  on=("l_partkey",), right_on=("p_partkey",)))
+    out = (partials
+           .groupby("l_returnflag")
+           .aggregate(Sum("p_n", alias_name="n_items"),
+                      Sum("p_qty", alias_name="total_qty"))
+           .to_pandas())
     return out.sort_values("l_returnflag").reset_index(drop=True)
 
 
@@ -6834,16 +6874,96 @@ def q_customer_distribution(sf_dir: str):
 # average can round differently between the two engines.
 # ---------------------------------------------------------------------------
 
-def q_small_qty_part_revenue(sf_dir: str):
+def q_small_qty_part_revenue(sf_dir: str, *, route: str | None = None):
+    """TPC-H Q17 analogue.  Size-routed: below _BCAST_DIM_MAX_ROWS the
+    brand partkey set (then the per-part quantity stats) are broadcast
+    into two lineitem scans; past it both phases become hash-partitioned
+    joins — per-partkey stats partials meet the brand-filtered part read,
+    then per-(partkey, qty) revenue partials meet the stats Dataset —
+    so nothing part-sized is driver-materialized."""
     import pyarrow.parquet as pq
+
+    if route is None:
+        route = ("broadcast"
+                 if pq.read_metadata(f"{sf_dir}/part.parquet").num_rows
+                 <= _BCAST_DIM_MAX_ROWS else "hashjoin")
+
+    def li(cols):
+        return rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=cols)
+
+    if route == "hashjoin":
+        from ..rayops import fit_for_join
+
+        nparts = _join_parts(sf_dir, "lineitem")
+        brand = fit_for_join(
+            rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey"],
+                            filter=(pc.field("p_brand") == "Brand#13")),
+            pa.schema([("p_partkey", pa.int64())]))
+        if brand.count() == 0:  # join rejects a fully-empty side
+            return pd.DataFrame({"revenue_cents": [0], "n_items": [0]})
+
+        def qty_partial(t: pa.Table) -> pa.Table:
+            g = (pa.table({"l_partkey": t.column("l_partkey"),
+                           "q": pc.cast(t.column("l_quantity"), pa.int64())})
+                 .group_by("l_partkey")
+                 .aggregate([("q", "sum"), ("q", "count")]))
+            return g.rename_columns(["l_partkey", "sq", "nq"])
+
+        stats_ds = (fit_for_join(
+            li(["l_partkey", "l_quantity"])
+            .map_batches(qty_partial, batch_format="pyarrow"),
+            pa.schema([("l_partkey", pa.int64()), ("sq", pa.int64()),
+                       ("nq", pa.int64())]))
+            .join(brand, join_type="inner", num_partitions=nparts,
+                  on=("l_partkey",), right_on=("p_partkey",))
+            .groupby("l_partkey")
+            .aggregate(Sum("sq", alias_name="sq"),
+                       Sum("nq", alias_name="nq")))
+
+        def rev_partial(t: pa.Table) -> pa.Table:
+            # per-(partkey, qty) partials: the filter q*5*nq < sq depends
+            # only on this pair, so per-row ec sums fold before the join
+            ec = pc.cast(pc.round(pc.multiply(
+                t.column("l_extendedprice"), 100.0)), pa.int64())
+            g = (pa.table({"l_partkey": t.column("l_partkey"),
+                           "q": pc.cast(t.column("l_quantity"), pa.int64()),
+                           "ec": ec})
+                 .group_by(["l_partkey", "q"])
+                 .aggregate([("ec", "sum"), ("ec", "count")]))
+            return g.rename_columns(["l_partkey", "q", "p_ec", "p_n"])
+
+        rev = fit_for_join(
+            li(["l_partkey", "l_quantity", "l_extendedprice"])
+            .map_batches(rev_partial, batch_format="pyarrow"),
+            pa.schema([("l_partkey", pa.int64()), ("q", pa.int64()),
+                       ("p_ec", pa.int64()), ("p_n", pa.int64())]))
+        joined = rev.join(
+            fit_for_join(stats_ds.map_batches(
+                lambda t: t.rename_columns(["pk", "sq", "nq"]),
+                batch_format="pyarrow"),
+                pa.schema([("pk", pa.int64()), ("sq", pa.int64()),
+                           ("nq", pa.int64())])),
+            join_type="inner", num_partitions=nparts,
+            on=("l_partkey",), right_on=("pk",))
+
+        def keep_fold(t: pa.Table) -> pa.Table:
+            keep = (t.column("q").to_numpy() * 5 * t.column("nq").to_numpy()
+                    < t.column("sq").to_numpy())
+            ec = t.column("p_ec").to_numpy()
+            n = t.column("p_n").to_numpy()
+            return pa.table({
+                "pr": pa.array([int(ec[keep].sum())], pa.int64()),
+                "pn": pa.array([int(n[keep].sum())], pa.int64())})
+
+        agg = joined.map_batches(keep_fold,
+                                 batch_format="pyarrow").sum(["pr", "pn"])
+        return pd.DataFrame({"revenue_cents": [int(agg["sum(pr)"])],
+                             "n_items": [int(agg["sum(pn)"])]})
 
     brand_keys = pq.read_table(
         f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"],
         filters=[("p_brand", "=", "Brand#13")]).column("p_partkey")
     keys_ref = ray.put(np.sort(brand_keys.to_numpy()))
-
-    def li(cols):
-        return rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=cols)
 
     class _QtyPartial:
         def __init__(self):
@@ -7486,23 +7606,95 @@ def q_discounted_revenue(sf_dir: str):
 # exact integer cents x (100 - discount-percent), 1e-4-dollar units.
 # ---------------------------------------------------------------------------
 
-def q_disjunctive_revenue(sf_dir: str):
-    import pyarrow.parquet as pq
-
-    part = pq.read_table(f"{sf_dir}/part.parquet",
-                         columns=["p_partkey", "p_type", "p_size"])
-    ptype = part.column("p_type").to_numpy(zero_copy_only=False)
-    psize = part.column("p_size").to_numpy()
-    pkey = part.column("p_partkey").to_numpy()
-    fam = np.full(len(pkey), -1, np.int8)
+def _disj_fam_table(t: pa.Table) -> pa.Table:
+    """(p_partkey, fam) rows for parts matching any Q19 family."""
+    ptype = t.column("p_type").to_numpy(zero_copy_only=False)
+    psize = t.column("p_size").to_numpy()
+    fam = np.full(t.num_rows, -1, np.int8)
     fam[(ptype == "PROMO") & (psize >= 1) & (psize <= 15)] = 0
     fam[(ptype == "ECONOMY") & (psize >= 10) & (psize <= 30)] = 1
     fam[(ptype == "LARGE") & (psize >= 20) & (psize <= 50)] = 2
     hit = fam >= 0
-    order = np.argsort(pkey[hit])
-    keys_ref = ray.put((pkey[hit][order], fam[hit][order]))
+    return pa.table({
+        "p_partkey": t.column("p_partkey").filter(pa.array(hit)),
+        "fam": pa.array(fam[hit].astype(np.int64), pa.int64())})
+
+
+def q_disjunctive_revenue(sf_dir: str, *, route: str | None = None):
+    """TPC-H Q19 analogue (OR-of-ANDs revenue).  Size-routed: below
+    _BCAST_DIM_MAX_ROWS the family-tagged partkey probe is broadcast into
+    the lineitem scan (zero shuffle); past it per-(partkey, qty) revenue
+    partials — the keep decision depends only on that pair — meet the
+    family-tagged part read in a hash-partitioned join."""
+    import pyarrow.parquet as pq
+
+    if route is None:
+        route = ("broadcast"
+                 if pq.read_metadata(f"{sf_dir}/part.parquet").num_rows
+                 <= _BCAST_DIM_MAX_ROWS else "hashjoin")
     qlo = np.array([1, 10, 20], np.int64)
     qhi = np.array([20, 35, 50], np.int64)
+
+    if route == "hashjoin":
+        from ..rayops import fit_for_join
+
+        nparts = _join_parts(sf_dir, "lineitem")
+        fam_ds = fit_for_join(
+            rd.read_parquet(f"{sf_dir}/part.parquet",
+                            columns=["p_partkey", "p_type", "p_size"])
+            .map_batches(_disj_fam_table, batch_format="pyarrow"),
+            pa.schema([("p_partkey", pa.int64()), ("fam", pa.int64())]))
+        if fam_ds.count() == 0:  # join rejects a fully-empty side
+            return pd.DataFrame({"revenue_c4": [0], "n_items": [0]})
+
+        def li_partial(t: pa.Table) -> pa.Table:
+            # identical per-row arithmetic to _Probe: rev term is
+            # ec * (100 - d100); keep depends only on (partkey, q)
+            q = pc.cast(t.column("l_quantity"), pa.int64()).to_numpy()
+            ec = pc.cast(pc.round(pc.multiply(
+                t.column("l_extendedprice"), 100.0)), pa.int64()).to_numpy()
+            d100 = pc.cast(pc.round(pc.multiply(
+                t.column("l_discount"), 100.0)), pa.int64()).to_numpy()
+            g = (pa.table({"l_partkey": t.column("l_partkey"),
+                           "q": pa.array(q, pa.int64()),
+                           "rev": pa.array(ec * (100 - d100), pa.int64())})
+                 .group_by(["l_partkey", "q"])
+                 .aggregate([("rev", "sum"), ("rev", "count")]))
+            return g.rename_columns(["l_partkey", "q", "p_rev", "p_n"])
+
+        li_parts = fit_for_join(
+            rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_partkey", "l_quantity",
+                                     "l_extendedprice", "l_discount"])
+            .map_batches(li_partial, batch_format="pyarrow"),
+            pa.schema([("l_partkey", pa.int64()), ("q", pa.int64()),
+                       ("p_rev", pa.int64()), ("p_n", pa.int64())]))
+        joined = li_parts.join(fam_ds, join_type="inner",
+                               num_partitions=nparts,
+                               on=("l_partkey",), right_on=("p_partkey",))
+
+        def band_fold(t: pa.Table) -> pa.Table:
+            f = t.column("fam").to_numpy()
+            q = t.column("q").to_numpy()
+            keep = (q >= qlo[f]) & (q <= qhi[f])
+            return pa.table({
+                "pr": pa.array([int(t.column("p_rev").to_numpy()[keep]
+                                    .sum())], pa.int64()),
+                "pn": pa.array([int(t.column("p_n").to_numpy()[keep]
+                                    .sum())], pa.int64())})
+
+        agg = joined.map_batches(band_fold,
+                                 batch_format="pyarrow").sum(["pr", "pn"])
+        return pd.DataFrame({"revenue_c4": [int(agg["sum(pr)"])],
+                             "n_items": [int(agg["sum(pn)"])]})
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type", "p_size"])
+    tagged = _disj_fam_table(part)
+    pkey_hit = tagged.column("p_partkey").to_numpy()
+    fam_hit = tagged.column("fam").to_numpy().astype(np.int8)
+    order = np.argsort(pkey_hit)
+    keys_ref = ray.put((pkey_hit[order], fam_hit[order]))
 
     class _Probe:
         def __init__(self):

@@ -439,3 +439,18 @@ def test_nation_pair_volume_routes_agree(ray_session):
 def test_region_market_share_routes_agree(ray_session):
     from ocr_main_ray.pipelines.queries import q_region_market_share
     _routes_agree(q_region_market_share, ["o_year"])
+
+
+def test_bloom_semi_join_routes_agree(ray_session):
+    from ocr_main_ray.pipelines.queries import q_bloom_semi_join
+    _routes_agree(q_bloom_semi_join, ["l_returnflag"])
+
+
+def test_small_qty_part_revenue_routes_agree(ray_session):
+    from ocr_main_ray.pipelines.queries import q_small_qty_part_revenue
+    _routes_agree(q_small_qty_part_revenue)
+
+
+def test_disjunctive_revenue_routes_agree(ray_session):
+    from ocr_main_ray.pipelines.queries import q_disjunctive_revenue
+    _routes_agree(q_disjunctive_revenue)
