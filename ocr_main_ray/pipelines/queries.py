@@ -1021,9 +1021,12 @@ def q_embedding_knn(sf_dir: str):
 
     from ..functions.similarity import knn_topk
 
+    # point read with row-group pushdown — the corpus never reaches the
+    # driver (an unfiltered read_table here would at 100x scale)
     q0 = np.asarray(
-        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-        .filter(pc.equal(pc.field("vec_id"), 0)).column("embedding").to_pylist()[0]
+        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"],
+                      filters=[("vec_id", "==", 0)])
+        .column("embedding").to_pylist()[0]
     )
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     out = knn_topk(ds, q0[None, :], k=10)
@@ -1043,9 +1046,11 @@ def q_embedding_ivf_knn(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     idx = train_ivf_from_dataset(ds, n_lists=16, sample_size=4096)
+    # point read with row-group pushdown (see q_embedding_knn)
     q0 = np.asarray(
-        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-        .filter(pc.equal(pc.field("vec_id"), 0)).column("embedding").to_pylist()[0]
+        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"],
+                      filters=[("vec_id", "==", 0)])
+        .column("embedding").to_pylist()[0]
     )
     out, frac = ivf_knn(ds, idx, q0, k=10, nprobe=8)
     res = out[["vec_id"]].astype("int64")
