@@ -223,6 +223,88 @@ def q_dedup_exact(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# crawl-snapshot diff: classify every page across two crawl snapshots as
+# added / removed / changed / unchanged — the standard incremental-crawl
+# reconciliation step that decides what to re-extract.  Snapshot B derives
+# DETERMINISTICALLY from the documents table (identical derivation in the
+# SQL oracle): pages with doc_id%11==0 vanish, doc_id%7==0 come back
+# re-crawled with new content, doc_id%13==0 spawn a brand-new page id.
+# Texts never shuffle: each side reduces to (doc_id, md5) at the scan, the
+# classification is one doc_id-keyed FULL OUTER hash join of the two
+# digest tables, and only the 4-row status rollup reaches the driver.
+# ---------------------------------------------------------------------------
+
+CRAWL_NEW_ID_OFFSET = 1_000_000
+
+
+def _crawl_snapshot_b(batch: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic 'next crawl' of a documents batch (doc_id, text)."""
+    b = batch[batch["doc_id"] % 11 != 0].copy()
+    upd = b["doc_id"] % 7 == 0
+    b.loc[upd, "text"] = b.loc[upd, "text"] + " [updated]"
+    new = batch[batch["doc_id"] % 13 == 0]
+    newdf = pd.DataFrame({
+        "doc_id": (new["doc_id"] + CRAWL_NEW_ID_OFFSET).astype("int64"),
+        "text": "new page " + new["doc_id"].astype(str)})
+    return pd.concat([b[["doc_id", "text"]], newdf], ignore_index=True)
+
+
+def q_crawl_diff(sf_dir: str):
+    from ..rayops import fit_for_join
+
+    def digests(ds, k, d, h):
+        return ds.map_batches(
+            _md5_batch, batch_format="pyarrow", batch_size=8192
+        ).map_batches(
+            lambda t: pa.table({k: t.column("doc_id"),
+                                d: t.column("doc_id"),
+                                h: t.column("text_hash")}),
+            batch_format="pyarrow")
+
+    # the doc_id payload copies (da/db) survive the join even though
+    # Dataset.join drops the key columns themselves from its output
+    a_schema = pa.schema([("ka", pa.int64()), ("da", pa.int64()),
+                          ("ha", pa.large_string())])
+    b_schema = pa.schema([("kb", pa.int64()), ("db", pa.int64()),
+                          ("hb", pa.large_string())])
+    a = fit_for_join(digests(_docs(sf_dir, ["doc_id", "text"]),
+                             "ka", "da", "ha"), a_schema)
+    b = fit_for_join(digests(
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(_crawl_snapshot_b, batch_format="pandas"),
+        "kb", "db", "hb"), b_schema)
+    joined = a.join(b, join_type="full_outer",
+                    num_partitions=_join_parts(sf_dir, "documents"),
+                    on=("ka",), right_on=("kb",))
+
+    def classify(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        # one-sided partitions come back without the other side's columns
+        in_a = (pc.is_valid(t.column("da")).to_numpy(zero_copy_only=False)
+                if "da" in t.column_names else np.zeros(n, bool))
+        in_b = (pc.is_valid(t.column("db")).to_numpy(zero_copy_only=False)
+                if "db" in t.column_names else np.zeros(n, bool))
+        both = in_a & in_b
+        same = np.zeros(n, bool)
+        if both.any():
+            same[both] = (
+                np.asarray(t.column("ha").to_pandas())[both]
+                == np.asarray(t.column("hb").to_pandas())[both])
+        status = np.where(~in_a, "added",
+                          np.where(~in_b, "removed",
+                                   np.where(same, "unchanged", "changed")))
+        g = (pa.table({"status": pa.array(status, pa.string())})
+             .group_by("status").aggregate([("status", "count")]))
+        return g.rename_columns(["status", "pn"])
+
+    out = (joined.map_batches(classify, batch_format="pyarrow")
+           .groupby("status").aggregate(Sum("pn", alias_name="n_docs"))
+           .to_pandas())
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out.sort_values("status").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # G8 — word count (vectorized pandas split)
 # ---------------------------------------------------------------------------
 
@@ -8597,6 +8679,7 @@ QUERIES = {
     "events_topk_weighted": q_events_topk_weighted,
     "docs_filter": q_docs_filter,
     "dedup_exact": q_dedup_exact,
+    "crawl_diff": q_crawl_diff,
     "word_count": q_word_count,
     "events_by_type": q_events_by_type,
     "events_value_stats": q_events_value_stats,
@@ -8814,6 +8897,22 @@ ORACLE_SQL = {
     "dedup_exact": (
         "SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, "
         "count(*) AS n_copies FROM documents GROUP BY md5(text)"
+    ),
+    "crawl_diff": (
+        "WITH b AS ("
+        "SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' [updated]' "
+        "ELSE text END AS text FROM documents WHERE doc_id % 11 <> 0 "
+        "UNION ALL "
+        "SELECT doc_id + 1000000 AS doc_id, "
+        "'new page ' || CAST(doc_id AS VARCHAR) AS text "
+        "FROM documents WHERE doc_id % 13 = 0) "
+        "SELECT status, CAST(count(*) AS BIGINT) AS n_docs FROM ("
+        "SELECT CASE WHEN a.doc_id IS NULL THEN 'added' "
+        "WHEN b.doc_id IS NULL THEN 'removed' "
+        "WHEN a.text = b.text THEN 'unchanged' "
+        "ELSE 'changed' END AS status "
+        "FROM documents a FULL OUTER JOIN b ON a.doc_id = b.doc_id) "
+        "GROUP BY status"
     ),
     "word_count": (
         "SELECT doc_id, CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' "
