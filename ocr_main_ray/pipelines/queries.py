@@ -6013,7 +6013,25 @@ def q_events_value_ewma(sf_dir: str):
 # oracle's exact ceil(0.1*n) size rule and division order.
 # ---------------------------------------------------------------------------
 
-def q_customer_top_decile_share(sf_dir: str):
+_DECILE_BUCKET_SHIFT = 16  # cents >> 16: value-domain buckets, data-size-free
+
+
+def q_customer_top_decile_share(sf_dir: str, *, route: str | None = None):
+    """Revenue share of the top 10% of customers.  Size-routed: below
+    _BCAST_DIM_MAX_ROWS the per-customer revenue table sorts on the
+    driver; past it the k-th-largest threshold is found by a two-pass
+    distributed order statistic — a value-domain bucket histogram (pass
+    1, bounded by domain >> 16 buckets regardless of row count or skew)
+    locates the boundary bucket, an exact within-bucket value histogram
+    (pass 2, <= 65536 distinct values) pins the threshold T, and
+    top_cents = sum(cents > T) + (k - count(> T)) * T (ties all equal T,
+    so the custkey tie-break cannot change the sum)."""
+    import pyarrow.parquet as pq
+
+    if route is None:
+        route = ("local"
+                 if pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+                 <= _BCAST_DIM_MAX_ROWS else "distributed")
     ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
                          columns=["o_custkey", "o_totalprice"])
 
@@ -6025,16 +6043,63 @@ def q_customer_top_decile_share(sf_dir: str):
              .group_by("o_custkey").aggregate([("cents", "sum")]))
         return g.rename_columns(["o_custkey", "p_cents"])
 
-    per = (ds.map_batches(partial, batch_format="pyarrow")
-           .groupby("o_custkey").aggregate(Sum("p_cents", alias_name="cents"))
-           .to_pandas())  # bounded by |customers with orders|
-    per["cents"] = per["cents"].astype("int64")
-    n = len(per)
-    total = int(per["cents"].sum())
-    k = int(math.ceil(0.1 * n))
-    top = (per.sort_values(["cents", "o_custkey"], ascending=[False, True])
-           .head(k))
-    top_cents = int(top["cents"].sum())
+    per_ds = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("o_custkey")
+              .aggregate(Sum("p_cents", alias_name="cents")))
+
+    if route == "local":
+        per = per_ds.to_pandas()  # bounded by |customers with orders|
+        per["cents"] = per["cents"].astype("int64")
+        n = len(per)
+        total = int(per["cents"].sum())
+        k = int(math.ceil(0.1 * n))
+        top = (per.sort_values(["cents", "o_custkey"],
+                               ascending=[False, True]).head(k))
+        top_cents = int(top["cents"].sum())
+    else:
+        per_ds = per_ds.materialize()  # consumed by three bounded passes
+        n = per_ds.count()
+        total = int(per_ds.sum("cents") or 0)
+        k = int(math.ceil(0.1 * n))
+
+        def bkt_partial(t: pa.Table) -> pa.Table:
+            c = t.column("cents").to_numpy()
+            g = (pa.table({"bkt": pa.array(c >> _DECILE_BUCKET_SHIFT,
+                                           pa.int64()),
+                           "c": pa.array(c, pa.int64())})
+                 .group_by("bkt").aggregate([("c", "sum"), ("c", "count")]))
+            return g.rename_columns(["bkt", "ps", "pn"])
+
+        hist = (per_ds.map_batches(bkt_partial, batch_format="pyarrow")
+                .groupby("bkt")
+                .aggregate(Sum("ps", alias_name="s"),
+                           Sum("pn", alias_name="n"))
+                .to_pandas().sort_values("bkt", ascending=False)
+                .reset_index(drop=True))  # <= value-domain >> 16 rows
+        cum = hist["n"].cumsum().to_numpy()
+        bi = int(np.searchsorted(cum, k))  # boundary bucket index
+        above_n = int(cum[bi - 1]) if bi else 0
+        above_s = int(hist["s"].iloc[:bi].sum())
+        boundary = int(hist["bkt"].iloc[bi])
+
+        def in_bucket(t: pa.Table) -> pa.Table:
+            c = t.column("cents").to_numpy()
+            c = c[(c >> _DECILE_BUCKET_SHIFT) == boundary]
+            g = (pa.table({"c": pa.array(c, pa.int64())})
+                 .group_by("c").aggregate([("c", "count")]))
+            return g.rename_columns(["c", "pn"])
+
+        vals = (per_ds.map_batches(in_bucket, batch_format="pyarrow")
+                .groupby("c").aggregate(Sum("pn", alias_name="n"))
+                .to_pandas().sort_values("c", ascending=False)
+                .reset_index(drop=True))  # <= 2^16 distinct values
+        vcum = vals["n"].cumsum().to_numpy() + above_n
+        vi = int(np.searchsorted(vcum, k))
+        thr = int(vals["c"].iloc[vi])
+        gt_n = above_n + (int(vcum[vi - 1]) - above_n if vi else 0)
+        gt_s = above_s + int((vals["c"].iloc[:vi]
+                              * vals["n"].iloc[:vi]).sum())
+        top_cents = gt_s + (k - gt_n) * thr
     return pa.table({
         "n_top": pa.array([k], pa.int64()),
         "n_customers": pa.array([n], pa.int64()),

@@ -454,3 +454,62 @@ def test_small_qty_part_revenue_routes_agree(ray_session):
 def test_disjunctive_revenue_routes_agree(ray_session):
     from ocr_main_ray.pipelines.queries import q_disjunctive_revenue
     _routes_agree(q_disjunctive_revenue)
+
+
+def test_customer_top_decile_share_routes_agree(ray_session):
+    from ocr_main_ray.pipelines.queries import q_customer_top_decile_share
+    sf = "/root/testdata/sf0.001"
+    a = q_customer_top_decile_share(sf, route="local").to_pandas()
+    b = q_customer_top_decile_share(sf, route="distributed").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_customer_top_decile_share_tie_skew(ray_session, tmp_path):
+    """Degenerate value skew: many customers with IDENTICAL revenue
+    around the k-th rank.  The distributed order statistic must resolve
+    the threshold inside one bucket and count ties exactly like the
+    local sort (ties all equal T, so the sum is tie-break-free)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_main_ray.pipelines.queries import q_customer_top_decile_share
+
+    # 40 customers: 5 with unique high totals, 30 tied exactly at 100.00,
+    # 5 low.  k = 4 -> threshold falls among unique highs; also run a
+    # variant where k lands inside the tie block.
+    cust = list(range(1, 41))
+    price = ([500.0, 400.0, 300.0, 200.0, 150.0]
+             + [100.0] * 30 + [1.0] * 5)
+    pq.write_table(pa.table({"o_orderkey": pa.array(cust, pa.int64()),
+                             "o_custkey": pa.array(cust, pa.int64()),
+                             "o_totalprice": pa.array(price, pa.float64())}),
+                   tmp_path / "orders.parquet")
+    pq.write_table(pa.table({"c_custkey": pa.array(cust, pa.int64())}),
+                   tmp_path / "customer.parquet")
+    a = q_customer_top_decile_share(str(tmp_path),
+                                    route="local").to_pandas()
+    b = q_customer_top_decile_share(str(tmp_path),
+                                    route="distributed").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    assert int(a.loc[0, "n_top"]) == 4
+    # k inside the tie block: duplicate every tied row's weight via a
+    # second orders file with 60 more tied customers
+    cust2 = list(range(41, 101))
+    pq.write_table(
+        pa.table({"o_orderkey": pa.array(cust2, pa.int64()),
+                  "o_custkey": pa.array(cust2, pa.int64()),
+                  "o_totalprice": pa.array([100.0] * 60, pa.float64())}),
+        tmp_path / "orders2.parquet")
+    import pandas as pd2
+    both = pd2.concat([pq.read_table(tmp_path / "orders.parquet").to_pandas(),
+                       pq.read_table(tmp_path / "orders2.parquet").to_pandas()])
+    pq.write_table(pa.Table.from_pandas(both, preserve_index=False),
+                   tmp_path / "orders.parquet")
+    pq.write_table(pa.table({"c_custkey": pa.array(cust + cust2, pa.int64())}),
+                   tmp_path / "customer.parquet")
+    a = q_customer_top_decile_share(str(tmp_path),
+                                    route="local").to_pandas()
+    b = q_customer_top_decile_share(str(tmp_path),
+                                    route="distributed").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    assert int(a.loc[0, "n_top"]) == 10  # threshold T=100.00 inside ties
