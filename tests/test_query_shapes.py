@@ -513,3 +513,27 @@ def test_customer_top_decile_share_tie_skew(ray_session, tmp_path):
                                     route="distributed").to_pandas()
     pd.testing.assert_frame_equal(a, b)
     assert int(a.loc[0, "n_top"]) == 10  # threshold T=100.00 inside ties
+
+
+def test_default_route_flips_past_threshold(ray_session, monkeypatch):
+    """route=None must consult _BCAST_DIM_MAX_ROWS at call time: with the
+    threshold forced to 0 every dimension 'outgrows' a broadcast and the
+    default call must take the hashjoin path (same results, no ray.put of
+    the dimension)."""
+    import ocr_main_ray.pipelines.queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    expected = {}
+    for name in ("revenue_by_segment", "bloom_semi_join",
+                 "customer_top_decile_share"):
+        out = Q.QUERIES[name](sf)
+        expected[name] = (out.to_pandas() if hasattr(out, "to_pandas")
+                          and not isinstance(out, pd.DataFrame) else out)
+    monkeypatch.setattr(Q, "_BCAST_DIM_MAX_ROWS", 0)
+    for name, exp in expected.items():
+        got = Q.QUERIES[name](sf)
+        if hasattr(got, "to_pandas") and not isinstance(got, pd.DataFrame):
+            got = got.to_pandas()
+        pd.testing.assert_frame_equal(
+            got.sort_values(list(got.columns)).reset_index(drop=True),
+            exp.sort_values(list(exp.columns)).reset_index(drop=True))
