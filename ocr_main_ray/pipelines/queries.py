@@ -2100,11 +2100,15 @@ def q_building_orders(sf_dir: str, *, route: str | None = None):
                 f"{sf_dir}/customer.parquet", columns=["c_custkey"],
                 filter=(pc.field("c_mktsegment") == "BUILDING")),
             keys_schema)
-        agg = (per_cust.join(seg_keys, join_type="inner",
-                             num_partitions=_join_parts(sf_dir, "orders"),
-                             on=("o_custkey",), right_on=("c_custkey",))
-               .aggregate(Sum("p_n", alias_name="n_orders"),
-                          Sum("p_cents", alias_name="revenue_cents")))
+        if seg_keys.count() == 0:  # join rejects a fully-empty side
+            agg = {"n_orders": 0, "revenue_cents": 0}
+        else:
+            agg = (per_cust.join(seg_keys, join_type="inner",
+                                 num_partitions=_join_parts(sf_dir,
+                                                            "orders"),
+                                 on=("o_custkey",), right_on=("c_custkey",))
+                   .aggregate(Sum("p_n", alias_name="n_orders"),
+                              Sum("p_cents", alias_name="revenue_cents")))
     return pa.table({
         "n_orders": pa.array([agg["n_orders"]], pa.int64()),
         "revenue_cents": pa.array([agg["revenue_cents"]], pa.int64()),
@@ -3854,6 +3858,11 @@ def q_bloom_semi_join(sf_dir: str, *, route: str | None = None):
                 f"{sf_dir}/part.parquet", columns=["p_partkey"],
                 filter=(pc.field("p_size") >= BIG_PART_SIZE)),
             pa.schema([("p_partkey", pa.int64())]))
+        if big_keys.count() == 0:  # join rejects a fully-empty side;
+            # parity with the broadcast route's empty groupby result
+            return pd.DataFrame({"l_returnflag": pd.Series([], dtype=object),
+                                 "n_items": pd.Series([], dtype="int64"),
+                                 "total_qty": pd.Series([], dtype="int64")})
         partials = (fit_for_join(
             ds.map_batches(li_partial, batch_format="pyarrow"), li_schema)
             .join(big_keys, join_type="inner",
@@ -3864,6 +3873,10 @@ def q_bloom_semi_join(sf_dir: str, *, route: str | None = None):
            .aggregate(Sum("p_n", alias_name="n_items"),
                       Sum("p_qty", alias_name="total_qty"))
            .to_pandas())
+    if out.empty:  # empty groupby drops its columns entirely
+        return pd.DataFrame({"l_returnflag": pd.Series([], dtype=object),
+                             "n_items": pd.Series([], dtype="int64"),
+                             "total_qty": pd.Series([], dtype="int64")})
     return out.sort_values("l_returnflag").reset_index(drop=True)
 
 

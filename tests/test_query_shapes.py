@@ -537,3 +537,41 @@ def test_default_route_flips_past_threshold(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(
             got.sort_values(list(got.columns)).reset_index(drop=True),
             exp.sort_values(list(exp.columns)).reset_index(drop=True))
+
+
+def test_hashjoin_routes_empty_dimension(ray_session, tmp_path):
+    """A dimension slice that prunes to zero rows must not crash the
+    hashjoin fallbacks (Dataset.join rejects a fully-empty side) and must
+    match the broadcast route's empty/zero results."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_main_ray.pipelines.queries import (q_bloom_semi_join,
+                                                q_building_orders)
+
+    # customers: none in BUILDING; parts: all below the big-size cut
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2], pa.int64()),
+        "c_mktsegment": pa.array(["AUTOMOBILE", "MACHINERY"], pa.string()),
+    }), tmp_path / "customer.parquet")
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2], pa.int64()),
+        "p_size": pa.array([1, 2], pa.int64()),
+    }), tmp_path / "part.parquet")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([10, 11], pa.int64()),
+        "o_custkey": pa.array([1, 2], pa.int64()),
+        "o_totalprice": pa.array([100.0, 200.0], pa.float64()),
+    }), tmp_path / "orders.parquet")
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 2], pa.int64()),
+        "l_returnflag": pa.array(["N", "R"], pa.string()),
+        "l_quantity": pa.array([1.0, 2.0], pa.float64()),
+    }), tmp_path / "lineitem.parquet")
+    sf = str(tmp_path)
+    for route in ("broadcast", "hashjoin"):
+        out = q_building_orders(sf, route=route).to_pandas()
+        assert int(out.loc[0, "n_orders"]) == 0, route
+        assert int(out.loc[0, "revenue_cents"]) == 0, route
+        empty = q_bloom_semi_join(sf, route=route)
+        assert len(empty) == 0, route
