@@ -96,6 +96,11 @@ class _Extractor(HTMLParser):
 
     def handle_endtag(self, tag):
         tag = tag.lower()
+        # a stray end tag with no matching open would otherwise unwind the
+        # ENTIRE stack, losing skip/boiler/link bookkeeping for the rest of
+        # the document — real crawls emit these constantly
+        if not any(t.split("\x00", 1)[0] == tag for t in self.stack):
+            return
         # unwind the stack to the matching open tag (tolerates bad nesting)
         while self.stack:
             top = self.stack.pop()

@@ -166,3 +166,52 @@ def test_extract_main_text_latin1_payload():
     raw = ('<html><head><meta charset="iso-8859-1"></head><body><p>'
            + body + "</p></body></html>").encode("iso-8859-1")
     assert "café" in extract_main_text(raw)
+
+
+def test_stray_end_tag_does_not_wipe_state():
+    """A stray </div> with no matching open tag must not unwind the whole
+    stack: content after it stays attributed, and an enclosing boiler
+    region keeps suppressing."""
+    html = (b"<html><body><article><p>First paragraph of the article body."
+            b"</p></div><p>Second paragraph still part of the article body."
+            b"</p></article></body></html>")
+    out = extract_main_text(html)
+    assert "First paragraph" in out
+    assert "Second paragraph" in out
+    # stray close inside chrome must not re-enable it
+    html2 = (b"<nav><p>menu home about contact links</p></div>"
+             b"<p>menu two more chrome links here</p></nav>"
+             b"<article><p>Real article content sentence goes here.</p>"
+             b"</article>")
+    out2 = extract_main_text(html2)
+    assert "Real article content" in out2
+    assert "menu" not in out2
+
+
+def test_tags_inside_comments_ignored():
+    html = (b"<article><p>Kept paragraph with enough words here.</p>"
+            b"<!-- <p>commented out fake paragraph</p> <div class=nav> -->"
+            b"<p>Another kept paragraph with enough words.</p></article>")
+    out = extract_main_text(html)
+    assert "Kept paragraph" in out and "Another kept" in out
+    assert "commented out" not in out
+
+
+def test_unclosed_anchor_does_not_poison_document():
+    """An <a> never closed must not mark the rest of the document as link
+    text (link_depth unwinds when the enclosing block closes)."""
+    html = (b"<div><a href=x>one link</div>"
+            b"<p>Plain prose paragraph with plenty of ordinary words "
+            b"and no links at all in it.</p>")
+    out = extract_main_text(html)
+    assert "Plain prose paragraph" in out
+
+
+def test_link_farm_table_dropped_content_table_kept():
+    farm = b"".join(b"<td><a href=x>link %d</a></td>" % i for i in range(8))
+    html = (b"<table><tr>" + farm + b"</tr></table>"
+            b"<article><p>A real paragraph of running text that should "
+            b"clearly survive extraction.</p></article>")
+    out = extract_main_text(html)
+    assert "real paragraph" in out
+    assert "link 3" not in out
