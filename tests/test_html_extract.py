@@ -1,5 +1,6 @@
 from ocr_main_ray.sources.synth import build_html
-from ocr_main_ray.stages.html_extract import extract_main_text
+from ocr_main_ray.stages.html_extract import (decode_html,
+                                              extract_main_text)
 
 
 FULL_PAGE = b"""<!DOCTYPE html><html><head><title>T</title>
@@ -160,7 +161,8 @@ def test_decode_html_fallback_windows1252():
 
 
 def test_extract_main_text_latin1_payload():
-    from ocr_main_ray.stages.html_extract import extract_main_text
+    from ocr_main_ray.stages.html_extract import (decode_html,
+                                              extract_main_text)
 
     body = " ".join(["palabra"] * 30) + " café"
     raw = ('<html><head><meta charset="iso-8859-1"></head><body><p>'
@@ -215,3 +217,20 @@ def test_link_farm_table_dropped_content_table_kept():
     out = extract_main_text(html)
     assert "real paragraph" in out
     assert "link 3" not in out
+
+
+def test_decode_and_extract_total_on_arbitrary_bytes():
+    """decode_html / extract_main_text are total functions of bytes: no
+    input may raise (windows-1252 decodes any byte sequence; parser errors
+    degrade to partial output).  Derandomized hypothesis sweep."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=300, derandomize=True, deadline=None)
+    @given(st.binary(max_size=512))
+    def run(payload):
+        s = decode_html(payload)
+        assert isinstance(s, str)
+        t = extract_main_text(payload)
+        assert isinstance(t, str)
+
+    run()
