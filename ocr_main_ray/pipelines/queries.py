@@ -380,33 +380,9 @@ def q_pricing_summary(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
-# broadcast hash join (small dimension side via ray.put) + grouped rollup
+# broadcast hash join (sorted-array lookup fused into the orders scan) +
+# grouped rollup; size-routed to a hash join past _BCAST_DIM_MAX_ROWS
 # ---------------------------------------------------------------------------
-
-class _SegmentJoin:
-    """Actor-pool stage holding the broadcast customer->segment map.
-    Lookup is one vectorized searchsorted over the sorted key array per
-    batch — no per-row dict hop (round-1 verdict nit #5)."""
-
-    def __init__(self, cust_ref):
-        cust = ray.get(cust_ref)  # fetched once per actor, zero-copy arrow
-        keys = cust.column("c_custkey").to_numpy()
-        order = np.argsort(keys)
-        self.keys = keys[order]
-        self.segs = cust.column("c_mktsegment").to_numpy(
-            zero_copy_only=False)[order]
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        probe = batch.column("o_custkey").to_numpy()
-        # inner-join semantics: orders with no matching customer drop out
-        # (none exist in TPC-H data; keeps both routes pointwise equal)
-        hit, segs_at = _sorted_lookup(self.keys, self.segs, probe)
-        cents = pc.cast(pc.round(pc.multiply(batch.column("o_totalprice"), 100.0)), pa.int64())
-        t = pa.table({"c_mktsegment": pa.array(segs_at[hit], pa.string()),
-                      "cents": pa.array(cents.to_numpy()[hit], pa.int64())})
-        g = t.group_by("c_mktsegment").aggregate([("cents", "sum"), ("cents", "count")])
-        return g.rename_columns(["c_mktsegment", "p_cents", "p_n"])
-
 
 def q_revenue_by_segment(sf_dir: str, *, route: str | None = None):
     """Size-routed like q_local_supplier_revenue: below _BCAST_DIM_MAX_ROWS
@@ -425,11 +401,29 @@ def q_revenue_by_segment(sf_dir: str, *, route: str | None = None):
     if route == "broadcast":
         cust = pq.read_table(f"{sf_dir}/customer.parquet",
                              columns=["c_custkey", "c_mktsegment"])
-        cust_ref = ray.put(cust)
-        partials = ds.map_batches(
-            _SegmentJoin, fn_constructor_kwargs={"cust_ref": cust_ref},
-            batch_format="pyarrow", batch_size=65536, concurrency=(1, 4),
-        )
+        # sort ONCE on the driver; tasks ray.get a node-local zero-copy
+        # view per batch — no actor-pool startup (A/B: see BASELINE.md)
+        keys = cust.column("c_custkey").to_numpy()
+        order = np.argsort(keys)
+        cust_ref = ray.put((keys[order],
+                            cust.column("c_mktsegment").to_numpy(
+                                zero_copy_only=False)[order]))
+
+        def seg_partial(batch: pa.Table) -> pa.Table:
+            skeys, segs = ray.get(cust_ref)
+            probe = batch.column("o_custkey").to_numpy()
+            hit, segs_at = _sorted_lookup(skeys, segs, probe)
+            cents = pc.cast(pc.round(pc.multiply(
+                batch.column("o_totalprice"), 100.0)), pa.int64())
+            t = pa.table({"c_mktsegment": pa.array(segs_at[hit], pa.string()),
+                          "cents": pa.array(cents.to_numpy()[hit],
+                                            pa.int64())})
+            g = t.group_by("c_mktsegment").aggregate([("cents", "sum"),
+                                                      ("cents", "count")])
+            return g.rename_columns(["c_mktsegment", "p_cents", "p_n"])
+
+        partials = ds.map_batches(seg_partial, batch_format="pyarrow",
+                                  batch_size=65536)
     else:
         from ..rayops import fit_for_join
 
@@ -586,34 +580,9 @@ def q_customer_order_counts(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
-# multi-way broadcast join: orders -> customer -> nation rollup (both
-# dimension tables are small: compose the lookup once per actor)
+# multi-way rollup: orders -> customer -> nation; int-nationkey partials,
+# 25-row name attach driver-side; size-routed past _BCAST_DIM_MAX_ROWS
 # ---------------------------------------------------------------------------
-
-class _NationJoin:
-    """Broadcast customer->nationkey lookup fused into the orders scan.
-    One vectorized searchsorted per batch (no per-row dict hop); partials
-    are int-nationkey keyed, so the exchange is |nations| tiny rows."""
-
-    def __init__(self, cust_ref):
-        cust = ray.get(cust_ref)
-        keys = cust.column("c_custkey").to_numpy()
-        order = np.argsort(keys)
-        self.keys = keys[order]
-        self.nat = cust.column("c_nationkey").to_numpy()[order].astype(
-            np.int64)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        probe = batch.column("o_custkey").to_numpy()
-        hit, nat = _sorted_lookup(self.keys, self.nat, probe)
-        cents = pc.cast(pc.round(pc.multiply(batch.column("o_totalprice"), 100.0)),
-                        pa.int64())
-        t = pa.table({"n_nationkey": pa.array(nat[hit], pa.int64()),
-                      "cents": pa.array(cents.to_numpy()[hit], pa.int64())})
-        g = t.group_by("n_nationkey").aggregate([("cents", "sum"),
-                                                 ("cents", "count")])
-        return g.rename_columns(["n_nationkey", "p_cents", "p_n"])
-
 
 def q_revenue_by_nation(sf_dir: str, *, route: str | None = None):
     """Size-routed: below _BCAST_DIM_MAX_ROWS the customer->nationkey map
@@ -629,12 +598,29 @@ def q_revenue_by_nation(sf_dir: str, *, route: str | None = None):
     ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
                          columns=["o_custkey", "o_totalprice"])
     if route == "broadcast":
-        cust_ref = ray.put(pq.read_table(f"{sf_dir}/customer.parquet",
-                                         columns=["c_custkey", "c_nationkey"]))
-        partials = ds.map_batches(
-            _NationJoin, fn_constructor_kwargs={"cust_ref": cust_ref},
-            batch_format="pyarrow", batch_size=65536, concurrency=(1, 4),
-        )
+        cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey", "c_nationkey"])
+        keys = cust.column("c_custkey").to_numpy()
+        order = np.argsort(keys)
+        cust_ref = ray.put((keys[order],
+                            cust.column("c_nationkey").to_numpy()[order]
+                            .astype(np.int64)))
+
+        def nat_partial(batch: pa.Table) -> pa.Table:
+            nkeys, nat = ray.get(cust_ref)
+            probe = batch.column("o_custkey").to_numpy()
+            hit, nat_at = _sorted_lookup(nkeys, nat, probe)
+            cents = pc.cast(pc.round(pc.multiply(
+                batch.column("o_totalprice"), 100.0)), pa.int64())
+            t = pa.table({"n_nationkey": pa.array(nat_at[hit], pa.int64()),
+                          "cents": pa.array(cents.to_numpy()[hit],
+                                            pa.int64())})
+            g = t.group_by("n_nationkey").aggregate([("cents", "sum"),
+                                                     ("cents", "count")])
+            return g.rename_columns(["n_nationkey", "p_cents", "p_n"])
+
+        partials = ds.map_batches(nat_partial, batch_format="pyarrow",
+                                  batch_size=65536)
     else:
         from ..rayops import fit_for_join
 
@@ -2070,9 +2056,12 @@ def q_building_orders(sf_dir: str, *, route: str | None = None):
             pc.equal(cust.column("c_mktsegment"), "BUILDING"))
             .column("c_custkey").to_numpy())
         keys_ref = ray.put(keys)
+        def semi_partial(batch: pa.Table) -> pa.Table:
+            # task mode: ray.get is a node-local zero-copy view per batch
+            return _SegmentSemi(keys_ref)(batch)
+
         agg = ds.map_batches(
-            _SegmentSemi, fn_constructor_kwargs={"keys_ref": keys_ref},
-            batch_format="pyarrow", concurrency=(1, 4), num_cpus=1,
+            semi_partial, batch_format="pyarrow",
         ).aggregate(Sum("p_n", alias_name="n_orders"),
                     Sum("p_cents", alias_name="revenue_cents"))
     else:
@@ -3316,9 +3305,10 @@ def q_orders_above_cust_avg(sf_dir: str, *, route: str | None = None):
                 return batch.select(["o_orderkey", "o_custkey"]).filter(
                     pa.array(keep))
 
-        out = ds.map_batches(_AboveAvg,
-                             fn_constructor_kwargs={"ref": stats_ref},
-                             batch_format="pyarrow", concurrency=(1, 4))
+        def above_partial(batch: pa.Table) -> pa.Table:
+            return _AboveAvg(stats_ref)(batch)
+
+        out = ds.map_batches(above_partial, batch_format="pyarrow")
     else:
         from ..rayops import fit_for_join
 
@@ -3496,9 +3486,12 @@ def q_returned_revenue_topk(sf_dir: str, *, route: str | None = None):
                      .group_by("c_custkey").aggregate([("cents", "sum")]))
                 return g.rename_columns(["c_custkey", "p_cents"])
 
+        def cust_partial(batch: pa.Table) -> pa.Table:
+            # task mode: ray.get is a node-local zero-copy view per batch
+            return _CustPartial(ref)(batch)
+
         per_cust = _bucket_fold(
-            li.map_batches(_CustPartial, fn_constructor_kwargs={"r": ref},
-                           batch_format="pyarrow", concurrency=(1, 8)),
+            li.map_batches(cust_partial, batch_format="pyarrow"),
             "c_custkey", {"p_cents": ("revenue_cents", "sum")})
         head = (per_cust.map_batches(local_topk, batch_format="pyarrow")
                 .to_pandas())
@@ -3831,11 +3824,13 @@ def q_bloom_semi_join(sf_dir: str, *, route: str | None = None):
             pc.greater_equal(part.column("p_size"), BIG_PART_SIZE))
             .column("p_partkey").to_numpy())
         bloom_ref, keys_ref = ray.put(bloom_build(keys)), ray.put(keys)
-        partials = ds.map_batches(
-            _BloomSemi,
-            fn_constructor_kwargs={"bloom_ref": bloom_ref,
-                                   "keys_ref": keys_ref},
-            batch_format="pyarrow", concurrency=(1, 4))
+
+        def bloom_partial(batch: pa.Table) -> pa.Table:
+            # task mode: per-batch construction is two node-local
+            # zero-copy ray.gets — no actor-pool startup
+            return _BloomSemi(bloom_ref, keys_ref)(batch)
+
+        partials = ds.map_batches(bloom_partial, batch_format="pyarrow")
     else:
         from ..rayops import fit_for_join
 
@@ -3965,9 +3960,10 @@ def q_brand_weighted_price(sf_dir: str, *, route: str | None = None):
         brand_ref = ray.put((pk[order],
                              part.column("p_brand").to_numpy(
                                  zero_copy_only=False)[order]))
-        partials = ds.map_batches(
-            _BrandWeighted, fn_constructor_kwargs={"brand_ref": brand_ref},
-            batch_format="pyarrow", concurrency=(1, 4))
+        def brand_partial(batch: pa.Table) -> pa.Table:
+            return _BrandWeighted(brand_ref)(batch)
+
+        partials = ds.map_batches(brand_partial, batch_format="pyarrow")
     else:
         from ..rayops import fit_for_join
 
@@ -4527,10 +4523,13 @@ def q_local_supplier_revenue(sf_dir: str, *, route: str | None = None):
         so = np.argsort(sk)
         sup_ref = ray.put((sk[so], sup.column("s_nationkey").to_numpy()[so]
                            .astype(np.int64)))
-        per_nat = (li.map_batches(_NatPartial,
-                                  fn_constructor_kwargs={"oref": ord_ref,
-                                                         "sref": sup_ref},
-                                  batch_format="pyarrow", concurrency=(1, 8))
+        def nat_partial_task(batch: pa.Table) -> pa.Table:
+            # task mode: ray.get of a node-local plasma object is a
+            # zero-copy view (~us); skipping the actor-pool startup
+            # saves ~1 s at suite scale (A/B-measured, see BASELINE.md)
+            return _NatPartial(ord_ref, sup_ref)(batch)
+
+        per_nat = (li.map_batches(nat_partial_task, batch_format="pyarrow")
                    .groupby("nationkey")
                    .aggregate(Sum("p_cents", alias_name="revenue_cents"))
                    .to_pandas())  # <= |nations| rows
@@ -4710,9 +4709,10 @@ def q_promo_revenue_share(sf_dir: str, *, route: str | None = None):
                                         pa.int64()),
                     "p_total": pa.array([int(cents.sum())], pa.int64())})
 
-        agg = (li.map_batches(_PromoPartial,
-                              fn_constructor_kwargs={"ref": ref},
-                              batch_format="pyarrow", concurrency=(1, 4))
+        def promo_partial(batch: pa.Table) -> pa.Table:
+            return _PromoPartial(ref)(batch)
+
+        agg = (li.map_batches(promo_partial, batch_format="pyarrow")
                .aggregate(Sum("p_promo", alias_name="promo"),
                           Sum("p_total", alias_name="total")))
         promo_c, total_c = int(agg["promo"]), int(agg["total"])
@@ -4904,14 +4904,17 @@ def q_nation_pair_volume(sf_dir: str, *, route: str | None = None):
         ck = cust.column("c_custkey").to_numpy()
         co = np.argsort(ck)
         cust_ref = ray.put((ck[co], cust.column("c_nationkey").to_numpy()[co]))
+        def line_side(batch: pa.Table) -> pa.Table:
+            # task mode: ray.get is a node-local zero-copy view per batch
+            return _LineSide(sup_ref)(batch)
+
+        def order_side(batch: pa.Table) -> pa.Table:
+            return _OrderSide(cust_ref)(batch)
+
         lhs = fit_for_join(
-            li.map_batches(_LineSide, fn_constructor_kwargs={"ref": sup_ref},
-                           batch_format="pyarrow", concurrency=(1, 4)),
-            lhs_schema)
+            li.map_batches(line_side, batch_format="pyarrow"), lhs_schema)
         rhs = fit_for_join(
-            orders.map_batches(_OrderSide,
-                               fn_constructor_kwargs={"ref": cust_ref},
-                               batch_format="pyarrow", concurrency=(1, 4)),
+            orders.map_batches(order_side, batch_format="pyarrow"),
             rhs_schema)
     else:
         nat_filter = pc.field("s_nationkey").isin([nat_a, nat_b])
@@ -5109,15 +5112,17 @@ def q_region_market_share(sf_dir: str, *, route: str | None = None):
     rhs_schema = pa.schema([("o_orderkey", pa.int64()),
                             ("o_year", pa.int64())])
     if route == "broadcast":
+        def line_partial(batch: pa.Table) -> pa.Table:
+            return _LinePartial(sup_ref)(batch)
+
+        def order_side(batch: pa.Table) -> pa.Table:
+            return _OrderSide(cust_ref)(batch)
+
         lhs = fit_for_join(
-            li.map_batches(_LinePartial,
-                           fn_constructor_kwargs={"ref": sup_ref},
-                           batch_format="pyarrow", concurrency=(1, 4)),
+            li.map_batches(line_partial, batch_format="pyarrow"),
             lhs_schema)
         rhs = fit_for_join(
-            orders.map_batches(_OrderSide,
-                               fn_constructor_kwargs={"ref": cust_ref},
-                               batch_format="pyarrow", concurrency=(1, 4)),
+            orders.map_batches(order_side, batch_format="pyarrow"),
             rhs_schema)
     else:
         jparts = _join_parts(sf_dir, "lineitem")
@@ -5317,9 +5322,12 @@ def q_token_familiarity(sf_dir: str, *, route: str | None = None):
             pc.sort_indices(vocab, sort_keys=[("w", "ascending")]))
         vref = ray.put((vocab.column("w").combine_chunks(),
                         vocab.column("c").to_numpy()))
+        def fam_fold(batch: pd.DataFrame) -> pd.DataFrame:
+            # task mode: ray.get is a node-local zero-copy view per batch
+            return _FamFold(vref)(batch)
+
         out = (_docs(sf_dir, ["doc_id", "text"])
-               .map_batches(_FamFold, fn_constructor_kwargs={"r": vref},
-                            batch_format="pandas", concurrency=(1, 8))
+               .map_batches(fam_fold, batch_format="pandas")
                .to_pandas().sort_values("doc_id").reset_index(drop=True))
         out["avg_familiarity"] = (
             out["familiarity_sum"].to_numpy().astype(np.float64)
@@ -7888,7 +7896,7 @@ def q_disjunctive_revenue(sf_dir: str, *, route: str | None = None):
     agg = (rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                            columns=["l_partkey", "l_quantity",
                                     "l_extendedprice", "l_discount"])
-           .map_batches(_Probe, batch_format="pyarrow", concurrency=(1, 8))
+           .map_batches(lambda t: _Probe()(t), batch_format="pyarrow")
            .sum(["pr", "pn"]))
     return pd.DataFrame({"revenue_c4": [int(agg["sum(pr)"])],
                          "n_items": [int(agg["sum(pn)"])]})
