@@ -2098,9 +2098,13 @@ def q_building_orders(sf_dir: str, *, route: str | None = None):
                                  on=("o_custkey",), right_on=("c_custkey",))
                    .aggregate(Sum("p_n", alias_name="n_orders"),
                               Sum("p_cents", alias_name="revenue_cents")))
+    # Sum over an empty dataset yields None; coalesce so the hashjoin route
+    # returns the same {0, 0} row the broadcast route produces when no
+    # BUILDING customer has orders.
     return pa.table({
-        "n_orders": pa.array([agg["n_orders"]], pa.int64()),
-        "revenue_cents": pa.array([agg["revenue_cents"]], pa.int64()),
+        "n_orders": pa.array([int(agg["n_orders"] or 0)], pa.int64()),
+        "revenue_cents": pa.array([int(agg["revenue_cents"] or 0)],
+                                  pa.int64()),
     })
 
 
@@ -3096,6 +3100,16 @@ def _q3_li_partial(t: pa.Table) -> pa.Table:
     return g.rename_columns(["l_orderkey", "p_cents"])
 
 
+def _q3_empty_frame() -> pd.DataFrame:
+    """Typed empty Q3 top-10 frame (column order and dtypes match the
+    non-empty return path exactly)."""
+    return pd.DataFrame({
+        "l_orderkey": pd.Series([], dtype="int64"),
+        "revenue_cents": pd.Series([], dtype="int64"),
+        "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+        "o_orderpriority": pd.Series([], dtype=object)})
+
+
 def q_shipping_priority(sf_dir: str, *, route: str | None = None):
     """TPC-H Q3.  The lineitem-orders side is always a hash join; the
     BUILDING-customer semi filter on orders is size-routed: broadcast
@@ -3142,7 +3156,14 @@ def q_shipping_priority(sf_dir: str, *, route: str | None = None):
                 f"{sf_dir}/customer.parquet", columns=["c_custkey"],
                 filter=(pc.field("c_mktsegment") == "BUILDING")),
             keys_schema)
-        od = (fit_for_join(orders_raw, raw_schema)
+        orders_f = fit_for_join(orders_raw, raw_schema)
+        # Dataset.join rejects a fully-empty side (invariant noted at the
+        # sibling guards, e.g. q_nation_pair_volume): if no customer is in
+        # the BUILDING segment or no order predates the cutoff, return the
+        # typed empty top-10 frame the broadcast route produces.
+        if seg_keys.count() == 0 or orders_f.count() == 0:
+            return _q3_empty_frame()
+        od = (orders_f
               .join(seg_keys, join_type="inner",
                     num_partitions=_join_parts(sf_dir, "orders"),
                     on=("o_custkey",), right_on=("c_custkey",))
@@ -3165,9 +3186,17 @@ def q_shipping_priority(sf_dir: str, *, route: str | None = None):
     od_schema = pa.schema([("o_orderkey", pa.int64()),
                            ("o_orderdate", pa.timestamp("us")),
                            ("o_orderpriority", pa.string())])
+    li_f = fit_for_join(li_agg, li_schema)
+    od_f = fit_for_join(od, od_schema)
+    # fit_for_join has materialized both sides into block refs, so these
+    # counts are cast-only passes; either side can be legitimately empty
+    # (no BUILDING customers / no qualifying lineitems) and Dataset.join
+    # rejects a fully-empty side.
+    if li_f.count() == 0 or od_f.count() == 0:
+        return _q3_empty_frame()
     nparts = _join_parts(sf_dir, "lineitem")
-    joined = fit_for_join(li_agg, li_schema).join(
-        fit_for_join(od, od_schema), join_type="inner",
+    joined = li_f.join(
+        od_f, join_type="inner",
         num_partitions=nparts, on=("l_orderkey",), right_on=("o_orderkey",))
     out = _topk(joined, "revenue_cents", "l_orderkey", 10)
     out["o_orderdate"] = out["o_orderdate"].astype("datetime64[us]")
@@ -4742,10 +4771,18 @@ def q_promo_revenue_share(sf_dir: str, *, route: str | None = None):
             rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey"],
                             filter=(pc.field("p_type") == "PROMO")),
             pa.schema([("p_partkey", pa.int64())]))
-        promo_c = int(per_part.join(
-            promo_keys, join_type="inner",
-            num_partitions=_join_parts(sf_dir, "lineitem"),
-            on=("l_partkey",), right_on=("p_partkey",)).sum("p_cents") or 0)
+        # Dataset.join rejects a fully-empty side (same invariant as the
+        # sibling routed queries): with no PROMO parts or an empty 1996-01
+        # lineitem slice the promo revenue is 0 by definition, no join
+        # needed (total_c already degraded via `or 0` above).
+        if promo_keys.count() == 0 or per_part.count() == 0:
+            promo_c = 0
+        else:
+            promo_c = int(per_part.join(
+                promo_keys, join_type="inner",
+                num_partitions=_join_parts(sf_dir, "lineitem"),
+                on=("l_partkey",), right_on=("p_partkey",)).sum("p_cents")
+                or 0)
     return pa.table({
         "promo_cents": pa.array([promo_c], pa.int64()),
         "total_cents": pa.array([total_c], pa.int64()),

@@ -436,6 +436,153 @@ def test_nation_pair_volume_routes_agree(ray_session):
                   ["supp_nation", "cust_nation", "l_year"], nonempty=False)
 
 
+def test_nation_pair_volume_nonempty_fixture(ray_session, tmp_path):
+    """Planted suppliers/customers in nations 1 and 2 so both route plans
+    exercise the non-trivial lhs/rhs join + fold on REAL rows (sf0.001 has
+    no suppliers in those nations, so the sf-data route test above only
+    pins the empty frame).  Expects exactly the two hand-computed
+    pair-direction rows, same from both routes."""
+    import pyarrow.parquet as pq
+
+    from ocr_main_ray.pipelines.queries import q_nation_pair_volume
+
+    ts = pa.timestamp("us")
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0, 1, 2, 5], pa.int64()),
+        "n_name": pa.array(["NOISE", "ALPHA", "BRAVO", "OTHER"])}),
+        tmp_path / "nation.parquet")
+    # suppliers: 1 in nation 1, 2 in nation 2, 3 in an ignored nation
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+        "s_nationkey": pa.array([1, 2, 0], pa.int64())}),
+        tmp_path / "supplier.parquet")
+    # customers: 10 in nation 2, 11 in nation 1, 12 in an ignored nation
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([10, 11, 12], pa.int64()),
+        "c_nationkey": pa.array([2, 1, 5], pa.int64())}),
+        tmp_path / "customer.parquet")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([100, 101, 102], pa.int64()),
+        "o_custkey": pa.array([10, 11, 12], pa.int64())}),
+        tmp_path / "orders.parquet")
+    from datetime import datetime
+    d = lambda s: datetime(*map(int, s.split("-")))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([100, 100, 101, 101, 100, 102], pa.int64()),
+        "l_suppkey": pa.array([1, 2, 2, 1, 3, 1], pa.int64()),
+        "l_extendedprice": pa.array(
+            [100.0, 50.0, 200.0, 70.0, 30.0, 40.0], pa.float64()),
+        "l_discount": pa.array([0.1, 0.0, 0.0, 0.0, 0.0, 0.0], pa.float64()),
+        "l_shipdate": pa.array(
+            [d("1995-06-01"),   # supp n1 -> cust n2: ALPHA->BRAVO 1995
+             d("1995-07-01"),   # supp n2 == cust n2: dropped (same nation)
+             d("1996-03-01"),   # supp n2 -> cust n1: BRAVO->ALPHA 1996
+             d("1996-04-01"),   # supp n1 == cust n1: dropped
+             d("1997-05-01"),   # out of the [1995, 1997) window: dropped
+             d("1995-08-01")],  # cust 12 in ignored nation: dropped
+            ts)}),
+        tmp_path / "lineitem.parquet")
+
+    expect = pd.DataFrame({
+        "supp_nation": ["ALPHA", "BRAVO"],
+        "cust_nation": ["BRAVO", "ALPHA"],
+        "l_year": pd.array([1995, 1996], dtype="int64"),
+        "revenue_cents": pd.array([9000, 20000], dtype="int64")})
+    for route in ("broadcast", "hashjoin"):
+        got = q_nation_pair_volume(str(tmp_path), route=route)
+        if isinstance(got, pa.Table):
+            got = got.to_pandas()
+        got = (got.sort_values(["supp_nation", "cust_nation", "l_year"])
+               .reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+
+
+def test_promo_revenue_share_no_promo_parts(ray_session, tmp_path):
+    """Empty-side guard: with zero PROMO parts the hashjoin route must
+    not call Dataset.join on the fully-empty promo_keys side — both
+    routes return promo=0 against the real total."""
+    import pyarrow.parquet as pq
+
+    from ocr_main_ray.pipelines.queries import q_promo_revenue_share
+
+    from datetime import datetime
+    d = lambda s: datetime(*map(int, s.split("-")))
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 2], pa.int64()),
+        "l_extendedprice": pa.array([100.0, 50.0], pa.float64()),
+        "l_discount": pa.array([0.0, 0.0], pa.float64()),
+        "l_shipdate": pa.array([d("1996-01-05"), d("1996-01-20")],
+                               pa.timestamp("us"))}),
+        tmp_path / "lineitem.parquet")
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2], pa.int64()),
+        "p_type": pa.array(["STANDARD", "ECONOMY"])}),
+        tmp_path / "part.parquet")
+    for route in ("broadcast", "hashjoin"):
+        got = q_promo_revenue_share(str(tmp_path), route=route).to_pandas()
+        assert int(got.loc[0, "promo_cents"]) == 0
+        assert int(got.loc[0, "total_cents"]) == 15000
+        assert float(got.loc[0, "promo_share"]) == 0.0
+
+
+def test_shipping_priority_no_building_customers(ray_session, tmp_path):
+    """Empty-side guard: with zero BUILDING customers both routes return
+    the typed empty top-10 frame instead of crashing Dataset.join."""
+    import pyarrow.parquet as pq
+
+    from ocr_main_ray.pipelines.queries import q_shipping_priority
+
+    from datetime import datetime
+    d = lambda s: datetime(*map(int, s.split("-")))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2], pa.int64()),
+        "c_mktsegment": pa.array(["AUTOMOBILE", "MACHINERY"])}),
+        tmp_path / "customer.parquet")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([10, 11], pa.int64()),
+        "o_custkey": pa.array([1, 2], pa.int64()),
+        "o_orderdate": pa.array([d("1995-01-01"), d("1995-02-01")],
+                                pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT", "2-HIGH"])}),
+        tmp_path / "orders.parquet")
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([10, 11], pa.int64()),
+        "l_extendedprice": pa.array([100.0, 50.0], pa.float64()),
+        "l_discount": pa.array([0.0, 0.0], pa.float64()),
+        "l_shipdate": pa.array([d("1995-06-01"), d("1995-07-01")],
+                               pa.timestamp("us"))}),
+        tmp_path / "lineitem.parquet")
+    for route in ("broadcast", "hashjoin"):
+        got = q_shipping_priority(str(tmp_path), route=route)
+        assert got.shape[0] == 0
+        assert list(got.columns) == ["l_orderkey", "revenue_cents",
+                                     "o_orderdate", "o_orderpriority"]
+        assert str(got["l_orderkey"].dtype) == "int64"
+        assert str(got["o_orderdate"].dtype) == "datetime64[us]"
+
+
+def test_building_orders_building_cust_without_orders(ray_session, tmp_path):
+    """Coalesce guard: BUILDING customers exist but none has an order, so
+    the hashjoin route's per_cust⋈seg_keys join is empty and Sum returns
+    None — both routes must yield the {0, 0} row."""
+    import pyarrow.parquet as pq
+
+    from ocr_main_ray.pipelines.queries import q_building_orders
+
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2], pa.int64()),
+        "c_mktsegment": pa.array(["BUILDING", "MACHINERY"])}),
+        tmp_path / "customer.parquet")
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([2, 2], pa.int64()),
+        "o_totalprice": pa.array([10.0, 20.0], pa.float64())}),
+        tmp_path / "orders.parquet")
+    for route in ("broadcast", "hashjoin"):
+        got = q_building_orders(str(tmp_path), route=route).to_pandas()
+        assert int(got.loc[0, "n_orders"]) == 0
+        assert int(got.loc[0, "revenue_cents"]) == 0
+
+
 def test_region_market_share_routes_agree(ray_session):
     from ocr_main_ray.pipelines.queries import q_region_market_share
     _routes_agree(q_region_market_share, ["o_year"])
