@@ -121,11 +121,14 @@ def run_bench() -> dict:
     if MODE == "staged":
         from ocr_main_ray.state.manifest import run_checkpointed
 
+        # concurrency 5 measured best on the 24-cpu leg with LPT ordering
+        # (93-95 s vs 99-101 s at 3/4/6; the pre-LPT sweep's 3-4 plateau
+        # no longer binds once heavy partitions start first)
         summary = run_checkpointed(
             str(pages_dir), str(out_dir), config=config,
             dispatch_mode="tasks",
             max_concurrent_partitions=int(
-                os.environ.get("OCR_STAGED_CONCURRENCY", "3")))
+                os.environ.get("OCR_STAGED_CONCURRENCY", "5")))
         headline = time.perf_counter() - t0
         out_dir = pathlib.Path(summary["out_dir"])
     else:

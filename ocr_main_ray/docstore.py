@@ -22,14 +22,21 @@ from pathlib import Path
 
 def create_unique_dir(output_dir: Path, base_name: str) -> Path:
     """B5 allocator, reference-exact (``file_storage.py:179-190``): first
-    ``{base}``, then ``{base}_01``, ``{base}_02``, … until a free name."""
+    ``{base}``, then ``{base}_01``, ``{base}_02``, … until a free name.
+
+    Allocation is the ``mkdir`` itself (atomic at the filesystem level),
+    not a check-then-create: two concurrent requests saving the same name
+    race the reference's exists() loop into a crash; here the loser's
+    FileExistsError just advances it to the next suffix."""
     unique_dir = Path(output_dir) / base_name
     counter = 1
-    while unique_dir.exists():
-        unique_dir = Path(output_dir) / f"{base_name}_{counter:02d}"
-        counter += 1
-    unique_dir.mkdir(parents=True)
-    return unique_dir
+    while True:
+        try:
+            unique_dir.mkdir(parents=True)
+            return unique_dir
+        except FileExistsError:
+            unique_dir = Path(output_dir) / f"{base_name}_{counter:02d}"
+            counter += 1
 
 
 def save_document(output_dir: Path, name: str, extracted_text: str,

@@ -577,3 +577,141 @@ def verify_pairs_distributed(cand_ds, docs_ds, ngram: int = 3,
 
     return j2.map_batches(
         lambda t: _jaccard_rows(t, threshold), batch_format="pyarrow")
+
+
+def chargram_records(text: str, gram_len: int = 23) -> np.ndarray:
+    """Sorted distinct CHARACTER ``gram_len``-grams, as fixed-width
+    byte-string records over the utf-32 code units — EXACT grams (no
+    hashing, no collisions), fixed 4*gram_len-byte records so the set
+    intersection is a vectorized sorted merge (S-dtype, which numpy can
+    order — raw void records cannot be sorted).  Character grams (not
+    bytes) so the external oracle is a plain ``substr(text, p, n)``
+    DuckDB self-join; a text shorter than ``gram_len`` characters has no
+    grams (matches the SQL side's empty generate_series)."""
+    u = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+    st = np.dtype(f"S{4 * gram_len}")
+    if len(u) < gram_len:
+        return np.empty(0, dtype=st)
+    w = np.ascontiguousarray(np.lib.stride_tricks.sliding_window_view(
+        u, gram_len))
+    return np.unique(w.view(st).ravel())
+
+
+class CharGramSets:
+    """Stage: (doc_id, text) batch -> (doc_id, sh: large_binary) where
+    ``sh`` is the sorted distinct char-gram record array's raw bytes
+    (decode: ``np.frombuffer(sh, dtype=(np.void, 4 * gram_len))``).  Same
+    broadcast semi-join prune contract as :class:`ShingleSets`."""
+
+    def __init__(self, gram_len: int = 23, keep_ref=None):
+        self.gram_len = gram_len
+        self.keep = None
+        if keep_ref is not None:
+            import ray as _ray
+            self.keep = pa.array(_ray.get(keep_ref), pa.int64())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        if self.keep is not None:
+            batch = batch.filter(
+                pc.is_in(batch.column("doc_id"), value_set=self.keep))
+        out = [chargram_records(t or "", self.gram_len).tobytes()
+               for t in batch.column("text").to_pylist()]
+        return pa.table({
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "sh": pa.array(out, pa.large_binary()),
+        })
+
+
+def _shared_gram_rows(batch: pa.Table, gram_len: int,
+                      min_shared: int) -> pa.Table:
+    """Keep pairs whose exact char-gram sets intersect in >= min_shared
+    grams.  Empty gram sets (docs shorter than gram_len chars) can never
+    qualify — unlike Jaccard there is no empty==empty special case, by
+    design: the SQL oracle's gram join has no rows for them either."""
+    vt = np.dtype(f"S{4 * gram_len}")
+    a_ids = batch.column("a").to_pylist()
+    b_ids = batch.column("b").to_pylist()
+    sh_a = batch.column("sh_a").to_pylist()
+    sh_b = batch.column("sh_b").to_pylist()
+    oa, ob, on = [], [], []
+    for a, b, ba, bb in zip(a_ids, b_ids, sh_a, sh_b):
+        xa = np.frombuffer(ba, dtype=vt)
+        xb = np.frombuffer(bb, dtype=vt)
+        if not len(xa) or not len(xb):
+            continue
+        inter = np.intersect1d(xa, xb, assume_unique=True).size
+        if inter >= min_shared:
+            oa.append(a); ob.append(b); on.append(int(inter))
+    return pa.table({"a": pa.array(oa, pa.int64()),
+                     "b": pa.array(ob, pa.int64()),
+                     "n_shared_grams": pa.array(on, pa.int64())})
+
+
+def verify_pairs_shared_grams(cand_ds, docs_ds, gram_len: int = 23,
+                              min_shared: int = 1,
+                              num_partitions: int | None = None,
+                              prune_limit: int = 5_000_000,
+                              concurrency=(1, 4)):
+    """Exact shared-substring verification of candidate pairs: a pair
+    survives iff the two docs share >= ``min_shared`` distinct character
+    ``gram_len``-grams (= a common substring of >= gram_len chars when
+    min_shared=1).  Same distributed join shape as
+    :func:`verify_pairs_distributed` — candidate ids broadcast as a
+    semi-join prune, gram payloads meet the pairs in two hash joins,
+    per-pair check vectorized — no driver-side text materialization.
+
+    Paired with winnow retrieval (k + window - 1 <= gram_len BYTES —
+    a shared gram_len-CHAR run is a shared >= gram_len-byte run, since
+    every char is >= 1 utf-8 byte) the result is EXACTLY the set of
+    pairs sharing a ``gram_len``-char run: the Schleimer et al.
+    guarantee makes the candidate set a superset of that truth, and this
+    verify removes the hash-luck false positives — which is what makes
+    the combination SQL-oracle-checkable (a DuckDB substr self-join)."""
+    import ray as _ray
+    import ray.data as rd
+
+    from ..rayops import concat_batches, fit_for_join
+
+    if num_partitions is None:
+        from ..config import cluster_cpus
+        num_partitions = max(2, min(16, cluster_cpus() // 2))
+
+    pairs_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    out_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                            ("n_shared_grams", pa.int64())])
+    ids_tbl = concat_batches(
+        cand_ds.iter_batches(batch_size=1 << 20, batch_format="pyarrow"),
+        pairs_schema)
+    import pyarrow.compute as pc
+    if ids_tbl.num_rows == 0:
+        return rd.from_arrow(out_schema.empty_table())
+    uniq = pc.unique(pa.concat_arrays(
+        [c for col in (ids_tbl.column("a"), ids_tbl.column("b"))
+         for c in col.chunks]))
+    keep_ref = (_ray.put(uniq.to_numpy(zero_copy_only=False))
+                if len(uniq) <= prune_limit else None)
+    n_slices = max(1, min(num_partitions, ids_tbl.num_rows))
+    step = -(-ids_tbl.num_rows // n_slices)
+    cand = rd.from_arrow(
+        [ids_tbl.slice(i * step, step) for i in range(n_slices)
+         if i * step < ids_tbl.num_rows])
+
+    sh_ds = docs_ds.map_batches(
+        CharGramSets,
+        fn_constructor_kwargs={"gram_len": gram_len, "keep_ref": keep_ref},
+        batch_format="pyarrow", concurrency=concurrency, num_cpus=1,
+    )
+    sh_fit = fit_for_join(
+        sh_ds, pa.schema([("doc_id", pa.int64()), ("sh", pa.large_binary())]))
+    sh_a = sh_fit.map_batches(lambda t: t.rename_columns(["a_doc", "sh_a"]),
+                              batch_format="pyarrow")
+    sh_b = sh_fit.map_batches(lambda t: t.rename_columns(["b_doc", "sh_b"]),
+                              batch_format="pyarrow")
+    j1 = cand.join(sh_a, join_type="inner", num_partitions=num_partitions,
+                   on=("a",), right_on=("a_doc",))
+    j2 = j1.join(sh_b, join_type="inner", num_partitions=num_partitions,
+                 on=("b",), right_on=("b_doc",))
+    return j2.map_batches(
+        lambda t: _shared_gram_rows(t, gram_len, min_shared),
+        batch_format="pyarrow")

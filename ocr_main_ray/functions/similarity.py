@@ -25,8 +25,35 @@ def normalize_rows(m: np.ndarray) -> np.ndarray:
 
 
 def batch_embeddings(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    """Embedding column -> (N, D) float64 matrix.
+
+    Fast path: for fixed_size_list<float> (and for plain list<float> whose
+    rows all share one length — the common parquet encoding of embedding
+    columns) the values buffer is contiguous, so
+    ``flatten().to_numpy().reshape`` is a single zero-copy view + one
+    dtype cast instead of a per-row Python materialization (measured ~10x
+    on the round-4 profile).  Rows with nulls or ragged lengths fall back
+    to the per-row path, which is the correctness reference."""
     arr = batch.column(col)
-    return np.stack([np.asarray(v, dtype=np.float64) for v in arr.to_pylist()])
+    ca = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    n = len(ca)
+    if n and ca.null_count == 0:
+        if pa.types.is_fixed_size_list(ca.type):
+            flat = ca.flatten()
+            if flat.null_count == 0:
+                return flat.to_numpy(zero_copy_only=False).reshape(
+                    n, ca.type.list_size).astype(np.float64, copy=False)
+        elif pa.types.is_list(ca.type) or pa.types.is_large_list(ca.type):
+            offs = ca.offsets.to_numpy()
+            widths = np.diff(offs)
+            if widths.size and (widths == widths[0]).all() and widths[0] > 0:
+                # flatten() drops unreferenced leading/trailing values, so
+                # the result is exactly the n*d referenced window
+                flat = ca.flatten()
+                if flat.null_count == 0:
+                    return flat.to_numpy(zero_copy_only=False).reshape(
+                        n, int(widths[0])).astype(np.float64, copy=False)
+    return np.stack([np.asarray(v, dtype=np.float64) for v in ca.to_pylist()])
 
 
 class BruteForceTopK:

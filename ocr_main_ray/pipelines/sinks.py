@@ -1,0 +1,71 @@
+"""Parquet sink terminals for corpus-sized operator results.
+
+The oracle gate's query contract materializes results driver-side
+(``to_pandas``), which is right for bounded aggregates but wrong for the
+operators whose RESULT is corpus-sized — chunking and segment-dedup
+reassembly emit O(corpus) rows (round-4 verdict "What's missing" item 3).
+These sinks run the identical lazy plans but terminate in a sharded
+``write_parquet``: the rows stream from the last map stage straight to
+files, never through the driver, and the output is hive-partitioned on a
+doc_id range shard so a 100-TB consumer gets prunable reads and a
+restartable layout (one directory per shard).
+
+The shard column derives from doc_id alone, so re-running a shard is
+deterministic; Ray writes each output block independently (no global
+barrier beyond the plans' own exchanges).
+"""
+from __future__ import annotations
+
+import pathlib
+
+import pandas as pd
+
+from .queries import (_chunk_batch, _docs, _overlap_chunk_batch,
+                      _reassemble_bucket, _seg_keep_first, _segment_batch,
+                      _session_buckets)
+
+DEFAULT_SHARDS = 64
+
+
+def _with_shard(df: pd.DataFrame, shards: int) -> pd.DataFrame:
+    df = df.copy()
+    df["shard"] = (df["doc_id"] % shards).astype("int32")
+    return df
+
+
+def doc_chunks_to_parquet(sf_dir: str, out_dir: str, *, overlap: bool = False,
+                          shards: int = DEFAULT_SHARDS) -> dict:
+    """Context-window chunking -> hive-partitioned parquet.
+
+    Same per-batch kernel as q_doc_chunks / q_doc_chunks_overlap; the
+    result never visits the driver.  Returns {out_dir, n_files} (row
+    counts come free from parquet metadata if the caller wants them —
+    kept out of the hot path here)."""
+    fn = _overlap_chunk_batch if overlap else _chunk_batch
+    ds = (_docs(sf_dir, ["doc_id", "text"])
+          .map_batches(fn, batch_format="pandas")
+          .map_batches(lambda b: _with_shard(b, shards),
+                       batch_format="pandas"))
+    ds.write_parquet(out_dir, partition_cols=["shard"])
+    n_files = sum(1 for _ in pathlib.Path(out_dir).glob("**/*.parquet"))
+    return {"out_dir": out_dir, "n_files": n_files}
+
+
+def segment_dedup_to_parquet(sf_dir: str, out_dir: str, *,
+                             shards: int = DEFAULT_SHARDS) -> dict:
+    """Segment-level dedup + reassembly (CCNet shape) -> hive-partitioned
+    parquet.  Identical two-coarse-bucket-shuffle plan as
+    q_segment_dedup; the reassembled corpus streams to the sink instead
+    of the driver."""
+    nb = _session_buckets()
+    segs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda t: _segment_batch(t, nb), batch_format="pyarrow")
+    kept = segs.groupby("sbucket").map_groups(
+        lambda g: _seg_keep_first(g, nb), batch_format="pandas")
+    out = (kept.groupby("dbucket")
+           .map_groups(_reassemble_bucket, batch_format="pandas")
+           .map_batches(lambda b: _with_shard(b, shards),
+                        batch_format="pandas"))
+    out.write_parquet(out_dir, partition_cols=["shard"])
+    n_files = sum(1 for _ in pathlib.Path(out_dir).glob("**/*.parquet"))
+    return {"out_dir": out_dir, "n_files": n_files}

@@ -76,6 +76,72 @@ def _list_partitions(staged: pathlib.Path) -> list[tuple[str, str, pathlib.Path]
     return parts
 
 
+# Relative per-byte extraction cost by content type, used ONLY for
+# scheduling (longest-first partition order) and dispatch granularity —
+# never for results.  Scanned PDFs pay page render + OCR per page; native
+# PDFs parse objects; HTML is a single tokenizer pass; empty rows are
+# pass-through.  Exact values are uncritical: LPT only needs the ordering
+# to be monotone in true cost.
+_CT_COST_WEIGHT = {CT_PDF_SCANNED: 12.0, "pdf_native": 2.0,
+                   "html": 1.0, "empty": 0.1}
+
+
+def _partition_cost(ct: str, part_dir: pathlib.Path) -> float:
+    """Estimated extraction cost of one staged partition: staged bytes
+    (free, from file metadata) x the content-type cost weight."""
+    nbytes = sum(p.stat().st_size for p in part_dir.glob("**/*.parquet"))
+    return nbytes * _CT_COST_WEIGHT.get(ct, 1.0)
+
+
+def _partition_stats(part_out: pathlib.Path) -> tuple[int, int]:
+    """(row_count, error_rows) for a written partition, from parquet FILE
+    METADATA only: num_rows is always present and the error column's
+    null_count rides the column-chunk statistics, so counting costs zero
+    data reads (the previous per-partition Ray stats job was a fixed
+    ~0.3 s x partitions tax the hi scaling leg paid disproportionally).
+    Falls back to reading the one slim column if a writer omitted
+    statistics."""
+    import pyarrow.parquet as pq
+
+    n_rows = 0
+    n_errors = 0
+    for f in sorted(part_out.glob("**/*.parquet")):
+        md = pq.read_metadata(f)
+        n_rows += md.num_rows
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        try:
+            ei = names.index("error")
+        except ValueError:
+            continue
+        file_err = 0
+        from_stats = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ei).statistics
+            if st is None or not st.has_null_count:
+                from_stats = False
+                break
+            file_err += md.row_group(rg).num_rows - st.null_count
+        if not from_stats:
+            t = pq.read_table(f, columns=["error"])
+            file_err = t.num_rows - t.column("error").null_count
+        n_errors += file_err
+    return n_rows, n_errors
+
+
+def _write_part_manifest(manifests: pathlib.Path, ct: str, sb, version: str,
+                         part_dir: pathlib.Path, n_rows: int, n_errors: int,
+                         t0: float) -> None:
+    _atomic_write_json(manifests / f"part-{ct}-{sb}.json", {
+        "phase": "extracted",
+        "partition": {"content_type": ct, "size_bucket": int(sb)},
+        "stage_version": version,
+        "input_files": sorted(str(p) for p in part_dir.glob("**/*.parquet")),
+        "row_count": n_rows,
+        "error_rows": n_errors,
+        "wall_ms": round((time.perf_counter() - t0) * 1000, 1),
+    })
+
+
 def run_staged(pages_dir: str, out_dir: str,
                config: PipelineConfig | None = None) -> dict:
     """Phase A: read -> sniff -> dedup -> hive-partitioned staged parquet.
@@ -155,6 +221,13 @@ def run_checkpointed(pages_dir: str, out_dir: str,
     # driver-side work — serialize it; EXECUTION stays concurrent.
     read_lock = threading.Lock()
 
+    from ..config import cluster_cpus
+
+    parts = _list_partitions(out / "staged")
+    costs = {p[2]: _partition_cost(p[0], p[2]) for p in parts}
+    total_cost = sum(costs.values()) or 1.0
+    cpus = cluster_cpus()
+
     def _one_partition(part) -> str:
         ct, sb, part_dir = part
         part_id = f"{ct}-{sb}"
@@ -172,6 +245,15 @@ def run_checkpointed(pages_dir: str, out_dir: str,
             _reattach_partition_cols, fn_kwargs={"ct": ct, "sb": int(sb)},
             batch_format="pyarrow", zero_copy_batch=True,
         )
+        # Metadata-only split (same trick as extract_run's dispatch
+        # granularity): give each partition a number of dispatch tasks
+        # proportional to its estimated cost share, ~10 blocks/cpu across
+        # the whole phase, so the heavy pdf_scanned partitions' skewed
+        # per-document cost rebalances across the shared CPU pool instead
+        # of straggling behind the staged file layout's block boundaries.
+        share = costs[part_dir] / total_cost
+        nblocks = max(4, min(cpus * 10, round(share * cpus * 10)))
+        ds = ds.repartition(nblocks)
         batch_size = (config.ocr_batch_size if ct == CT_PDF_SCANNED
                       else max(64, config.extract_batch_size))
         if dispatch_mode == "tasks":
@@ -191,46 +273,43 @@ def run_checkpointed(pages_dir: str, out_dir: str,
         shutil.rmtree(part_out, ignore_errors=True)
         ds.write_parquet(str(tmp))
         os.replace(tmp, part_out)
-
-        # one pass for both counts (row + error-row) — tiny partials only
-        import pyarrow as _pa
-
-        with read_lock:
-            stats_src = rd.read_parquet(str(part_out), columns=["error"])
-        stats = (stats_src
-                 .map_batches(
-                     lambda t: _pa.table({
-                         "n": _pa.array([t.num_rows], _pa.int64()),
-                         "e": _pa.array(
-                             [t.num_rows - t.column("error").null_count],
-                             _pa.int64())}),
-                     batch_format="pyarrow"))
-        agg = stats.sum(["n", "e"])
-        n_rows = int(agg["sum(n)"] or 0)
-        n_errors = int(agg["sum(e)"] or 0)
-        _atomic_write_json(part_manifest, {
-            "phase": "extracted",
-            "partition": {"content_type": ct, "size_bucket": int(sb)},
-            "stage_version": version,
-            "input_files": sorted(str(p) for p in part_dir.glob("**/*.parquet")),
-            "row_count": n_rows,
-            "error_rows": n_errors,
-            "wall_ms": round((time.perf_counter() - t0) * 1000, 1),
-        })
+        n_rows, n_errors = _partition_stats(part_out)
+        _write_part_manifest(manifests, ct, sb, version, part_dir,
+                             n_rows, n_errors, t0)
         return "processed"
 
-    parts = _list_partitions(out / "staged")
-    if max_concurrent_partitions > 1 and len(parts) > 1:
+    def _skip_ok(part) -> bool:
+        ct, sb, _part_dir = part
+        part_manifest = manifests / f"part-{ct}-{sb}.json"
+        part_out = extracted / f"part={ct}-{sb}"
+        if not part_manifest.exists():
+            return False
+        m = json.loads(part_manifest.read_text())
+        return m.get("stage_version") == version and part_out.exists()
+
+    # Longest-processing-time-first: start the costly pdf_scanned
+    # partitions FIRST so their straggling tails overlap the cheap
+    # html/native partitions instead of running alone at the end of the
+    # run behind the partition barrier (lexical order put them last).
+    # Classic LPT greedy — the thread pool pulls from this order.
+    # (A fused "light batch" pipeline for the low-cost partitions was
+    # built and MEASURED here: the union's repartition barrier serialized
+    # read->dispatch across every fused partition and the two-scale ratio
+    # dropped 0.79 -> 0.73, so each partition keeps its own streaming
+    # pipeline — their fixed startups overlap across the thread pool.)
+    pending = [p for p in parts if not _skip_ok(p)]
+    n_skipped = len(parts) - len(pending)
+    sched = sorted(pending, key=lambda p: costs[p[2]], reverse=True)
+    if max_concurrent_partitions > 1 and len(sched) > 1:
         from concurrent.futures import ThreadPoolExecutor
 
         _seed_fsspec_http_stub()
         with ThreadPoolExecutor(max_concurrent_partitions) as pool:
-            results = list(pool.map(_one_partition, parts))
+            results = list(pool.map(_one_partition, sched))
     else:
-        results = [_one_partition(p) for p in parts]
-    skipped = results.count("skipped")
+        results = [_one_partition(p) for p in sched]
     processed = results.count("processed")
-    return {"partitions_total": len(parts), "partitions_skipped": skipped,
+    return {"partitions_total": len(parts), "partitions_skipped": n_skipped,
             "partitions_processed": processed, "out_dir": str(extracted)}
 
 

@@ -2,6 +2,13 @@ import pytest
 import ray
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: scale-route rehearsal tests that synthesize enough rows to "
+        "cross the size-routing thresholds (minutes, not seconds)")
+
+
 @pytest.fixture(scope="session")
 def ray_session():
     if not ray.is_initialized():

@@ -497,3 +497,100 @@ def test_client_process_document_complete(client, tmp_path):
     assert result["status"] == "completed"
     assert result["upload_status"] == "processed"
     assert result["document_id"] == "full"
+
+
+# ------------------ concurrency (round-4 verdict item 5) ------------------ #
+# Two threads driving the two-phase upload -> process state machine on the
+# same and different ids: the reference serves through 4 uvicorn workers, so
+# concurrent requests against one registry/docstore are its real traffic
+# shape.  The pipeline is stubbed (the race under test is the service state
+# machine + the docstore _NN allocator, not Ray), with a sleep to widen the
+# race window.
+
+def _stub_pipeline(service, monkeypatch, delay=0.05):
+    import time as _time
+
+    def slow(names, payloads, language):
+        _time.sleep(delay)
+        return [{"url": n, "extracted_text": "texto concurrente",
+                 "tables_json": "[]", "processing_ms": 5.0,
+                 "confidence": 0.0, "n_pages": 1} for n in names]
+
+    monkeypatch.setattr(service, "_run_pipeline", slow)
+
+
+def test_create_unique_dir_concurrent(tmp_path):
+    """8 threads racing the B5 allocator on one base name: every thread
+    must win a DISTINCT directory (mkdir is the atomic allocation; the
+    old exists()-then-mkdir pattern crashed the losers)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    barrier = threading.Barrier(8)
+
+    def alloc(_):
+        barrier.wait()
+        return docstore.create_unique_dir(tmp_path / "out", "doc").name
+
+    with ThreadPoolExecutor(8) as ex:
+        names = list(ex.map(alloc, range(8)))
+    assert sorted(names) == sorted(
+        ["doc"] + [f"doc_{i:02d}" for i in range(1, 8)])
+    for n in names:
+        assert (tmp_path / "out" / n).is_dir()
+
+
+def test_concurrent_process_same_id(api, monkeypatch):
+    base, service, tmp = api
+    _stub_pipeline(service, monkeypatch)
+    _, rec = _post_multipart(f"{base}/files/upload", {},
+                             [("file", "race.pdf", PDF)])
+    fid = rec["file_id"]
+    barrier = threading.Barrier(2)
+    out = [None, None]
+
+    def worker(i):
+        barrier.wait()
+        out[i] = _post_json(f"{base}/files/{fid}/process", {})
+
+    ts = [threading.Thread(target=worker, args=(i,)) for i in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=60)
+    assert [r[0] for r in out] == [200, 200]
+    # both processed; the docstore allocator hands each a distinct dir
+    assert sorted(r[1]["document_id"] for r in out) == ["race", "race_01"]
+    assert (tmp / "resultado" / "race").is_dir()
+    assert (tmp / "resultado" / "race_01").is_dir()
+    _, one = _get(f"{base}/files/{fid}")
+    assert one["status"] == "processed"
+
+
+def test_concurrent_process_different_ids(api, monkeypatch):
+    base, service, tmp = api
+    _stub_pipeline(service, monkeypatch)
+    fids = []
+    for name in ("alpha.pdf", "bravo.pdf"):
+        _, rec = _post_multipart(f"{base}/files/upload", {},
+                                 [("file", name, PDF)])
+        fids.append(rec["file_id"])
+    barrier = threading.Barrier(2)
+    out = [None, None]
+
+    def worker(i):
+        barrier.wait()
+        out[i] = _post_json(f"{base}/files/{fids[i]}/process", {})
+
+    ts = [threading.Thread(target=worker, args=(i,)) for i in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=60)
+    assert [r[0] for r in out] == [200, 200]
+    assert sorted(r[1]["document_id"] for r in out) == ["alpha", "bravo"]
+    for fid in fids:
+        _, one = _get(f"{base}/files/{fid}")
+        assert one["status"] == "processed"
+    # no cross-contamination in the registry
+    _, listing = _get(f"{base}/files/?status_filter=processed")
+    assert len(listing) == 2
