@@ -200,9 +200,15 @@ def run_checkpointed(pages_dir: str, out_dir: str,
     partition either complete (manifest written last) or restartable.  At
     100-TB every partition saturates the cluster alone, so 1 is the
     deployment default; at bench scale the SEQUENTIAL barrier between
-    partitions idles CPUs behind each partition's straggling tail —
-    measured on the skewed mix, overlap lifts scaling efficiency
-    substantially (see BASELINE.md round 4)."""
+    partitions idles CPUs behind each partition's straggling tail.
+
+    Scheduling (round 5, each piece A/B-measured — BASELINE.md section 7):
+    partitions start longest-first (LPT by staged bytes x content-type
+    cost weight), each gets dispatch blocks proportional to its cost
+    share (~10 blocks/cpu across the phase), stats come free from parquet
+    footer metadata, and with LPT the overlap sweet spot moved from the
+    pre-LPT 3-4 plateau to 5 (the bench default).  Staged+skewed
+    two-scale efficiency: 0.790 -> 0.895 raw."""
     config = config or PipelineConfig()
     out = pathlib.Path(out_dir)
     run_staged(pages_dir, out_dir, config)
