@@ -222,6 +222,40 @@ def q_dedup_exact(sf_dir: str):
     )
 
 
+# explicit ASCII whitespace class: Python re and DuckDB's RE2 read the
+# class identically, where a bare \s would NOT (RE2 \s is ASCII-only,
+# Python's is full-unicode) — the normalization must be bit-identical on
+# both sides of the oracle
+NORM_WS_CLASS = "[ \t\r\n]+"
+
+
+def _norm_md5_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Canonical text form before hashing: collapse ASCII whitespace runs
+    to one space, trim spaces, lowercase — then md5."""
+    norm = (batch["text"].str.replace(NORM_WS_CLASS, " ", regex=True)
+            .str.strip(" ").str.lower())
+    return pd.DataFrame({
+        "doc_id": batch["doc_id"].to_numpy(),
+        "text_hash": [hashlib.md5(t.encode("utf-8")).hexdigest()
+                      for t in norm]})
+
+
+def q_norm_exact_dedup(sf_dir: str):
+    """CCNet-style normalize-then-exact-dedup: whitespace-collapse + trim
+    + lowercase BEFORE the content hash, so trivially re-formatted copies
+    (double spaces, trailing newlines, case changes) collapse into one
+    class.  Same scan-side-hash + one-hash-shuffle plan as q_dedup_exact;
+    survivor = min doc_id per normalized class."""
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _norm_md5_batch, batch_format="pandas", batch_size=8192)
+    return (
+        ds.groupby("text_hash")
+        .aggregate(Min("doc_id", alias_name="doc_id"),
+                   Count(alias_name="n_copies"))
+        .to_pandas()
+    )
+
+
 # ---------------------------------------------------------------------------
 # crawl-snapshot diff: classify every page across two crawl snapshots as
 # added / removed / changed / unchanged — the standard incremental-crawl
@@ -8838,6 +8872,7 @@ QUERIES = {
     "events_topk_weighted": q_events_topk_weighted,
     "docs_filter": q_docs_filter,
     "dedup_exact": q_dedup_exact,
+    "norm_exact_dedup": q_norm_exact_dedup,
     "crawl_diff": q_crawl_diff,
     "word_count": q_word_count,
     "events_by_type": q_events_by_type,
@@ -9057,6 +9092,15 @@ ORACLE_SQL = {
     "dedup_exact": (
         "SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, "
         "count(*) AS n_copies FROM documents GROUP BY md5(text)"
+    ),
+    # normalization mirrored operation-for-operation: ASCII-ws collapse
+    # (the [ \t\r\n]+ class reads the same in RE2 and Python re), space
+    # trim, lowercase, THEN md5
+    "norm_exact_dedup": (
+        "WITH n AS (SELECT doc_id, lower(trim(regexp_replace("
+        "text, '[ \\t\\r\\n]+', ' ', 'g'), ' ')) AS norm FROM documents) "
+        "SELECT md5(norm) AS text_hash, min(doc_id) AS doc_id, "
+        "count(*) AS n_copies FROM n GROUP BY md5(norm)"
     ),
     "crawl_diff": (
         "WITH b AS ("

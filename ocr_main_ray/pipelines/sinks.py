@@ -51,6 +51,24 @@ def doc_chunks_to_parquet(sf_dir: str, out_dir: str, *, overlap: bool = False,
     return {"out_dir": out_dir, "n_files": n_files}
 
 
+def curation_to_parquet(sf_dir: str, out_dir: str, *,
+                        extended: bool = False,
+                        shards: int = DEFAULT_SHARDS) -> dict:
+    """End-to-end curation verdicts (doc_id, keep, drop_reason, quality)
+    -> hive-partitioned parquet.  The verdict table is one row per corpus
+    document, so at 100 TB it must stream to a sink exactly like the
+    chunkers; plan identical to q_curation / q_curation_extended."""
+    from .curate import curate_documents, curate_documents_extended
+
+    fn = curate_documents_extended if extended else curate_documents
+    out = (fn(_docs(sf_dir, ["doc_id", "text"]))
+           .map_batches(lambda b: _with_shard(b, shards),
+                        batch_format="pandas"))
+    out.write_parquet(out_dir, partition_cols=["shard"])
+    n_files = sum(1 for _ in pathlib.Path(out_dir).glob("**/*.parquet"))
+    return {"out_dir": out_dir, "n_files": n_files}
+
+
 def segment_dedup_to_parquet(sf_dir: str, out_dir: str, *,
                              shards: int = DEFAULT_SHARDS) -> dict:
     """Segment-level dedup + reassembly (CCNet shape) -> hive-partitioned

@@ -722,3 +722,27 @@ def test_hashjoin_routes_empty_dimension(ray_session, tmp_path):
         assert int(out.loc[0, "revenue_cents"]) == 0, route
         empty = q_bloom_semi_join(sf, route=route)
         assert len(empty) == 0, route
+
+
+def test_norm_exact_dedup_collapses_variants(ray_session, tmp_path):
+    """Planted trivially-reformatted copies: whitespace runs, leading /
+    trailing space, and case changes must land in ONE normalized class
+    (survivor = min doc_id), while genuinely different text stays apart."""
+    import pyarrow.parquet as pq
+
+    from ocr_main_ray.pipelines.queries import q_norm_exact_dedup
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array([
+            "The quick Brown Fox",
+            "  the   quick\tbrown fox\n",   # ws + case variant of 1
+            "THE QUICK BROWN FOX",          # case variant of 1
+            "a different document",
+            "a  DIFFERENT document",        # variant of 4
+        ])}),
+        tmp_path / "documents.parquet")
+    out = (q_norm_exact_dedup(str(tmp_path))
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out["doc_id"].tolist() == [1, 4]
+    assert out["n_copies"].tolist() == [3, 2]

@@ -73,3 +73,16 @@ def test_shard_is_doc_id_mod(ray_session, tmp_path):
     doc_chunks_to_parquet(SF, str(out), shards=8)
     df = rd.read_parquet(str(out)).to_pandas()
     assert (df["shard"].astype("int64") == df["doc_id"] % 8).all()
+
+
+def test_curation_sink_matches_query(ray_session, tmp_path):
+    from ocr_main_ray.pipelines.queries import q_curation
+    from ocr_main_ray.pipelines.sinks import curation_to_parquet
+
+    out = tmp_path / "curation"
+    curation_to_parquet(SF, str(out))
+    got = (_read_back(str(out))
+           .sort_values("doc_id").reset_index(drop=True))
+    expect = q_curation(SF)
+    pd.testing.assert_frame_equal(
+        got[expect.columns.tolist()], expect, check_dtype=False)
