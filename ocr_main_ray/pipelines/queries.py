@@ -1076,6 +1076,27 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     return pa.table({"a": pa.array(a_l, pa.int64()), "b": pa.array(b_l, pa.int64())})
 
 
+def q_jaccard_clusters(sf_dir: str):
+    """Connected components over the brute-force 3-gram-Jaccard >= 0.3
+    pair set (same bounded doc_id < 200 subset as q_ngram_jaccard_pairs),
+    labeled by the DISTRIBUTED min-label-propagation join path
+    (pipelines/curate.cluster_pairs_distributed -> functions/graph.
+    cc_join) — which until round 5 was pinned only by unit tests.  The
+    external oracle computes the same components as a recursive-CTE
+    transitive closure in SQL: one row per doc appearing in a pair,
+    canonical = min doc id of its component."""
+    import ray.data as rd
+
+    from .curate import cluster_pairs_distributed
+
+    pairs = q_ngram_jaccard_pairs(sf_dir)
+    if pairs.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "canonical": pa.array([], pa.int64())})
+    out = cluster_pairs_distributed(rd.from_arrow(pairs)).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_simhash_near_dups(sf_dir: str):
     """SimHash pigeonhole retrieval wired end-to-end: chunk-key groupby ->
     vectorized XOR-popcount Hamming verify (<= 3 bits of 64) -> pair dedup.
@@ -8900,6 +8921,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "fingerprints": q_fingerprints,
     "minhash_near_dups": q_minhash_near_dups,
+    "jaccard_clusters": q_jaccard_clusters,
     "simhash_signatures": q_simhash_signatures,
     "simhash_near_dups": q_simhash_near_dups,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -10262,6 +10284,35 @@ ORACLE_SQL = {
         "SELECT a, b FROM inter "
         "JOIN s sa ON sa.doc_id = a JOIN s sb ON sb.doc_id = b "
         "WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5 ORDER BY a, b"
+    ),
+    # connected components over the same brute-force pair set, as a
+    # recursive transitive closure: r reaches every component member from
+    # every start node (symmetric edge list; UNION dedups, so cycles
+    # terminate), canonical = least(self, min reachable)
+    "jaccard_clusters": (
+        "WITH RECURSIVE w AS (SELECT doc_id, string_split_regex("
+        "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS ws "
+        "FROM documents WHERE doc_id < 200), "
+        "g0 AS (SELECT doc_id, array_to_string(ws[p : p + 2], ' ') AS gram "
+        "FROM (SELECT doc_id, unnest(generate_series(1, "
+        "greatest(len(ws) - 2, 0))) AS p, ws FROM w)), "
+        "gf AS (SELECT doc_id, array_to_string(ws, ' ') AS gram FROM w "
+        "WHERE len(ws) < 3 AND array_to_string(ws, ' ') <> ''), "
+        "g AS (SELECT DISTINCT doc_id, gram FROM "
+        "(SELECT * FROM g0 UNION ALL SELECT * FROM gf)), "
+        "s AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id), "
+        "inter AS (SELECT g1.doc_id AS a, g2.doc_id AS b, count(*) AS i "
+        "FROM g g1 JOIN g g2 ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id "
+        "GROUP BY 1, 2), "
+        "pairs AS (SELECT a, b FROM inter "
+        "JOIN s sa ON sa.doc_id = a JOIN s sb ON sb.doc_id = b "
+        "WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.3), "
+        "e AS (SELECT a AS u, b AS v FROM pairs "
+        "UNION ALL SELECT b, a FROM pairs), "
+        "r AS (SELECT u, v FROM e "
+        "UNION SELECT r.u, e.v FROM r JOIN e ON r.v = e.u) "
+        "SELECT u AS doc_id, CAST(least(u, min(v)) AS BIGINT) AS canonical "
+        "FROM r GROUP BY u ORDER BY doc_id"
     ),
     # TPC-H Q22 shape: above-average balance as an exact integer
     # cross-multiplication (cents * n > sum_cents, no float average), NOT
