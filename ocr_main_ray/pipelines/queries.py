@@ -10285,6 +10285,41 @@ ORACLE_SQL = {
         "JOIN s sa ON sa.doc_id = a JOIN s sb ON sb.doc_id = b "
         "WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5 ORDER BY a, b"
     ),
+    # full near-dup clustering (MinHash-LSH -> verify -> components ->
+    # per-doc assignment): the verified pair set equals brute-force
+    # 3-gram Jaccard >= 0.5 (see minhash_near_dups), so the cluster
+    # assignment is the recursive closure's labels left-joined onto the
+    # corpus, singletons their own canonical
+    "near_dup_clusters": (
+        "WITH RECURSIVE w AS (SELECT doc_id, string_split_regex("
+        "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS ws "
+        "FROM documents), "
+        "g0 AS (SELECT doc_id, array_to_string(ws[p : p + 2], ' ') AS gram "
+        "FROM (SELECT doc_id, unnest(generate_series(1, "
+        "greatest(len(ws) - 2, 0))) AS p, ws FROM w)), "
+        "gf AS (SELECT doc_id, array_to_string(ws, ' ') AS gram FROM w "
+        "WHERE len(ws) < 3 AND array_to_string(ws, ' ') <> ''), "
+        "g AS (SELECT DISTINCT doc_id, gram FROM "
+        "(SELECT * FROM g0 UNION ALL SELECT * FROM gf)), "
+        "s AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id), "
+        "inter AS (SELECT g1.doc_id AS a, g2.doc_id AS b, count(*) AS i "
+        "FROM g g1 JOIN g g2 ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id "
+        "GROUP BY 1, 2), "
+        "pairs AS (SELECT a, b FROM inter "
+        "JOIN s sa ON sa.doc_id = a JOIN s sb ON sb.doc_id = b "
+        "WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5), "
+        "e AS (SELECT a AS u, b AS v FROM pairs "
+        "UNION ALL SELECT b, a FROM pairs), "
+        "r AS (SELECT u, v FROM e "
+        "UNION SELECT r.u, e.v FROM r JOIN e ON r.v = e.u), "
+        "lab AS (SELECT u AS doc_id, least(u, min(v)) AS cid "
+        "FROM r GROUP BY u) "
+        "SELECT d.doc_id, "
+        "CAST(coalesce(l.cid, d.doc_id) AS BIGINT) AS cluster_id, "
+        "CAST(CASE WHEN coalesce(l.cid, d.doc_id) = d.doc_id "
+        "THEN 1 ELSE 0 END AS BIGINT) AS is_canonical "
+        "FROM documents d LEFT JOIN lab l USING (doc_id) ORDER BY d.doc_id"
+    ),
     # connected components over the same brute-force pair set, as a
     # recursive transitive closure: r reaches every component member from
     # every start node (symmetric edge list; UNION dedups, so cycles
