@@ -10383,6 +10383,72 @@ ORACLE_SQL = {
         "AS dr FROM ex JOIN qv ON qv.doc_id = ex.doc_id "
         "LEFT JOIN lab l ON l.doc_id = ex.doc_id) d ORDER BY d.doc_id"
     ),
+    # extended (Gopher/FineWeb-style) chain: base curation plus the
+    # high_repetition (distinct-word ratio < 0.2) and low_alpha
+    # (alpha ratio < 0.4) floors, same precedence order as the Ray side
+    "curation_extended": (
+        "WITH RECURSIVE w AS (SELECT doc_id, string_split_regex("
+        "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS ws "
+        "FROM documents), "
+        "g0 AS (SELECT doc_id, array_to_string(ws[p : p + 2], ' ') AS gram "
+        "FROM (SELECT doc_id, unnest(generate_series(1, "
+        "greatest(len(ws) - 2, 0))) AS p, ws FROM w)), "
+        "gf AS (SELECT doc_id, array_to_string(ws, ' ') AS gram FROM w "
+        "WHERE len(ws) < 3 AND array_to_string(ws, ' ') <> ''), "
+        "g AS (SELECT DISTINCT doc_id, gram FROM "
+        "(SELECT * FROM g0 UNION ALL SELECT * FROM gf)), "
+        "s AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id), "
+        "inter AS (SELECT g1.doc_id AS a, g2.doc_id AS b, count(*) AS i "
+        "FROM g g1 JOIN g g2 ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id "
+        "GROUP BY 1, 2), "
+        "pairs AS (SELECT a, b FROM inter "
+        "JOIN s sa ON sa.doc_id = a JOIN s sb ON sb.doc_id = b "
+        "WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5), "
+        "e AS (SELECT a AS u, b AS v FROM pairs "
+        "UNION ALL SELECT b, a FROM pairs), "
+        "r AS (SELECT u, v FROM e "
+        "UNION SELECT r.u, e.v FROM r JOIN e ON r.v = e.u), "
+        "lab AS (SELECT u AS doc_id, least(u, min(v)) AS cid "
+        "FROM r GROUP BY u), "
+        "ex AS (SELECT doc_id, CASE WHEN doc_id = "
+        "min(doc_id) OVER (PARTITION BY md5(text)) THEN 0 ELSE 1 END "
+        "AS exact_dup FROM documents), "
+        "feat AS (SELECT doc_id, "
+        "CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0 "
+        "ELSE len(string_split_regex(regexp_replace("
+        "text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END AS n_words, "
+        "CASE WHEN length(text) = 0 THEN 0.0 ELSE "
+        "CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', "
+        "'g')) AS DOUBLE) / length(text) END AS alpha_ratio, "
+        "CASE WHEN n_words = 0 THEN 1.0 ELSE "
+        "CAST(len(list_distinct(string_split_regex(regexp_replace("
+        "text, '^\\s+|\\s+$', '', 'g'), '\\s+'))) AS DOUBLE) / n_words END "
+        "AS distinct_ratio, "
+        "CASE WHEN n_words = 0 THEN 0.0 ELSE "
+        "CAST(len(list_filter(string_split_regex(regexp_replace("
+        "text, '^\\s+|\\s+$', '', 'g'), '\\s+'), "
+        "x -> lower(x) IN ('the','a','and','of','to','in','is','on','for',"
+        "'with'))) AS DOUBLE) / n_words END AS stopword_ratio, "
+        "CASE WHEN n_words = 0 THEN 0.0 ELSE "
+        "CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) "
+        "/ n_words END AS mean_word_len FROM documents), "
+        "qv AS (SELECT doc_id, alpha_ratio, distinct_ratio, round_even("
+        "40.0 * alpha_ratio + 30.0 * least(1.0, stopword_ratio * 4.0) "
+        "+ 20.0 * (CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0 "
+        "THEN 1.0 ELSE 0.0 END) "
+        "+ 10.0 * (CASE WHEN n_words >= 20 THEN 1.0 "
+        "ELSE CAST(n_words AS DOUBLE) / 20.0 END), 4) AS q FROM feat) "
+        "SELECT d.doc_id, "
+        "CAST(CASE WHEN dr = '' THEN 1 ELSE 0 END AS BIGINT) AS keep, "
+        "dr AS drop_reason, q AS quality FROM ("
+        "SELECT ex.doc_id, qv.q, CASE WHEN ex.exact_dup = 1 "
+        "THEN 'exact_dup' WHEN coalesce(l.cid, ex.doc_id) <> ex.doc_id "
+        "THEN 'near_dup' WHEN qv.q < 30.0 THEN 'low_quality' "
+        "WHEN qv.distinct_ratio < 0.2 THEN 'high_repetition' "
+        "WHEN qv.alpha_ratio < 0.4 THEN 'low_alpha' ELSE '' END "
+        "AS dr FROM ex JOIN qv ON qv.doc_id = ex.doc_id "
+        "LEFT JOIN lab l ON l.doc_id = ex.doc_id) d ORDER BY d.doc_id"
+    ),
     # connected components over the same brute-force pair set, as a
     # recursive transitive closure: r reaches every component member from
     # every start node (symmetric edge list; UNION dedups, so cycles
